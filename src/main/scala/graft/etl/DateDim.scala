@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Calendar dimension generator.
+  *
+  * reference: dags/main_pipeline.py `create_date_table` — the reference
+  * collects min/max dates to the driver and builds the calendar in pandas;
+  * here the whole dimension is a `sequence`+`explode` over the min/max
+  * aggregate, so it never leaves the cluster. Season boundaries match the
+  * reference (spring [Mar 21, Jun 22), summer [Jun 22, Sep 23), autumn
+  * [Sep 23, Dec 22), winter otherwise).
+  */
+object DateDim {
+
+  private def seasonNumber(m: Column, d: Column): Column =
+    when((m === 3 && d >= 21) || m.isin(4, 5) || (m === 6 && d < 22), 1)
+      .when((m === 6 && d >= 22) || m.isin(7, 8) || (m === 9 && d < 23), 2)
+      .when((m === 9 && d >= 23) || m.isin(10, 11) || (m === 12 && d < 22), 3)
+      .otherwise(4)
+
+  /** Expand one row holding `mn`/`mx` DATE bounds into the dimension. */
+  def fromBounds(bounds: DataFrame): DataFrame = {
+    val days = bounds.select(
+      explode(sequence(col("mn"), col("mx"))).as("full_date"))
+    val m = month(col("full_date"))
+    val dom = dayofmonth(col("full_date"))
+    val dow = weekday(col("full_date")) + 1 // ISO: Monday=1 .. Sunday=7
+    val sn = seasonNumber(m, dom)
+    days.select(
+      col("full_date"),
+      dayofyear(col("full_date")).as("day_of_year"),
+      dom.as("day_of_month"),
+      dow.as("day_of_week"),
+      date_format(col("full_date"), "EEEE").as("day_name"),
+      (dow >= 6).as("is_weekend"),
+      sn.as("season_number"),
+      when(sn === 1, "spring").when(sn === 2, "summer")
+        .when(sn === 3, "autumn").otherwise("winter").as("season_name"),
+      m.as("month_number"),
+      date_format(col("full_date"), "MMMM").as("month_long_name"),
+      date_format(col("full_date"), "MMM").as("month_short_name"),
+      year(col("full_date")).as("year"),
+      date_format(col("full_date"), "yyyy/MM").as("year_month"))
+  }
+
+  /** Build the dimension spanning the observed range of `dateCol`. */
+  def fromObservedRange(df: DataFrame, dateCol: String): DataFrame =
+    fromBounds(df.agg(
+      min(to_date(col(dateCol))).as("mn"),
+      max(to_date(col(dateCol))).as("mx")))
+}

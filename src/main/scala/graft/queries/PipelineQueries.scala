@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Ann
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** LLM-training-data pipeline query surface (SURVEY.md §2, rows 15–26). */
+object PipelineQueries {
+
+  // ------------------------------------------------------------------ q20
+  def q20DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", col("text"))
+      .select(col("keep_id"), col("group_size"))
+      .orderBy(col("keep_id"))
+
+  val q20Oracle: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS group_size
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // ------------------------------------------------------------------ q21
+  def q21DedupMinHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashDedup(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 3, numPerm = 32, bands = 8, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ------------------------------------------------------------------ q22
+  def q22DedupSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashDedup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ------------------------------------------------------------------ q23
+  def q23NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      col("lang").as("blk"),
+      Dedup.charShingles(col("text"), 3).as("sh"))
+    d.as("l")
+      .join(d.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .withColumn("jaccard_sim",
+        round(Dedup.jaccard(col("l.sh"), col("r.sh")), 6))
+      .where(col("jaccard_sim") >= 0.5)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q23Oracle: String =
+    """WITH c AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ctext
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(length(ctext) - 2, 1)),
+      |      i -> substr(ctext, i, 3))) AS sh
+      |  FROM c)
+      |SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+      |    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) AS jaccard_sim
+      |FROM s l JOIN s r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+      |    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------ q24
+  def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q24Oracle: String =
+    """WITH w AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS self_dot
+      |  FROM embeddings)
+      |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+      |  round(list_inner_product(l.v, r.v) / sqrt(l.self_dot * r.self_dot), 6) AS cos_sim
+      |FROM w l JOIN w r ON l.label = r.label AND l.vec_id < r.vec_id
+      |WHERE list_inner_product(l.v, r.v) / sqrt(l.self_dot * r.self_dot) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------ q30
+  def q30AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.bruteForceTopK(e.where(col("vec_id") < 8), e, "vec_id", "embedding", k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val q30Oracle: String =
+    """WITH w AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS self_dot
+      |  FROM embeddings),
+      |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.v, c.v) / sqrt(q.self_dot * c.self_dot) AS cs
+      |  FROM w q JOIN w c ON q.vec_id < 8 AND q.vec_id != c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rnk
+      |  FROM scored)
+      |SELECT query_id, rnk, neighbor_id, round(cs, 6) AS cos_sim
+      |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------ q31
+  def q31AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.lshTopK(e.where(col("vec_id") < 8), e, "vec_id", "embedding",
+        dim = 64, numPlanes = 6, k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------ q40
+  def q40TextLangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  val q40Oracle: String = {
+    // Mirror TextAnalysis.stopwordPatterns + the first-argmax CASE chain.
+    val pats = TextAnalysis.stopwordPatterns
+    val scoreExprs = pats.map { case (code, pat) =>
+      s"len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '$pat')) AS s_$code"
+    }.mkString(",\n    ")
+    val codes = pats.map(_._1)
+    val allZero = codes.map(c => s"s_$c = 0").mkString(" AND ")
+    val chain = codes.zipWithIndex.map { case (c, i) =>
+      val later = codes.drop(i + 1)
+      val cond =
+        if (later.isEmpty) "TRUE"
+        else later.map(o => s"s_$c >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$c'"
+    }.mkString("\n      ")
+    s"""WITH scored AS (SELECT lang,
+       |    $scoreExprs
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN $allZero THEN 'und'
+       |      $chain
+       |      ELSE 'und' END AS pred_lang,
+       |  count(*) AS n_docs
+       |FROM scored
+       |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ q41
+  def q41TextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
+        col("punct_ratio"), col("space_ratio"), col("mean_token_len"),
+        col("quality_ok"))
+      .orderBy(col("doc_id"))
+
+  val q41Oracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens,
+      |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+      |    round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+      |    round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS space_ratio,
+      |    round(CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
+      |      / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS DOUBLE), 1.0), 6) AS mean_token_len
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, alpha_ratio, punct_ratio, space_ratio, mean_token_len,
+      |  (n_tokens >= 5 AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2) AS quality_ok
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q42
+  def q42TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("ws")).as("sum_ws_tokens"),
+        sum(col("bpe")).as("sum_bpe_tokens"),
+        round(avg(col("bpe")), 6).as("avg_bpe_tokens"))
+      .orderBy(col("source"))
+
+  val q42Oracle: String =
+    """SELECT source,
+      |  sum(len(regexp_extract_all(text, '[^ \t\n\r]+'))) AS sum_ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))) AS sum_bpe_tokens,
+      |  round(avg(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))), 6) AS avg_bpe_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------ q43
+  def q43TextFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      .orderBy(col("fp"))
+
+  val q43Oracle: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS group_size
+      |FROM documents
+      |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |ORDER BY fp""".stripMargin
+
+  // ------------------------------------------------------------------ q50
+  def q50MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractMeta(
+        Multimodal.asMediaRecords(
+          Tables.documents(s, dir), "doc_id", "text", "text/plain"))
+      .toDF()
+      .orderBy(col("media_id"))
+
+  val q50Oracle: String =
+    """SELECT doc_id AS media_id, 'text/plain' AS kind,
+      |  octet_length(encode(text)) AS byte_len,
+      |  octet_length(encode(text)) % 640 AS fake_width,
+      |  (octet_length(encode(text)) // 640) % 480 AS fake_height,
+      |  octet_length(encode(text)) % 30 AS fake_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+}

