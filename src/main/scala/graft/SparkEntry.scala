@@ -1,13 +1,78 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{PipelineQueries => P, WarehouseQueries => W}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SURVEY.md §2 row registers a query here; every ANSI-SQL-
+  * expressible row also registers a DuckDB oracle with identical column
+  * names (the driver's compare sorts columns by name before hashing).
+  * Hash-based ops (q21, q22, q31) have no oracle by design → rows-only
+  * checks.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    W.q10DashboardRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_clean_filter"            -> (W.q01CleanFilter _),
+    "q02_derived_measures"        -> (W.q02DerivedMeasures _),
+    "q03_date_dim"                -> (W.q03DateDim _),
+    "q04_scd2_build"              -> (W.q04Scd2Build _),
+    "q05_scd_point_in_time_join"  -> (W.q05PointInTimeJoin _),
+    "q06_remove_one_day_changes"  -> (W.q06RemoveOneDayChanges _),
+    "q07_star_flatten"            -> (W.q07StarFlatten _),
+    "q08_unknown_member"          -> (W.q08UnknownMember _),
+    "q09_static_dim"              -> (W.q09StaticDim _),
+    "q10_dashboard_revenue"       -> (W.q10DashboardRevenue _),
+    "q11_dashboard_topn"          -> (W.q11DashboardTopN _),
+    "q12_incremental_delta"       -> (W.q12IncrementalDelta _),
+    "q13_scd_merge"               -> (W.q13ScdMerge _),
+    "q14_dedup_natural_key"       -> (W.q14DedupNaturalKey _),
+    "q20_dedup_exact"             -> (P.q20DedupExact _),
+    "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
+    "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
+    "q23_dedup_ngram_jaccard"     -> (P.q23NgramJaccard _),
+    "q24_dedup_embedding"         -> (P.q24DedupEmbedding _),
+    "q30_ann_bruteforce"          -> (P.q30AnnBruteForce _),
+    "q31_ann_lsh"                 -> (P.q31AnnLsh _),
+    "q40_text_langid"             -> (P.q40TextLangId _),
+    "q41_text_quality"            -> (P.q41TextQuality _),
+    "q42_token_count"             -> (P.q42TokenCount _),
+    "q43_text_fingerprint"        -> (P.q43TextFingerprint _),
+    "q50_multimodal_meta"         -> (P.q50MultimodalMeta _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q21 MinHash, q22 SimHash, q31 LSH) → rows-only checks. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_clean_filter"            -> W.q01Oracle,
+    "q02_derived_measures"        -> W.q02Oracle,
+    "q03_date_dim"                -> W.q03Oracle,
+    "q04_scd2_build"              -> W.q04Oracle,
+    "q05_scd_point_in_time_join"  -> W.q05Oracle,
+    "q06_remove_one_day_changes"  -> W.q06Oracle,
+    "q07_star_flatten"            -> W.q07Oracle,
+    "q08_unknown_member"          -> W.q08Oracle,
+    "q09_static_dim"              -> W.q09Oracle,
+    "q10_dashboard_revenue"       -> W.q10Oracle,
+    "q11_dashboard_topn"          -> W.q11Oracle,
+    "q12_incremental_delta"       -> W.q12Oracle,
+    "q13_scd_merge"               -> W.q13Oracle,
+    "q14_dedup_natural_key"       -> W.q14Oracle,
+    "q20_dedup_exact"             -> P.q20Oracle,
+    "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
+    "q24_dedup_embedding"         -> P.q24Oracle,
+    "q30_ann_bruteforce"          -> P.q30Oracle,
+    "q40_text_langid"             -> P.q40Oracle,
+    "q41_text_quality"            -> P.q41Oracle,
+    "q42_token_count"             -> P.q42Oracle,
+    "q43_text_fingerprint"        -> P.q43Oracle,
+    "q50_multimodal_meta"         -> P.q50Oracle
+  )
 }

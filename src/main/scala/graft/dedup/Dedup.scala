@@ -40,7 +40,7 @@ object Dedup {
       filter(
         transform(
           sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => when(i + k <= size(toks), concat_ws(" ", slice(toks, i + 1, k)))),
+          i => when(i + k <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(k))))),
         x => x.isNotNull))
   }
 
@@ -63,11 +63,13 @@ object Dedup {
   // MinHash + LSH banding
   // ---------------------------------------------------------------------
 
-  /** Deterministic 64-bit hash companions for the MinHash permutations:
-    * h_i(x) = (a_i * x + b_i) mod p, with x = xxhash64 of the shingle.
-    * Constants from a fixed linear congruential sequence — fully
-    * deterministic, no RNG at plan time. */
-  private val MersennePrime = (1L << 61) - 1
+  /** Deterministic hash companions for the MinHash permutations:
+    * h_i(x) = (a_i * x + b_i) mod p with p = 2^31 − 1 (Mersenne prime),
+    * x = xxhash64 of the shingle reduced mod p. Keeping a, b, x < 2^31
+    * means a·x + b < 2^62 — no Long overflow, so the universal-hash
+    * guarantee actually holds. Constants come from a fixed linear
+    * congruential sequence — fully deterministic, no RNG at plan time. */
+  private val MersennePrime = (1L << 31) - 1
   private def permConstants(numPerm: Int): Seq[(Long, Long)] = {
     var state = 0x9E3779B97F4A7C15L
     def next(): Long = {
@@ -150,7 +152,7 @@ object Dedup {
         hashes,
         lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L) << i).otherwise(lit(0L))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -104,8 +104,12 @@ object PipelineQueries {
   // ------------------------------------------------------------------ q31
   def q31AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    // Embedding dim is not in the parquet schema (ArrayType is unsized);
+    // probe one row at plan time — a wrong dim would null the projections
+    // and collapse every vector into a single bucket.
+    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
     Ann.lshTopK(e.where(col("vec_id") < 8), e, "vec_id", "embedding",
-        dim = 64, numPlanes = 6, k = 10)
+        dim = dim, numPlanes = 6, k = 10)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("query_id"), col("rnk"))
   }

@@ -102,7 +102,7 @@ object Ann {
       val proj = (0 until dim).map { j =>
         vec.getItem(j).cast("double") * lit(planeComponent(p, j))
       }.reduce(_ + _)
-      when(proj >= 0, lit(1L) << p).otherwise(lit(0L))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -91,9 +91,4 @@ object TextAnalysis {
           col("punct_ratio") <= 0.2)
   }
 
-  /** Argmax tie-break note: sort_array on struct(score, code) sorts by
-    * score ASC then code ASC; the last element is the max score with the
-    * LARGEST code — so to break ties by code ascending we invert: kept as
-    * documented behavior `ties → lexicographically last code`, mirrored
-    * exactly in the oracle SQL. */
 }

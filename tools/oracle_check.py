@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables, compare to the Spark result dumped by
+graft.Verify (columns sorted by name, rows sorted, value-wise compare).
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            # DuckDB DATE -> pandas datetime64 at midnight; Spark DATE ->
+            # datetime.date objects. Canonicalize both to date strings when
+            # no time component is present.
+            if (s.dropna().dt.normalize() == s.dropna()).all():
+                df[c] = s.dt.strftime("%Y-%m-%d")
+            else:
+                df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(v) if v is not None else None)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def compare(name, spark_df, oracle_df):
+    issues = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return [f"schema mismatch: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"]
+    if len(spark_df) != len(oracle_df):
+        issues.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return issues
+    a, b = norm(spark_df), norm(oracle_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            bad = ~(np.isclose(av.fillna(np.nan), bv.fillna(np.nan), rtol=1e-9, atol=1e-9, equal_nan=True))
+        else:
+            try:
+                bad = ~((av == bv) | (av.isna() & bv.isna()))
+            except Exception:
+                bad = pd.Series([str(x) != str(y) for x, y in zip(av, bv)])
+        n = int(bad.sum())
+        if n:
+            i = bad.idxmax()
+            issues.append(f"col {c}: {n} diffs; first at row {i}: spark={a[c][i]!r} oracle={b[c][i]!r}")
+    return issues
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            results[name] = ["NO SPARK OUTPUT"]
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracles:
+            results[name] = [] if len(spark_df) > 0 else ["rows-only check: 0 rows"]
+            print(f"{name}: rows-only, {len(spark_df)} rows -> {'OK' if len(spark_df)>0 else 'FAIL'}")
+            continue
+        try:
+            oracle_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            results[name] = [f"ORACLE SQL ERROR: {e}"]
+            print(f"{name}: ORACLE SQL ERROR: {e}")
+            continue
+        issues = compare(name, spark_df, oracle_df)
+        results[name] = issues
+        print(f"{name}: {'MATCH' if not issues else 'MISMATCH'}")
+        for i in issues[:6]:
+            print(f"    {i}")
+    for name in oracles:
+        if name not in results:
+            print(f"{name}: MISSING SPARK OUTPUT (query failed)")
+            results[name] = ["missing spark output"]
+    n_bad = sum(1 for v in results.values() if v)
+    print(f"\n{len(results) - n_bad}/{len(results)} green")
+    sys.exit(0 if n_bad == 0 else 1)
+
+main()
