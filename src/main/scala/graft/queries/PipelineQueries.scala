@@ -33,17 +33,34 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   // ------------------------------------------------------------------ q23
+  /** Same-language pairs with char-3-gram Jaccard ≥ 0.5.
+    *
+    * Blocking is (lang × size band), not lang alone: at corpus scale one
+    * language is half the data and a lang-only block goes quadratic.
+    * J ≥ 0.5 bounds the shingle-count ratio of a qualifying pair by 2
+    * (|a| ≥ J·|b|), so floor(log2(|sh|)) of the two docs differs by at
+    * most 1 — emitting every doc under its own band and the next band up
+    * and joining on band equality is LOSSLESS for this threshold, which
+    * keeps the exact all-pairs DuckDB oracle valid. */
   def q23NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(
-      col("doc_id").as("id"),
-      col("lang").as("blk"),
-      Dedup.charShingles(col("text"), 3).as("sh"))
-    d.as("l")
-      .join(d.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+        col("doc_id").as("id"),
+        col("lang"),
+        Dedup.charShingles(col("text"), 3).as("sh"))
+      .withColumn("lb", floor(log2(greatest(size(col("sh")), lit(1)))))
+    val banded = d.select(col("id"), col("lang"), col("sh"),
+      explode(array(col("lb"), col("lb") + 1)).as("b"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.lang") === col("r.lang") && col("l.b") === col("r.b") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("jaccard_sim",
-        round(Dedup.jaccard(col("l.sh"), col("r.sh")), 6))
+        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard_sim") >= 0.5)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard_sim"))
+      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
