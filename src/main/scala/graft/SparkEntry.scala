@@ -33,6 +33,8 @@ object SparkEntry {
     "q12_incremental_delta"       -> (W.q12IncrementalDelta _),
     "q13_scd_merge"               -> (W.q13ScdMerge _),
     "q14_dedup_natural_key"       -> (W.q14DedupNaturalKey _),
+    "q15_full_measures"           -> (W.q15FullMeasures _),
+    "q16_lookup_backfill"         -> (W.q16LookupBackfill _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -65,6 +67,8 @@ object SparkEntry {
     "q12_incremental_delta"       -> W.q12Oracle,
     "q13_scd_merge"               -> W.q13Oracle,
     "q14_dedup_natural_key"       -> W.q14Oracle,
+    "q15_full_measures"           -> W.q15Oracle,
+    "q16_lookup_backfill"         -> W.q16Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,

@@ -44,6 +44,55 @@ object StarSchema {
     src.select(col(colA)).distinct()
       .crossJoin(broadcast(src.select(col(colB)).distinct()))
 
+  /** Bidirectional name↔number backfill from a lookup dimension.
+    *
+    * reference: create_update_liqour_sales_fact_table.py:47
+    * `fill_na_in_county_columns` — rows missing the name get it from the
+    * lookup by number, rows missing the number get it by name, rows
+    * missing both get the unknown member; faithful to the reference's
+    * INNER joins, a row with exactly one side null and no lookup match is
+    * dropped.
+    *
+    * Spark-first re-expression: the reference splits into four
+    * DataFrames and unions them back (4 scans of the fact). Here it is a
+    * single pass with two broadcast left joins and a when-chain — the
+    * fact is scanned once and never shuffled (the lookup is the small
+    * side by construction).
+    */
+  def backfillFromLookup(
+      df: DataFrame,
+      numCol: String,
+      nameCol: String,
+      lookup: DataFrame,
+      lookupNumCol: String,
+      lookupNameCol: String,
+      unknownNum: Long = -1L,
+      unknownName: String = "unknown"): DataFrame = {
+    val byNum = broadcast(lookup.select(
+      col(lookupNumCol).as("_bf_num"), col(lookupNameCol).as("_bf_name_of_num")))
+    val byName = broadcast(lookup.select(
+      col(lookupNameCol).as("_bf_name"), col(lookupNumCol).as("_bf_num_of_name")))
+    val num = col(numCol)
+    val name = col(nameCol)
+    df.join(byNum, num === col("_bf_num"), "left")
+      .join(byName, name === col("_bf_name"), "left")
+      .where(
+        (num.isNotNull && name.isNotNull) ||
+          (num.isNull && name.isNull) ||
+          (name.isNull && col("_bf_name_of_num").isNotNull) ||
+          (num.isNull && col("_bf_num_of_name").isNotNull))
+      .withColumn("_bf_new_num",
+        when(num.isNull && name.isNull, lit(unknownNum))
+          .otherwise(coalesce(num, col("_bf_num_of_name"))))
+      .withColumn("_bf_new_name",
+        when(num.isNull && name.isNull, lit(unknownName))
+          .otherwise(coalesce(name, col("_bf_name_of_num"))))
+      .withColumn(numCol, col("_bf_new_num"))
+      .withColumn(nameCol, col("_bf_new_name"))
+      .drop("_bf_num", "_bf_name_of_num", "_bf_name", "_bf_num_of_name",
+        "_bf_new_num", "_bf_new_name")
+  }
+
   /** Left-join a dimension and coalesce misses to the unknown member
     * (reference: insert_unknown_*.sql + fillna(-1)). `defaults` maps each
     * dim attribute column to its unknown-member literal. */

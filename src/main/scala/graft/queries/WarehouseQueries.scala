@@ -372,4 +372,96 @@ object WarehouseQueries {
       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |      FROM events)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------ q15
+  /** The reference's full derived-measure set
+    * (create_update_liqour_sales_fact_table.py:184-198): volume, total
+    * cost, revenue, gross profit (exact DECIMAL), gross-profit margin
+    * (the ratio division, emitted as a rounded double) and the
+    * invoice-prefix substring derivation. Mapped onto lineitem⋈part:
+    * quantity ≈ BottlesSold, p_retailprice ≈ StateBottleCost,
+    * l_extendedprice ≈ StateBottleRetail, p_size ≈ BottleVolume. */
+  def q15FullMeasures(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .where(col("l_extendedprice") > 0 && col("l_quantity") > 0)
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_size"),
+      col("p_retailprice"))
+    val qty = StarSchema.money(col("l_quantity"))
+    val cost = StarSchema.money(col("p_retailprice"))
+    val retail = StarSchema.money(col("l_extendedprice"))
+    val totalCost = qty * cost
+    val revenue = qty * retail
+    val grossProfit = revenue - totalCost
+    val inv = concat_ws("-", lit("INV"), col("l_orderkey"), col("l_linenumber"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        emit(qty * col("p_size")).as("volume_sold_liters"),
+        emit(totalCost).as("total_cost_usd"),
+        emit(revenue).as("revenue_usd"),
+        emit(grossProfit).as("gross_profit_usd"),
+        round(grossProfit.cast("double") / revenue.cast("double") * 100, 6)
+          .as("gross_profit_margin"),
+        substring(inv, 1, 4).as("invoice_prefix"),
+        inv.substr(lit(1), length(inv) - 2).as("invoice_number"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q15Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(round(CAST(l_quantity AS DECIMAL(12,2)) * p_size, 4) AS DOUBLE) AS volume_sold_liters,
+      |  CAST(round(CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)), 4) AS DOUBLE) AS total_cost_usd,
+      |  CAST(round(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)), 4) AS DOUBLE) AS revenue_usd,
+      |  CAST(round(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)), 4) AS DOUBLE) AS gross_profit_usd,
+      |  round(CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE)
+      |    / CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) * 100, 6) AS gross_profit_margin,
+      |  substring(concat_ws('-', 'INV', l_orderkey, l_linenumber), 1, 4) AS invoice_prefix,
+      |  substring(concat_ws('-', 'INV', l_orderkey, l_linenumber), 1, length(concat_ws('-', 'INV', l_orderkey, l_linenumber)) - 2) AS invoice_number
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_extendedprice > 0 AND l_quantity > 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------ q16
+  /** Bidirectional name↔number backfill from the lookup dimension
+    * (reference fill_na_in_county_columns): nation plays the county
+    * lookup; nulls are synthesized deterministically from c_custkey so
+    * every branch (name-null, number-null, both-null, complete) is
+    * exercised. */
+  def q16LookupBackfill(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_nationkey"))
+          .as("nat_num"),
+        when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("n_name"))
+          .as("nat_name"))
+    StarSchema.backfillFromLookup(c, "nat_num", "nat_name",
+        n, "n_nationkey", "n_name")
+      .select(col("c_custkey"), col("nat_num").cast("long").as("nat_num"),
+        col("nat_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q16Oracle: String =
+    """WITH f AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nat_num,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE n_name END AS nat_name
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT c_custkey,
+      |  CAST(CASE WHEN nat_num IS NULL AND nat_name IS NULL THEN -1
+      |       WHEN nat_num IS NULL THEN bn.n_nationkey
+      |       ELSE nat_num END AS BIGINT) AS nat_num,
+      |  CASE WHEN nat_num IS NULL AND nat_name IS NULL THEN 'unknown'
+      |       WHEN nat_name IS NULL THEN nn.n_name
+      |       ELSE nat_name END AS nat_name
+      |FROM f
+      |LEFT JOIN nation nn ON f.nat_num = nn.n_nationkey
+      |LEFT JOIN nation bn ON f.nat_name = bn.n_name
+      |WHERE (nat_num IS NOT NULL AND nat_name IS NOT NULL)
+      |   OR (nat_num IS NULL AND nat_name IS NULL)
+      |   OR (nat_name IS NULL AND nn.n_name IS NOT NULL)
+      |   OR (nat_num IS NULL AND bn.n_nationkey IS NOT NULL)
+      |ORDER BY c_custkey""".stripMargin
 }
