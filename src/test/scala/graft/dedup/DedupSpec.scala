@@ -1,0 +1,77 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away today"), // near-dup of 1
+    (3L, "completely different content about database systems and query engines"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away"), // exact dup of 1
+    (5L, "short text")
+  ).toDF("id", "text")
+
+  test("exact dedup keeps min id per identical text") {
+    val out = Dedup.exact(docs, "id", col("text"))
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("latestPerKey keeps the newest row per key") {
+    val df = Seq((1L, 10L, "old"), (1L, 20L, "new"), (2L, 5L, "only"))
+      .toDF("nk", "ts", "v")
+    val out = Dedup.latestPerKey(df, Seq("nk"), Seq("ts"))
+      .orderBy("nk").collect().map(_.getString(2))
+    assert(out.toSeq === Seq("new", "only"))
+  }
+
+  test("jaccard: identical arrays -> 1, disjoint -> 0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d")))
+      .toDF("x", "y", "z")
+    val r = df.select(
+      Dedup.jaccard(col("x"), col("y")),
+      Dedup.jaccard(col("x"), col("z"))).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("minHashDedup finds near-dups and exact dups, skips unrelated") {
+    val pairs = Dedup.minHashDedup(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair must survive")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near-dup pair should be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("minHash signature is deterministic across invocations") {
+    val a = Dedup.minHashSignatures(docs, "id", "text", 3, 16)
+      .orderBy("id").collect().map(_.toSeq)
+    val b = Dedup.minHashSignatures(docs, "id", "text", 3, 16)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("simHashDedup: exact dup has hamming 0; unrelated doc stays out") {
+    val out = Dedup.simHashDedup(docs, "id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out.get((1L, 4L)) === Some(0))
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("capBuckets bound: a degenerate bucket is dropped entirely") {
+    val many = (1L to 50L).map(i => (i, "identical boilerplate text here"))
+      .toDF("id", "text")
+    // bucket cap smaller than the group -> no pairs at all
+    val capped = Dedup.minHashDedup(many, "id", "text", maxBucketSize = 10)
+    assert(capped.count() === 0)
+    // default cap -> all 50 pair up (50*49/2)
+    val full = Dedup.minHashDedup(many, "id", "text")
+    assert(full.count() === 50L * 49 / 2)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 1
+    (4L, Seq(1.0f, 0.0f, 0.0f, 0.0f))    // identical to 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine kernel: identical -> 1, orthogonal -> 0") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0), Seq(-2.0, 1.0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Ann.cosine(col("a"), col("b")), Ann.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks the identical vector first") {
+    val out = Ann.bruteForceTopK(
+        vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(out.head === ((4L, 1)))          // identical vector
+    assert(out(1)._1 === 2L)                // near vector second
+    assert(out.last._1 === 3L)              // orthogonal last
+  }
+
+  test("nearDupPairs finds only the identical pair at 0.9999 within block") {
+    val blocked = vecs.withColumn("label", lit(0))
+    val pairs = Ann.nearDupPairs(blocked, "vec_id", "embedding", "label", 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 4L)))
+    // at 0.99 the (0.9, 0.1) vector also qualifies (cos = 0.9939)
+    val loose = Ann.nearDupPairs(blocked, "vec_id", "embedding", "label", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 4L), (1L, 2L), (2L, 4L)))
+  }
+
+  test("lshTopK agrees with brute force for the identical-vector top hit") {
+    val out = Ann.lshTopK(
+        vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding",
+        dim = 4, numPlanes = 2, k = 3)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("neighbor_id") === 4L)
+  }
+}
