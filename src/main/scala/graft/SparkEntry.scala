@@ -35,6 +35,7 @@ object SparkEntry {
     "q14_dedup_natural_key"       -> (W.q14DedupNaturalKey _),
     "q15_full_measures"           -> (W.q15FullMeasures _),
     "q16_lookup_backfill"         -> (W.q16LookupBackfill _),
+    "q17_typed_ingest"            -> (W.q17TypedIngest _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -69,6 +70,7 @@ object SparkEntry {
     "q14_dedup_natural_key"       -> W.q14Oracle,
     "q15_full_measures"           -> W.q15Oracle,
     "q16_lookup_backfill"         -> W.q16Oracle,
+    "q17_typed_ingest"            -> W.q17Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,

@@ -464,4 +464,39 @@ object WarehouseQueries {
       |   OR (nat_name IS NULL AND nn.n_name IS NOT NULL)
       |   OR (nat_num IS NULL AND bn.n_nationkey IS NOT NULL)
       |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------ q17
+  /** Typed-schema ingest enforcement (reference ingest_utils.py:21-75):
+    * synthesize the reference's dirty input shapes from lineitem —
+    * stringly "N.0" keys, money-as-string, NaN-poisoned doubles — then
+    * coerce with [[graft.sources.TypedIngest]]: stringly float → Int,
+    * money string → DECIMAL(9,2), NaN → NULL. */
+  def q17TypedIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TypedIngest
+    val dirty = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      concat(col("l_partkey").cast("string"), lit(".0")).as("pk_str"),
+      col("l_extendedprice").cast("string").as("price_str"),
+      when(col("l_discount") < 0.03, lit(Double.NaN)).otherwise(col("l_tax"))
+        .as("maybe_nan"))
+    dirty.select(
+        col("l_orderkey"), col("l_linenumber"),
+        TypedIngest.intFromStringlyFloat(col("pk_str")).as("pk"),
+        round(TypedIngest.moneyFromString(col("price_str")), 2).cast("double")
+          .as("price"),
+        round(TypedIngest.nanToNull(col("maybe_nan")), 6).as("tax_or_null"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q17Oracle: String =
+    """WITH dirty AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(l_partkey AS VARCHAR) || '.0' AS pk_str,
+      |    CAST(l_extendedprice AS VARCHAR) AS price_str,
+      |    CASE WHEN l_discount < 0.03 THEN 'NaN'::DOUBLE ELSE l_tax END AS maybe_nan
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(split_part(pk_str, '.', 1) AS BIGINT) AS pk,
+      |  CAST(round(CAST(price_str AS DECIMAL(9,2)), 2) AS DOUBLE) AS price,
+      |  round(CASE WHEN isnan(maybe_nan) THEN NULL ELSE maybe_nan END, 6) AS tax_or_null
+      |FROM dirty ORDER BY l_orderkey, l_linenumber""".stripMargin
 }

@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Table loaders for the driver's parquet test tables.
   *
-  * Mirrors the reference's ingest layer
-  * (reference: include/scripts/modules/ingest_utils.py:12
-  * `download_data_from_bq`) — but where the reference funnels BigQuery
-  * result pages through pandas on a single node, we read columnar parquet
-  * directly so scans stay distributed, prunable and pushdown-friendly.
+  * The test tables arrive already typed, so loaders are direct parquet
+  * reads (distributed, prunable, pushdown-friendly) — except `events`,
+  * whose nano timestamps need enforcement. The reference's stringly→typed
+  * ingest coercions (ingest_utils.py:12 `download_data_from_bq`) live in
+  * [[TypedIngest]], as column operators rather than driver-side pandas.
   */
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
