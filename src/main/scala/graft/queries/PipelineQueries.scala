@@ -11,6 +11,14 @@ import graft.text.TextAnalysis
 /** LLM-training-data pipeline query surface (SURVEY.md §2, rows 15–26). */
 object PipelineQueries {
 
+  /** The test corpus arrives as one parquet row group → one scan task,
+    * which serializes the interpreted shingle/array work. Spread it with
+    * an id-keyed repartition: locally this unlocks all cores; at real
+    * corpus scale the source splits naturally and this is a cheap
+    * raw-text shuffle feeding several heavier stages. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).repartition(col("doc_id"))
+
   // ------------------------------------------------------------------ q20
   def q20DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), "doc_id", col("text"))
@@ -23,46 +31,32 @@ object PipelineQueries {
 
   // ------------------------------------------------------------------ q21
   def q21DedupMinHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashDedup(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.minHashDedup(docsSpread(s, dir), "doc_id", "text",
         shingleK = 3, numPerm = 32, bands = 8, threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
   // ------------------------------------------------------------------ q22
   def q22DedupSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashDedup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    Dedup.simHashDedup(docsSpread(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   // ------------------------------------------------------------------ q23
-  /** Same-language pairs with char-3-gram Jaccard ≥ 0.5.
-    *
-    * Blocking is (lang × size band), not lang alone: at corpus scale one
-    * language is half the data and a lang-only block goes quadratic.
-    * J ≥ 0.5 bounds the shingle-count ratio of a qualifying pair by 2
-    * (|a| ≥ J·|b|), so floor(log2(|sh|)) of the two docs differs by at
-    * most 1 — emitting every doc under its own band and the next band up
-    * and joining on band equality is LOSSLESS for this threshold, which
-    * keeps the exact all-pairs DuckDB oracle valid. */
-  def q23NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(
-        col("doc_id").as("id"),
-        col("lang"),
-        Dedup.charShingles(col("text"), 3).as("sh"))
-      .withColumn("lb", floor(log2(greatest(size(col("sh")), lit(1)))))
-    val banded = d.select(col("id"), col("lang"), col("sh"),
-      explode(array(col("lb"), col("lb") + 1)).as("b"))
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.lang") === col("r.lang") && col("l.b") === col("r.b") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard_sim",
-        round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6))
-      .where(col("jaccard_sim") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  /** Same-language pairs with char-3-gram Jaccard ≥ 0.5, computed by the
+    * EXACT prefix-filtering similarity join ([[Dedup.jaccardJoin]]) —
+    * lossless, so the exact all-pairs DuckDB oracle stays valid, while
+    * candidate generation touches only rare prefix tokens instead of
+    * every same-language pair. */
+  def q23NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoin(
+        docsSpread(s, dir)
+          .select(
+            col("doc_id").as("id"),
+            col("lang").as("blk"),
+            TextAnalysis.canonical(col("text")).as("ct"))
+          .select(col("id"), col("blk"),
+            Dedup.charShinglesFrom(col("ct"), 3).as("sh")),
+        threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val q23Oracle: String =
     """WITH c AS (SELECT doc_id, lang,
