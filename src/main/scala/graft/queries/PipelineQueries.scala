@@ -19,6 +19,10 @@ object PipelineQueries {
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).repartition(col("doc_id"))
 
+  /** Same single-row-group consideration for the embeddings table. */
+  private def embSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).repartition(col("vec_id"))
+
   // ------------------------------------------------------------------ q20
   def q20DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), "doc_id", col("text"))
@@ -77,7 +81,7 @@ object PipelineQueries {
 
   // ------------------------------------------------------------------ q24
   def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Ann.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+    Ann.nearDupPairs(embSpread(s, dir), "vec_id", "embedding",
         "label", threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
@@ -93,7 +97,7 @@ object PipelineQueries {
 
   // ------------------------------------------------------------------ q30
   def q30AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = embSpread(s, dir)
     Ann.bruteForceTopK(e.where(col("vec_id") < 8), e, "vec_id", "embedding", k = 10)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("query_id"), col("rnk"))
@@ -114,13 +118,24 @@ object PipelineQueries {
 
   // ------------------------------------------------------------------ q31
   def q31AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = embSpread(s, dir)
     // Embedding dim is not in the parquet schema (ArrayType is unsized);
     // probe one row at plan time — a wrong dim would null the projections
     // and collapse every vector into a single bucket.
     val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
     Ann.lshTopK(e.where(col("vec_id") < 8), e, "vec_id", "embedding",
         dim = dim, numPlanes = 6, k = 10)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------ q32
+  /** IVF-flat approximate top-k (no oracle — approximate by design;
+    * rows-only check). The scale path alongside q31's LSH buckets. */
+  def q32AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embSpread(s, dir)
+    Ann.ivfTopK(e.where(col("vec_id") < 8), e, "vec_id", "embedding",
+        k = 10, numCentroids = 16, nProbe = 4)
       .withColumnRenamed("rank", "rnk")
       .orderBy(col("query_id"), col("rnk"))
   }

@@ -107,6 +107,88 @@ object Ann {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) ANN
+  // ---------------------------------------------------------------------
+
+  /** Nearest-centroid assignments: one (id, vec, norm, cid, dist rank)
+    * row per vector × probed centroid. Centroids ride in a broadcast
+    * join — |corpus| × numCentroids scored rows, the standard IVF
+    * assignment cost, fully distributed. */
+  private def assign(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      probe: Int): DataFrame = {
+    val scored = vecs.join(broadcast(centroids))
+      .withColumn("c_sim",
+        dot(col("v"), col("cv")) / sqrt(col("self_dot") * col("c_dot")))
+    val w = Window.partitionBy(col("id")).orderBy(col("c_sim").desc, col("cid").asc)
+    scored
+      .withColumn("c_rank", row_number().over(w))
+      .where(col("c_rank") <= probe)
+      .drop("cv", "c_dot", "c_sim", "c_rank")
+  }
+
+  /** Approximate top-k via an inverted-file index (IVF-flat): centroids
+    * are seeded deterministically from the corpus (hash-ordered sample)
+    * and refined with one distributed Lloyd step; every corpus vector
+    * lands in its nearest centroid's list; a query scans only its
+    * `nProbe` nearest lists. The centroid id is the shuffle/join key, so
+    * per-list work is local and the cross product never materializes —
+    * the classic 100 TB ANN shape (billions of vectors, thousands of
+    * lists, nProbe ≪ lists).
+    *
+    * The only driver-side data is the centroid table (numCentroids × dim
+    * floats — metadata-scale by construction, like any ANN index's
+    * coarse quantizer). */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCentroids: Int = 64,
+      nProbe: Int = 4): DataFrame = {
+    val c = withNorm(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
+    // seed: deterministic hash-ordered sample of corpus vectors
+    val seeds = c.orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(numCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("self_dot").as("c_dot"))
+    // one Lloyd refinement, fully distributed: assign to nearest seed,
+    // then average member vectors element-wise via posexplode
+    val members = assign(c, seeds, probe = 1)
+    val refined = members
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("x")).as("mx"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pm"))
+      .select(col("cid"),
+        transform(col("pm"), p => p.getField("mx").cast("float")).as("cv"))
+      .withColumn("c_dot", dot(col("cv"), col("cv")))
+    val lists = assign(c, refined, probe = 1)
+      .select(col("id").as("neighbor_id"), col("v").as("cv_n"),
+        col("self_dot").as("c_dot_n"), col("cid"))
+    val q = assign(
+      withNorm(queries.select(col(idCol).as("id"), col(vecCol).as("v")), "v"),
+      refined, probe = nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("self_dot").as("q_dot"), col("cid"))
+    val scored = q.join(lists, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        dot(col("qv"), col("cv_n")) / sqrt(col("q_dot") * col("c_dot_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** Approximate top-k: queries only compete against corpus rows in the
     * same LSH bucket. The bucket is the shuffle/join key — per-bucket
     * work is local and the cross product never materializes. */

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructType}
 
 /** Typed-schema ingest enforcement: the coercions the reference applies
   * while funnelling BigQuery pages through pandas
@@ -14,14 +14,15 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
 object TypedIngest {
 
   /** Stringly float → integer: "123.0" → 123, like the reference's
-    * `str.split('.')[0].astype('Int64')`; malformed input → NULL. */
+    * `str.split('.')[0].astype('Int64')`; malformed input → NULL
+    * (try_cast — under default ANSI mode a plain cast would throw). */
   def intFromStringlyFloat(c: Column): Column =
-    split(c, "\\.").getItem(0).cast("long")
+    split(c, "\\.").getItem(0).try_cast(LongType)
 
   /** Money string → exact decimal (reference casts to Decimal(7,2) /
     * Decimal(9,2) after pandas); unparsable → NULL. */
   def moneyFromString(c: Column, precision: Int = 9, scale: Int = 2): Column =
-    c.cast(DecimalType(precision, scale))
+    c.try_cast(DecimalType(precision, scale))
 
   /** NaN → NULL for floating columns (the reference's
     * `df.replace([np.nan], [None])`). */

@@ -43,6 +43,15 @@ class AnnSpec extends SparkSpec {
     assert(loose === Set((1L, 4L), (1L, 2L), (2L, 4L)))
   }
 
+  test("ivfTopK finds the identical vector with enough probes") {
+    val out = Ann.ivfTopK(
+        vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding",
+        k = 3, numCentroids = 2, nProbe = 2)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("neighbor_id") === 4L)
+  }
+
   test("lshTopK agrees with brute force for the identical-vector top hit") {
     val out = Ann.lshTopK(
         vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding",
