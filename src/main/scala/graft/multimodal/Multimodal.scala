@@ -17,6 +17,12 @@ case class MediaMeta(
     fake_height: Long,
     fake_frames: Long)
 
+/** One sampled frame of a media payload. */
+case class MediaFrame(
+    media_id: Long,
+    frame_index: Int,
+    frame_payload: Array[Byte])
+
 /** Multimodal-column plumbing: schema, partition-wise batch decode, and
   * feature extraction signatures.
   *
@@ -66,10 +72,60 @@ object Multimodal {
   def extractMeta(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     val spark = records.sparkSession
     import spark.implicits._
+    batchMap(records)(stubDecode)
+  }
+
+  /** The general per-partition batch shape with a pluggable kernel: the
+    * production entry point where `stubDecode`-style fakes are swapped
+    * for a real JNI/FFI decoder. The kernel factory runs ONCE per
+    * partition (amortizing decoder/library init), then records stream
+    * through the returned function. */
+  def batchMap[T: org.apache.spark.sql.Encoder](
+      records: Dataset[MediaRecord])(kernel: MediaRecord => T): Dataset[T] =
     records.mapPartitions { it =>
-      // Real pipelines initialize the (expensive) decoder here, once per
-      // partition, then stream records through it.
-      it.map(stubDecode)
+      // expensive per-partition init (decoder handles, model weights)
+      // would happen here, captured by the closure below
+      it.map(kernel)
+    }
+
+  /** STUB frame sampling: every `stride`-th fixed-size byte window of
+    * the payload stands in for a decoded video frame. Real decoders
+    * replace the slicing, not the plumbing: one row per sampled frame,
+    * frames of one media item stay in the producing partition (no
+    * shuffle), downstream ops key on (media_id, frame_index). */
+  def sampleFrames(
+      records: Dataset[MediaRecord],
+      stride: Int,
+      frameBytes: Int = 64): Dataset[MediaFrame] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.flatMap { r =>
+      val n = math.max(1, r.payload.length / frameBytes)
+      (0 until n by stride).map { i =>
+        MediaFrame(r.media_id, i,
+          r.payload.slice(i * frameBytes,
+            math.min((i + 1) * frameBytes, r.payload.length)))
+      }
+    }
+  }
+
+  /** STUB resize: deterministic byte down/up-sampling to `targetBytes`
+    * standing in for an image resize — preserves the payload-as-binary
+    * contract so the pipeline shape (binary in, binary out, metadata
+    * untouched) is real. */
+  def resize(
+      records: Dataset[MediaRecord],
+      targetBytes: Int): Dataset[MediaRecord] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val src = r.payload
+        val out = Array.tabulate[Byte](targetBytes) { i =>
+          if (src.isEmpty) 0 else src((i.toLong * src.length / targetBytes).toInt)
+        }
+        r.copy(payload = out)
+      }
     }
   }
 }
