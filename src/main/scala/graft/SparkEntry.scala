@@ -41,6 +41,7 @@ object SparkEntry {
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
     "q23_dedup_ngram_jaccard"     -> (P.q23NgramJaccard _),
     "q24_dedup_embedding"         -> (P.q24DedupEmbedding _),
+    "q25_dedup_embedding_lsh"     -> (P.q25DedupEmbeddingLsh _),
     "q30_ann_bruteforce"          -> (P.q30AnnBruteForce _),
     "q31_ann_lsh"                 -> (P.q31AnnLsh _),
     "q32_ann_ivf"                 -> (P.q32AnnIvf _),

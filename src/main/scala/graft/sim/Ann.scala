@@ -54,6 +54,23 @@ object Ann {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Embedding near-dup pairs blocked by sign-bit LSH buckets instead of
+    * a data label — the 100 TB path: a categorical label block is a
+    * constant fraction of the corpus (quadratic at scale), while LSH
+    * bucket population shrinks geometrically with `numPlanes`.
+    * Candidates must agree on all numPlanes sign bits, so recall < 1 by
+    * design (no oracle); identical vectors always share a bucket. */
+  def nearDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int,
+      threshold: Double): DataFrame =
+    nearDupPairs(
+      df.withColumn("_lsh_bucket", lshBucket(col(vecCol), dim, numPlanes)),
+      idCol, vecCol, "_lsh_bucket", threshold)
+
   /** Brute-force cosine top-k: every query row against the full corpus.
     * Correctness baseline — O(|Q|·|C|); keep |Q| small or use
     * [[lshTopK]] at scale. Ties broken by neighbor id ascending. */

@@ -9,4 +9,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register graft's native expressions as SQL functions on a live
+    * session (the runtime counterpart of configuring
+    * [[graft.extensions.GraftExtensions]] via spark.sql.extensions). */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim",
+      exprs => graft.expressions.JaccardSim(exprs(0), exprs(1)),
+      "built-in")
 }

@@ -27,6 +27,13 @@ class JaccardSimSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("registers as a SQL function") {
+    org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT jaccard_sim(array('a','b','c'), array('b','c','d')) AS j").head()
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+  }
+
   test("null array propagates null") {
     val df = Seq((Some(Seq("a")), Option.empty[Seq[String]]))
       .toDF("a", "b")
