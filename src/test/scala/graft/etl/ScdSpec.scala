@@ -70,6 +70,19 @@ class ScdSpec extends SparkSpec {
     assert(ins.toSeq === Seq((1L, "C", true), (3L, "N", true)))
   }
 
+  test("scdUpsert with same-attribute records is a no-op (merge, not new period)") {
+    // reference: test_merge_last_scd_record_with_scd_records_from_new_data
+    // _both_having_same_attibutes — a later observation of the SAME value
+    // folds into the existing current period
+    val oldScd = Scd.scd2FromRecords(
+      Seq((1L, "A", d("2024-01-01"))).toDF("nk", "name", "d"),
+      "nk", Seq("name"), "d")
+    val newRecs = Seq((1L, "A", d("2024-01-20"))).toDF("nk", "name", "d")
+    val (toUpdate, toInsert) = Scd.scdUpsert(oldScd, newRecs, "nk", Seq("name"), "d")
+    assert(toUpdate.count() === 0)
+    assert(toInsert.count() === 0)
+  }
+
   test("pointInTimeJoin picks the period covering the fact date") {
     val dim = Scd.scd2FromRecords(records, "nk", Seq("name"), "d")
     val fact = Seq(
