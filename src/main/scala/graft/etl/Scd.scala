@@ -112,26 +112,27 @@ object Scd {
       newRecords.select(cols :+ col(dateCol): _*))
     val rebuilt = scd2FromRecords(combined, naturalKey, attrs, dateCol)
 
-    val oldCurrent = oldScd
-      .where(col("is_current"))
-      .select(col(naturalKey).as("nk_old"), col("start_date").as("sd_old"))
-    val toUpdate = rebuilt
-      .join(
-        oldCurrent,
-        rebuilt(naturalKey) === col("nk_old") &&
-          rebuilt("start_date") === col("sd_old"),
-        "inner")
-      .where(rebuilt("end_date").isNotNull)
-      .drop("nk_old", "sd_old")
+    // Identify a period by (natural key, attrs, start_date) — NOT just
+    // (key, start_date): several periods of one key can share a start
+    // date (same-day flip-flops), and keying on the date alone pairs the
+    // wrong periods and loses the surviving current row on apply.
+    def periodKey(d: DataFrame, suffix: String): DataFrame =
+      d.select((naturalKey +: attrs :+ "start_date")
+        .zipWithIndex.map { case (c, i) => col(c).as(s"_pk${i}$suffix") }: _*)
+    def periodMatch(d: DataFrame, suffix: String) =
+      (naturalKey +: attrs :+ "start_date").zipWithIndex
+        .map { case (c, i) => d(c) === col(s"_pk${i}$suffix") }
+        .reduce(_ && _)
 
-    val oldKeys = oldScd
-      .select(col(naturalKey).as("nk_old"), col("start_date").as("sd_old"))
+    val oldCurrent = periodKey(oldScd.where(col("is_current")), "c")
+    val toUpdate = rebuilt
+      .join(oldCurrent, periodMatch(rebuilt, "c"), "inner")
+      .where(rebuilt("end_date").isNotNull)
+      .drop(oldCurrent.columns: _*)
+
+    val oldKeys = periodKey(oldScd, "a")
     val toInsert = rebuilt
-      .join(
-        oldKeys,
-        rebuilt(naturalKey) === col("nk_old") &&
-          rebuilt("start_date") === col("sd_old"),
-        "left_anti")
+      .join(oldKeys, periodMatch(rebuilt, "a"), "left_anti")
 
     (toUpdate, toInsert)
   }

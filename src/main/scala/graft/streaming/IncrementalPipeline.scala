@@ -39,12 +39,16 @@ object IncrementalPipeline {
       oldScd: DataFrame,
       toUpdate: DataFrame,
       toInsert: DataFrame,
-      naturalKey: String): DataFrame = {
-    val updatedKeys = toUpdate
-      .select(col(naturalKey).as("_u_nk"), col("start_date").as("_u_sd"))
+      naturalKey: String,
+      attrs: Seq[String] = Seq.empty): DataFrame = {
+    // period identity = (key, attrs, start_date); see Scd.scdUpsert
+    val keyCols = (naturalKey +: attrs) :+ "start_date"
+    val updatedKeys = toUpdate.select(
+      keyCols.zipWithIndex.map { case (c, i) => col(c).as(s"_u$i") }: _*)
     val untouched = oldScd.join(
       updatedKeys,
-      oldScd(naturalKey) === col("_u_nk") && oldScd("start_date") === col("_u_sd"),
+      keyCols.zipWithIndex.map { case (c, i) => oldScd(c) === col(s"_u$i") }
+        .reduce(_ && _),
       "left_anti")
     untouched
       .unionByName(toUpdate.select(oldScd.columns.map(col): _*))
@@ -62,7 +66,7 @@ object IncrementalPipeline {
       dateCol: String): DataFrame = {
     val (toUpdate, toInsert) =
       Scd.scdUpsert(oldScd, batch, naturalKey, attrs, dateCol)
-    applyUpsert(oldScd, toUpdate, toInsert, naturalKey)
+    applyUpsert(oldScd, toUpdate, toInsert, naturalKey, attrs)
   }
 
   /** Latest dim snapshot from a versioned store (empty-schema dim when
