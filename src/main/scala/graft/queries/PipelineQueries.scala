@@ -194,21 +194,30 @@ object PipelineQueries {
     TextAnalysis.qualityMetrics(Tables.documents(s, dir), "text")
       .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
         col("punct_ratio"), col("space_ratio"), col("mean_token_len"),
-        col("quality_ok"))
+        col("stopword_ratio"), col("quality_ok"))
       .orderBy(col("doc_id"))
 
-  val q41Oracle: String =
-    """WITH m AS (SELECT doc_id,
-      |    len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens,
+  val q41Oracle: String = {
+    val canon = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val stopHits = TextAnalysis.stopwordPatterns
+      .map { case (_, pat) =>
+        s"CAST(len(regexp_extract_all($canon, '$pat')) AS DOUBLE)"
+      }
+      .mkString(" + ")
+    s"""WITH m AS (SELECT doc_id,
+      |    len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS n_tokens,
       |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
       |    round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
       |    round(CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS space_ratio,
       |    round(CAST(length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE)
-      |      / greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS DOUBLE), 1.0), 6) AS mean_token_len
+      |      / greatest(CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS DOUBLE), 1.0), 6) AS mean_token_len,
+      |    round(($stopHits)
+      |      / greatest(CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS DOUBLE), 1.0), 6) AS stopword_ratio
       |  FROM documents)
-      |SELECT doc_id, n_tokens, alpha_ratio, punct_ratio, space_ratio, mean_token_len,
+      |SELECT doc_id, n_tokens, alpha_ratio, punct_ratio, space_ratio, mean_token_len, stopword_ratio,
       |  (n_tokens >= 5 AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2) AS quality_ok
       |FROM m ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------------ q42
   def q42TokenCount(s: SparkSession, dir: String): DataFrame =

@@ -67,9 +67,9 @@ object TextAnalysis {
     chain.otherwise("und")
   }
 
-  /** Quality metrics: token count, alpha ratio, punctuation ratio, mean
-    * token length, uppercase ratio — the length/punct/stopword-style
-    * signals used for corpus filtering. */
+  /** Quality metrics: token count, alpha ratio, punctuation ratio,
+    * space ratio, mean token length, stopword ratio — the
+    * length/punct/stopword signals used for corpus filtering. */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val chars = length(t).cast("double")
@@ -77,6 +77,9 @@ object TextAnalysis {
     val punct = length(regexp_replace(t, "[^.,;:!?'\"()-]", "")).cast("double")
     val spaces = length(regexp_replace(t, "[^ ]", "")).cast("double")
     val toks = tokenCount(t).cast("double")
+    val stopHits = stopwordPatterns
+      .map { case (_, pat) => langScore(t, pat).cast("double") }
+      .reduce(_ + _)
     df.withColumn("n_chars_m", length(t))
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("alpha_ratio", round(alpha / chars, 6))
@@ -85,6 +88,9 @@ object TextAnalysis {
       .withColumn(
         "mean_token_len",
         round((chars - spaces) / greatest(toks, lit(1.0)), 6))
+      .withColumn(
+        "stopword_ratio",
+        round(stopHits / greatest(toks, lit(1.0)), 6))
       .withColumn(
         "quality_ok",
         col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5 &&

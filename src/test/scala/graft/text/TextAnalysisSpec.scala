@@ -47,4 +47,14 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("id").select("quality_ok").collect().map(_.getBoolean(0))
     assert(out.toSeq === Seq(true, false))
   }
+
+  test("stopword ratio reflects function-word density") {
+    val out = TextAnalysis.qualityMetrics(
+        Seq((1L, "the cat and the dog is in the house"),
+            (2L, "quantum chromodynamics lattice simulation"))
+          .toDF("id", "text"), "text")
+      .orderBy("id").select("stopword_ratio").collect().map(_.getDouble(0))
+    assert(out(0) > 0.2)
+    assert(out(1) === 0.0)
+  }
 }
