@@ -14,12 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** dot(a, b) folded left-to-right in double precision. */
+  /** dot(a, b) folded left-to-right in double precision — the native
+    * codegen'd kernel ([[graft.expressions.DotProduct]]); bit-identical
+    * to the `aggregate(zip_with(...))` fold it replaces. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.expressions.DotProduct.dotProduct(a, b)
 
   /** cosine(a, b) = dot(a,b) / sqrt(dot(a,a) * dot(b,b)). */
   def cosine(a: Column, b: Column): Column =
