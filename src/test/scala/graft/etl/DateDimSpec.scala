@@ -1,0 +1,46 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DateDimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dimFor(from: String, to: String) =
+    DateDim.fromBounds(Seq((from, to)).toDF("mns", "mxs")
+      .selectExpr("CAST(mns AS DATE) AS mn", "CAST(mxs AS DATE) AS mx"))
+
+  test("astronomical season boundaries match the reference's cutoffs") {
+    val d = dimFor("2024-01-01", "2024-12-31")
+    val seasons = d.select($"full_date".cast("string"), $"season_name")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // reference: spring [Mar 21, Jun 22), summer [Jun 22, Sep 23),
+    // autumn [Sep 23, Dec 22), winter otherwise
+    assert(seasons("2024-03-20") === "winter")
+    assert(seasons("2024-03-21") === "spring")
+    assert(seasons("2024-06-21") === "spring")
+    assert(seasons("2024-06-22") === "summer")
+    assert(seasons("2024-09-22") === "summer")
+    assert(seasons("2024-09-23") === "autumn")
+    assert(seasons("2024-12-21") === "autumn")
+    assert(seasons("2024-12-22") === "winter")
+  }
+
+  test("calendar attributes: ISO weekday, weekend flag, year_month") {
+    val d = dimFor("2024-01-05", "2024-01-08") // Fri..Mon
+    val rows = d.orderBy("full_date")
+      .select("day_of_week", "is_weekend", "day_name", "year_month")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(5, 6, 7, 1))
+    assert(rows.map(_.getBoolean(1)).toSeq === Seq(false, true, true, false))
+    assert(rows.map(_.getString(2)).toSeq ===
+      Seq("Friday", "Saturday", "Sunday", "Monday"))
+    assert(rows.forall(_.getString(3) === "2024/01"))
+  }
+
+  test("dimension is dense: one row per day, no gaps") {
+    val d = dimFor("2023-12-25", "2024-01-05")
+    assert(d.count() === 12)
+    assert(d.select("full_date").distinct().count() === 12)
+  }
+}
