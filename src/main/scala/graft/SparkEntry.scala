@@ -49,6 +49,7 @@ object SparkEntry {
     "q41_text_quality"            -> (P.q41TextQuality _),
     "q42_token_count"             -> (P.q42TokenCount _),
     "q43_text_fingerprint"        -> (P.q43TextFingerprint _),
+    "q44_rolling_fingerprint"     -> (P.q44RollingFingerprint _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _)
   )
 
@@ -81,6 +82,7 @@ object SparkEntry {
     "q41_text_quality"            -> P.q41Oracle,
     "q42_token_count"             -> P.q42Oracle,
     "q43_text_fingerprint"        -> P.q43Oracle,
+    "q44_rolling_fingerprint"     -> P.q44Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle
   )
 }

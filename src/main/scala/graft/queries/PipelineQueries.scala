@@ -254,6 +254,31 @@ object PipelineQueries {
       |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
       |ORDER BY fp""".stripMargin
 
+  // ------------------------------------------------------------------ q44
+  /** Rolling-hash document fingerprint dedup — the
+    * [[TextAnalysis.rollingHashFrom]] polynomial hash in place of q43's
+    * md5; composable over concatenation so chunked documents can be
+    * fingerprinted incrementally. */
+  def q44RollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.canonical(col("text")).as("ct"))
+      .select(col("doc_id"), TextAnalysis.rollingHashFrom(col("ct")).as("rh"))
+      .groupBy(col("rh"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      .orderBy(col("rh"))
+
+  val q44Oracle: String =
+    """WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ct
+      |  FROM documents),
+      |h AS (SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(1, greatest(length(ct), 1)),
+      |      i -> CAST(ascii(substr(ct, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 257 + x) % 2147483647) AS rh
+      |  FROM c)
+      |SELECT rh, min(doc_id) AS keep_id, count(*) AS group_size
+      |FROM h GROUP BY rh ORDER BY rh""".stripMargin
+
   // ------------------------------------------------------------------ q50
   def q50MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(
