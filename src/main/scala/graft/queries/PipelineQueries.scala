@@ -232,10 +232,12 @@ object PipelineQueries {
         round(avg(col("bpe")), 6).as("avg_bpe_tokens"))
       .orderBy(col("source"))
 
+  // sum(BIGINT) is HUGEINT in DuckDB; cast back so the oracle's dtype
+  // matches Spark's LongType under the driver's exact-hash compare.
   val q42Oracle: String =
     """SELECT source,
-      |  sum(len(regexp_extract_all(text, '[^ \t\n\r]+'))) AS sum_ws_tokens,
-      |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))) AS sum_bpe_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[^ \t\n\r]+'))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))) AS BIGINT) AS sum_bpe_tokens,
       |  round(avg(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))), 6) AS avg_bpe_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 

@@ -20,22 +20,17 @@ object TextAnalysis {
     * case/whitespace noise). */
   def fingerprint(text: Column): Column = md5(canonical(text))
 
-  /** Polynomial rolling hash (Rabin–Karp style) over a PRE-MATERIALIZED
-    * canonical-text ATTRIBUTE column: h = Σ char_i · B^(n−1−i) mod p,
-    * B = 257, p = 2^31 − 1 (keeps every intermediate < 2^40, so the fold
-    * never overflows under ANSI arithmetic). Cheaper than md5 and
-    * composable over concatenation — h(a ++ b) = (h(a)·B^len(b) + h(b))
-    * mod p — which lets chunked/streamed documents be fingerprinted
-    * incrementally. Same attribute contract as
-    * [[graft.dedup.Dedup.shinglesFromTokens]]: a complex argument would
-    * re-evaluate per character. */
+  /** Polynomial rolling hash (Rabin–Karp style): h = Σ cp_i · B^(n−1−i)
+    * mod p over Unicode codepoints, B = 257, p = 2^31 − 1. Cheaper than
+    * md5 and composable over concatenation — h(a ++ b) =
+    * (h(a)·B^numChars(b) + h(b)) mod p — which lets chunked/streamed
+    * documents be fingerprinted incrementally. Backed by the native
+    * codegen'd [[graft.expressions.RollingHash]] kernel (one pass over
+    * the UTF-8 bytes; the earlier interpreted per-char fold was O(n²)
+    * per document and diverged from the codepoint-based oracle on
+    * non-ASCII input). */
   def rollingHashFrom(ct: Column): Column =
-    aggregate(
-      transform(
-        sequence(lit(1), greatest(length(ct), lit(1))),
-        i => ascii(ct.substr(i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, b) => pmod(acc * 257L + b, lit((1L << 31) - 1)))
+    graft.expressions.RollingHash.rollingHash(ct)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =

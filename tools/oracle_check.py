@@ -40,6 +40,17 @@ def compare(name, spark_df, oracle_df):
     a, b = norm(spark_df), norm(oracle_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes exact value representations, so an int64 Spark
+        # column vs a float64/object oracle column (e.g. DuckDB HUGEINT from
+        # sum(BIGINT)) fails its gate even when values are numerically equal.
+        # Mirror that: integer-vs-non-integer dtype is a hard mismatch.
+        int_a = pd.api.types.is_integer_dtype(av)
+        int_b = pd.api.types.is_integer_dtype(bv)
+        if int_a != int_b:
+            issues.append(
+                f"col {c}: dtype mismatch spark={av.dtype} oracle={bv.dtype} "
+                f"(driver's exact hash would fail; cast the oracle)")
+            continue
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
             bad = ~(np.isclose(av.fillna(np.nan), bv.fillna(np.nan), rtol=1e-9, atol=1e-9, equal_nan=True))
         else:
