@@ -1,6 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -19,6 +20,16 @@ import org.apache.spark.sql.types._
   * zip_with padding). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).map(_.dataType).collectFirst {
+      case other if !other.isInstanceOf[ArrayType] ||
+          !Seq(FloatType, DoubleType).contains(
+            other.asInstanceOf[ArrayType].elementType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double> arguments, " +
+            s"got ${other.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

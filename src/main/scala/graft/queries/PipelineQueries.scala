@@ -97,15 +97,16 @@ object PipelineQueries {
 
   // ------------------------------------------------------------------ q25
   /** LSH-blocked embedding near-dup — the scale path beside q24's
-    * label blocks (no oracle: bucket recall < 1 by design). */
+    * label blocks (no oracle: bucket recall < 1 by design). 6 planes ×
+    * 4 OR'd tables: per-table buckets decay geometrically (~corpus/2^6)
+    * while the table union keeps recall on the corpus's cos ≈ 0.4–0.6
+    * pairs; every (table, bucket) is capped so no self-join is ever
+    * quadratic. */
   def q25DedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embSpread(s, dir)
     val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
-    // threshold/planes sized to the test corpus's cosine distribution
-    // (max pairwise cos ≈ 0.5-0.6; more planes = geometrically smaller
-    // buckets at real corpus scale)
     Ann.nearDupPairsLsh(e, "vec_id", "embedding", dim,
-        numPlanes = 2, threshold = 0.4)
+        numPlanes = 6, threshold = 0.4, numTables = 4, maxBucketSize = 10000)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -32,15 +32,22 @@ object Ann {
   /** Embedding near-duplicate pairs within blocks: candidate pairs share
     * `blockCol` (e.g. a cluster/label or an LSH bucket) and have cosine ≥
     * threshold. Blocking keys the shuffle, so the pair space is per-block
-    * local — the 100 TB path swaps the label block for [[lshBucket]]. */
+    * local — the 100 TB path swaps the label block for the multi-table
+    * LSH of [[nearDupPairsLsh]]. `maxBlockSize` drops degenerate blocks
+    * (a block of b rows costs b² pairs; an uncapped hot block is the
+    * classic quadratic scale-killer — same guard as
+    * [[graft.dedup.Dedup]]'s bucket cap). */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBlockSize: Int = Int.MaxValue): DataFrame = {
     val n = withNorm(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk")),
+      graft.dedup.Dedup.capBuckets(
+        df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk")),
+        maxBlockSize, Seq("blk")),
       "v")
     n.as("l")
       .join(n.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
@@ -57,18 +64,55 @@ object Ann {
     * a data label — the 100 TB path: a categorical label block is a
     * constant fraction of the corpus (quadratic at scale), while LSH
     * bucket population shrinks geometrically with `numPlanes`.
-    * Candidates must agree on all numPlanes sign bits, so recall < 1 by
-    * design (no oracle); identical vectors always share a bucket. */
+    *
+    * AND/OR-amplified: each of `numTables` independent plane sets is an
+    * AND over `numPlanes` sign bits (per-table collision probability
+    * (1 − θ/π)^numPlanes — geometric bucket decay), and a pair is a
+    * candidate if it collides in ANY table (OR over tables restores the
+    * recall the extra planes cost). Candidates are generated ids-only —
+    * vectors don't ride the (table, bucket) shuffle — deduped across
+    * tables, then verified with one exact-cosine join back to the
+    * vectors. `maxBucketSize` caps each (table, bucket): a degenerate
+    * bucket (e.g. the all-zero embedding) costs b² candidate pairs, so
+    * an uncapped hot bucket is quadratic no matter how many planes.
+    * Identical vectors always share every table's bucket; recall < 1 by
+    * design (no oracle). */
   def nearDupPairsLsh(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
       numPlanes: Int,
-      threshold: Double): DataFrame =
-    nearDupPairs(
-      df.withColumn("_lsh_bucket", lshBucket(col(vecCol), dim, numPlanes)),
-      idCol, vecCol, "_lsh_bucket", threshold)
+      threshold: Double,
+      numTables: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    val base = withNorm(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
+    val entries = base
+      .select(col("id"), explode(array((0 until numTables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col("v"), dim, numPlanes, table = t).as("bkt"))
+      }: _*)).as("e"))
+      .select(col("id"), col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
+    val capped =
+      graft.dedup.Dedup.capBuckets(entries, maxBucketSize, Seq("tbl", "bkt"))
+    val cands = capped.as("l")
+      .join(capped.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        col("self_dot").as("da")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        col("self_dot").as("db")), "id_b")
+      .withColumn("cos_sim",
+        dot(col("va"), col("vb")) / sqrt(col("da") * col("db")))
+      .where(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
 
   /** Brute-force cosine top-k: every query row against the full corpus.
     * Correctness baseline — O(|Q|·|C|); keep |Q| small or use
@@ -101,26 +145,15 @@ object Ann {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes for sign-bit LSH: component
-    * j of plane p is derived from a splitmix-style integer mix of (p, j),
-    * mapped into [-1, 1]. Fully reproducible across runs and executors. */
-  private def planeComponent(p: Int, j: Int): Double = {
-    var z = (p.toLong << 32 | j.toLong) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble)
-  }
-
-  /** Sign-bit LSH bucket id over `numPlanes` fixed hyperplanes. */
-  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = (0 until dim).map { j =>
-        vec.getItem(j).cast("double") * lit(planeComponent(p, j))
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+  /** Sign-bit LSH bucket id over `numPlanes` fixed hyperplanes — the
+    * native codegen'd kernel ([[graft.expressions.LshBucket]]; plane
+    * components mixed on the fly, one pass per plane). `table` selects
+    * an independent plane set for OR-amplification
+    * ([[nearDupPairsLsh]]); table 0 is the original single-table planes
+    * (the plane index is mixed as `(table << 16) | p`, identity at 0). */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int, table: Int = 0): Column = {
+    require(numPlanes < (1 << 16), s"numPlanes must fit 16 bits, got $numPlanes")
+    graft.expressions.LshBucket.lshBucket(vec, dim, numPlanes, table)
   }
 
   // ---------------------------------------------------------------------

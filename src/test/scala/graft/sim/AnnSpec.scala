@@ -43,6 +43,48 @@ class AnnSpec extends SparkSpec {
     assert(loose === Set((1L, 4L), (1L, 2L), (2L, 4L)))
   }
 
+  test("nearDupPairsLsh recovers planted identical pair across tables, capped") {
+    // identical vectors collide in EVERY table, so the planted (1, 4)
+    // pair must survive any numPlanes/numTables choice
+    val pairs = Ann.nearDupPairsLsh(vecs, "vec_id", "embedding",
+        dim = 4, numPlanes = 6, threshold = 0.9999, numTables = 4,
+        maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 4L)))
+  }
+
+  test("nearDupPairsLsh emits each pair once despite multi-table collisions") {
+    val rows = Ann.nearDupPairsLsh(vecs, "vec_id", "embedding",
+        dim = 4, numPlanes = 2, threshold = 0.0, numTables = 8,
+        maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.toSet.size)
+  }
+
+  test("nearDupPairs maxBlockSize drops degenerate blocks") {
+    val blocked = vecs.withColumn("label", lit(0))
+    // all 4 rows share one block; cap at 3 -> block dropped -> no pairs
+    val capped = Ann.nearDupPairs(blocked, "vec_id", "embedding", "label",
+      0.0, maxBlockSize = 3)
+    assert(capped.count() === 0L)
+    // cap >= block size -> unchanged
+    val kept = Ann.nearDupPairs(blocked, "vec_id", "embedding", "label",
+      0.9999, maxBlockSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((1L, 4L)))
+  }
+
+  test("lshBucket table=0 matches the legacy single-table planes") {
+    val df = vecs.select(
+      Ann.lshBucket(col("embedding"), 4, 6).as("legacy"),
+      Ann.lshBucket(col("embedding"), 4, 6, table = 0).as("t0"),
+      Ann.lshBucket(col("embedding"), 4, 6, table = 1).as("t1"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) === r.getLong(1)))
+    // independent tables must produce a different bucketing somewhere
+    assert(rows.exists(r => r.getLong(0) !== r.getLong(2)))
+  }
+
   test("ivfTopK finds the identical vector with enough probes") {
     val out = Ann.ivfTopK(
         vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding",
