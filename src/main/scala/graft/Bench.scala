@@ -4,11 +4,22 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and emits ONE JSON line. A failing query is
   * reported with "ok": false and does NOT masquerade as a fast time —
   * its elapsed value is set to -1.
+  *
+  * Each query runs SPARK_GRAFT_RUNS times (default 3) after one
+  * discarded warm-up run, and reports the MEDIAN — single-shot numbers
+  * at toy scale swing 2-3× with GC/AQE/page-cache noise, drowning real
+  * regressions. Per-query relative spread (max−min)/median goes to
+  * "spread". The block-manager cache is cleared between runs so one
+  * query's persisted intermediates don't squeeze the next query's
+  * memory (measured: mid-suite cache pressure doubled q11's time).
+  *
+  * Optional args name a subset of queries to run (default: all).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,24 +34,42 @@ object Bench {
     // JVM/codegen warm-up so the first timed query doesn't absorb
     // session start-up cost
     spark.range(100000).selectExpr("sum(id % 7)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0, ok)
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter(kv => args.contains(kv._1))
+      else SparkEntry.queries
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // run 0 is warm-up (codegen compile, shuffle-file + page cache):
+      // discarded from the stats
+      val times = (0 to runs).flatMap { run =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop this run's persisted intermediates before the next run
+        spark.sharedState.cacheManager.clearCache()
+        if (ok && run > 0) Some(sec) else None
+      }
+      if (times.isEmpty) (name, -1.0, -1.0, false)
+      else {
+        val sorted = times.sorted
+        val median = sorted(sorted.size / 2)
+        val spread = if (median > 0) (sorted.last - sorted.head) / median else 0.0
+        (name, median, spread, true)
+      }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }
+    val spreads = results.map { case (k, _, s, _) =>
+      "\"" + k + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
+    val oks = results.map { case (k, _, _, ok) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
-    val total = results.filter(_._3).map(_._2).sum
-    val nFail = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"failed":$nFail,"sf":"$sfDir"}""")
+    val total = results.filter(_._4).map(_._2).sum
+    val nFail = results.count(!_._4)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"ok":$oks,"failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -64,6 +64,31 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccardJoin is lossless vs brute-force all-pairs (asymmetric prefixes)") {
+    // deterministic corpus of token sets with varied lengths and two
+    // blocks, skewed toward shared vocabulary so near-dup pairs exist
+    val rng = new scala.util.Random(42)
+    val corpus = (1L to 60L).map { i =>
+      val len = 5 + rng.nextInt(20)
+      val toks = (0 until len).map(_ => s"w${rng.nextInt(40)}").distinct
+      (i, if (i % 2 == 0) "en" else "de", toks)
+    }
+    for (t <- Seq(0.5, 0.7)) {
+      val expected = (for {
+        a <- corpus; b <- corpus
+        if a._1 < b._1 && a._2 == b._2
+        inter = a._3.toSet.intersect(b._3.toSet).size
+        j = inter.toDouble / (a._3.size + b._3.size - inter)
+        if j >= t
+      } yield (a._1, b._1)).toSet
+      val got = Dedup.jaccardJoin(
+          corpus.toDF("id", "blk", "sh"), threshold = t,
+          persistIntermediate = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"threshold $t")
+    }
+  }
+
   test("capBuckets bound: a degenerate bucket is dropped entirely") {
     val many = (1L to 50L).map(i => (i, "identical boilerplate text here"))
       .toDF("id", "text")
