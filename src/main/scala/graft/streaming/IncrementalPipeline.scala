@@ -21,8 +21,10 @@ import graft.etl.Scd
   * Plan shape at scale: each micro-batch shuffles only the batch (keyed
   * by natural key); the dim store is re-read per batch and joined on the
   * same key. Dedup state is bounded by the watermark delay, not by
-  * history. The versioned store keeps `foreachBatch` idempotent: a
-  * replayed batch id rewrites the same version directory.
+  * history. The versioned store keeps `foreachBatch` idempotent: batch n
+  * always rebuilds from the latest version BELOW n and rewrites v_n, so
+  * a replayed batch id reproduces the same snapshot instead of reading
+  * (or double-applying) its own failed attempt's output.
   */
 object IncrementalPipeline {
 
@@ -70,11 +72,17 @@ object IncrementalPipeline {
   }
 
   /** Latest dim snapshot from a versioned store (empty-schema dim when
-    * the store has no versions yet → the initial load builds v0). */
+    * the store has no versions yet → the initial load builds v0).
+    * `beforeVersion` bounds the read to versions strictly below it:
+    * batch n must rebuild from the pre-batch snapshot (< n), never from
+    * a v_n a failed attempt of the same batch left behind — otherwise a
+    * replay reads the directory it is about to overwrite and either
+    * fails or double-applies the batch. */
   def readLatestDim(
       spark: SparkSession,
       storePath: String,
-      emptyLike: => DataFrame): DataFrame = {
+      emptyLike: => DataFrame,
+      beforeVersion: Long = Long.MaxValue): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(storePath)
@@ -82,8 +90,33 @@ object IncrementalPipeline {
       if (!fs.exists(base)) Array.empty[Long]
       else fs.listStatus(base).map(_.getPath.getName)
         .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(_ < beforeVersion)
     if (versions.isEmpty) emptyLike
     else spark.read.parquet(s"$storePath/v${versions.max}")
+  }
+
+  /** The complete per-batch kernel `start` wires into foreachBatch:
+    * read the pre-batch snapshot (versions < batchId — replay-safe),
+    * rebuild-and-split, write v$batchId. Exposed so replay semantics
+    * are directly testable without a streaming context. */
+  def runBatch(
+      batch: DataFrame,
+      batchId: Long,
+      naturalKey: String,
+      attrs: Seq[String],
+      dateCol: String,
+      storePath: String): Unit = {
+    val spark = batch.sparkSession
+    val records = batch.select((naturalKey +: attrs :+ dateCol).map(col): _*)
+    val empty = records
+      .withColumn("start_date", col(dateCol))
+      .withColumn("end_date", col(dateCol))
+      .withColumn("is_current", lit(true))
+      .drop(dateCol)
+      .where(lit(false))
+    val old = readLatestDim(spark, storePath, empty, beforeVersion = batchId)
+    val next = processBatch(old, records, naturalKey, attrs, dateCol)
+    next.write.mode("overwrite").parquet(s"$storePath/v$batchId")
   }
 
   /** Wire a streaming source of change records into incremental SCD
@@ -104,24 +137,13 @@ object IncrementalPipeline {
       dateCol: String,
       storePath: String,
       checkpoint: String): StreamingQuery = {
-    val spark = stream.sparkSession
     val deduped = stream
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(Seq(naturalKey, dateCol) ++ attrs)
     deduped.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val records = batch.select((naturalKey +: attrs :+ dateCol).map(col): _*)
-        val empty = records
-          .withColumn("start_date", col(dateCol))
-          .withColumn("end_date", col(dateCol))
-          .withColumn("is_current", lit(true))
-          .drop(dateCol)
-          .where(lit(false))
-        val old = readLatestDim(spark, storePath, empty)
-        val next = processBatch(old, records, naturalKey, attrs, dateCol)
-        next.write.mode("overwrite").parquet(s"$storePath/v$batchId")
-        ()
+        runBatch(batch, batchId, naturalKey, attrs, dateCol, storePath)
       }
       .start()
   }

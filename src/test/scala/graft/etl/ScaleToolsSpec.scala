@@ -39,4 +39,20 @@ class ScaleToolsSpec extends SparkSpec {
       .select("_salt").distinct().count()
     assert(spread > 4)
   }
+
+  test("salted join refuses dim-preserving join types") {
+    val fact = Seq((1L, "f")).toDF("k", "fv")
+    val dim = Seq((1L, "d")).toDF("k", "dv")
+    for (jt <- Seq("right_outer", "full_outer", "full")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedEquiJoin(fact, dim, "k", salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("fact-preserving"), jt)
+    }
+    // left_outer keeps unmatched FACT rows exactly once
+    val fact2 = Seq((1L, "f1"), (9L, "f9")).toDF("k", "fv")
+    val lo = Skew.saltedEquiJoin(fact2, dim, "k", salts = 4,
+      joinType = "left_outer")
+    assert(lo.count() === 2)
+  }
 }

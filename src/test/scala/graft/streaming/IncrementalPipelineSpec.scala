@@ -34,6 +34,34 @@ class IncrementalPipelineSpec extends SparkSpec {
       ("B", None, true)))
   }
 
+  test("runBatch replay is idempotent: batch n rebuilds from versions < n") {
+    val store = Files.createTempDirectory("replaystore").toString
+    val b0 = Seq((1L, "A", d("2024-01-01")), (2L, "X", d("2024-01-02")))
+      .toDF("nk", "name", "d")
+    val b1 = Seq((1L, "B", d("2024-01-06"))).toDF("nk", "name", "d")
+
+    IncrementalPipeline.runBatch(b0, 0L, "nk", Seq("name"), "d", store)
+    IncrementalPipeline.runBatch(b1, 1L, "nk", Seq("name"), "d", store)
+    val once = IncrementalPipeline.readLatestDim(spark, store,
+        sys.error("store must exist"))
+      .orderBy("nk", "start_date").collect().map(_.toSeq)
+
+    // replay batch 1 (simulates a retry after a failed attempt already
+    // wrote v1): must read v0, not its own v1, and reproduce the same
+    // snapshot rather than closing B with B or failing on self-overwrite
+    IncrementalPipeline.runBatch(b1, 1L, "nk", Seq("name"), "d", store)
+    val twice = IncrementalPipeline.readLatestDim(spark, store,
+        sys.error("store must exist"))
+      .orderBy("nk", "start_date").collect().map(_.toSeq)
+    assert(twice.toSeq === once.toSeq)
+    // and the dim content is the batch-1 state: A closed by B
+    val k1 = IncrementalPipeline.readLatestDim(spark, store,
+        sys.error("store must exist"))
+      .where($"nk" === 1).orderBy("start_date").collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[Boolean]("is_current")))
+    assert(k1.toSeq === Seq(("A", false), ("B", true)))
+  }
+
   test("streaming end-to-end: two micro-batches maintain the dim store") {
     val store = Files.createTempDirectory("dimstore").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
