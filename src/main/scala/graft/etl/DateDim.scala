@@ -45,9 +45,16 @@ object DateDim {
       date_format(col("full_date"), "yyyy/MM").as("year_month"))
   }
 
-  /** Build the dimension spanning the observed range of `dateCol`. */
-  def fromObservedRange(df: DataFrame, dateCol: String): DataFrame =
+  /** Build the dimension spanning the observed range of `dateCol`,
+    * optionally extended `extendYears` past the observed max so facts
+    * dated beyond the last build still find their date key (reference:
+    * dags/main_pipeline.py:305 extends the calendar to max_date +
+    * 5 years). Default 0 keeps the exact observed range. */
+  def fromObservedRange(
+      df: DataFrame,
+      dateCol: String,
+      extendYears: Int = 0): DataFrame =
     fromBounds(df.agg(
       min(to_date(col(dateCol))).as("mn"),
-      max(to_date(col(dateCol))).as("mx")))
+      add_months(max(to_date(col(dateCol))), extendYears * 12).as("mx")))
 }

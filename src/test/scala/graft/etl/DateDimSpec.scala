@@ -43,4 +43,23 @@ class DateDimSpec extends SparkSpec {
     assert(d.count() === 12)
     assert(d.select("full_date").distinct().count() === 12)
   }
+
+  test("extendYears pushes the horizon past the observed max") {
+    val obs = Seq("2024-02-29", "2024-03-15").toDF("ds")
+      .select(to_date($"ds").as("d"))
+    // default 0: exact observed range
+    val exact = DateDim.fromObservedRange(obs, "d")
+    assert(exact.agg(max($"full_date").cast("string")).head().getString(0)
+      === "2024-03-15")
+    // +5y: calendar runs to max + 5 years (reference main_pipeline.py:305)
+    val extended = DateDim.fromObservedRange(obs, "d", extendYears = 5)
+    assert(extended.agg(max($"full_date").cast("string")).head().getString(0)
+      === "2029-03-15")
+    assert(extended.agg(min($"full_date").cast("string")).head().getString(0)
+      === "2024-02-29")
+    // still dense across the whole horizon
+    val n = extended.count()
+    assert(n === extended.select("full_date").distinct().count())
+    assert(n > 365 * 5)
+  }
 }
