@@ -23,6 +23,55 @@ object PipelineQueries {
   private def embSpread(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).repartition(col("vec_id"))
 
+  // ---------------------------------------------------------------------
+  // Planted-pair self-checks for the approximate (no-oracle) operators.
+  //
+  // The five approximate queries (q21/q22/q25/q31/q32) have recall < 1
+  // by design, so no DuckDB oracle exists and the driver's gate records
+  // a bare rows-only check. To give that gate an affirmative signal, each
+  // query plants a synthetic IDENTICAL pair (ids −2/−1 — the corpus ids
+  // start at 0) into its input: identical documents get identical MinHash/
+  // SimHash signatures and identical vectors share every LSH bucket and
+  // IVF list, so the planted pair MUST surface in the output no matter the
+  // banding/plane/centroid geometry. Every output row carries a
+  // `planted_ok` column computed from the result itself — false anywhere
+  // means the operator lost a guaranteed-recall pair (a real bug, not
+  // approximation noise) — and the output is provably non-empty.
+  // ---------------------------------------------------------------------
+  private val PlantA = -2L
+  private val PlantB = -1L
+
+  private def plantedDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val text = "graft planted sentinel document alpha beta gamma delta " +
+      "epsilon zeta eta theta iota kappa lambda"
+    Seq((PlantA, text), (PlantB, text)).toDF("doc_id", "text")
+  }
+
+  /** Deterministic synthetic unit-free vector, identical for both ids. */
+  private def plantedVecs(s: SparkSession, dim: Int): DataFrame = {
+    import s.implicits._
+    val v = (0 until dim).map(j => ((j * 31 + 7) % 13 - 6).toFloat)
+    Seq((PlantA, v), (PlantB, v)).toDF("vec_id", "embedding")
+  }
+
+  /** Append a constant `planted_ok` column: true iff any result row
+    * satisfies `cond`. One broadcast of a 1-row aggregate; the result is
+    * persisted so the two plan consumers don't recompute it. */
+  private def withPlantedCheck(
+      out: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame = {
+    val o = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    o.crossJoin(broadcast(o.agg(
+      coalesce(max(when(cond, true)), lit(false)).as("planted_ok"))))
+  }
+
+  private def plantedPairCond =
+    col("id_a") === PlantA && col("id_b") === PlantB
+  private def plantedTopKCond =
+    col("query_id") === PlantB && col("neighbor_id") === PlantA &&
+      col("rnk") === 1
+
   // ------------------------------------------------------------------ q20
   def q20DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), "doc_id", col("text"))
@@ -34,15 +83,25 @@ object PipelineQueries {
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
   // ------------------------------------------------------------------ q21
-  def q21DedupMinHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashDedup(docsSpread(s, dir), "doc_id", "text",
-        shingleK = 3, numPerm = 32, bands = 8, threshold = 0.4)
+  def q21DedupMinHash(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(plantedDocs(s))
+    withPlantedCheck(
+        Dedup.minHashDedup(corpus, "doc_id", "text",
+          shingleK = 3, numPerm = 32, bands = 8, threshold = 0.4),
+        plantedPairCond)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   // ------------------------------------------------------------------ q22
-  def q22DedupSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashDedup(docsSpread(s, dir), "doc_id", "text", maxHamming = 3)
+  def q22DedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(plantedDocs(s))
+    withPlantedCheck(
+        Dedup.simHashDedup(corpus, "doc_id", "text", maxHamming = 3),
+        plantedPairCond)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   // ------------------------------------------------------------------ q23
   /** Same-language pairs with char-3-gram Jaccard ≥ 0.5, computed by the
@@ -105,8 +164,12 @@ object PipelineQueries {
   def q25DedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embSpread(s, dir)
     val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
-    Ann.nearDupPairsLsh(e, "vec_id", "embedding", dim,
-        numPlanes = 6, threshold = 0.4, numTables = 4, maxBucketSize = 10000)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedVecs(s, dim))
+    withPlantedCheck(
+        Ann.nearDupPairsLsh(corpus, "vec_id", "embedding", dim,
+          numPlanes = 6, threshold = 0.4, numTables = 4, maxBucketSize = 10000),
+        plantedPairCond)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -138,9 +201,13 @@ object PipelineQueries {
     // probe one row at plan time — a wrong dim would null the projections
     // and collapse every vector into a single bucket.
     val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
-    Ann.lshTopK(e.where(col("vec_id") < 8), e, "vec_id", "embedding",
-        dim = dim, numPlanes = 6, k = 10)
-      .withColumnRenamed("rank", "rnk")
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedVecs(s, dim))
+    withPlantedCheck(
+        Ann.lshTopK(corpus.where(col("vec_id") < 8), corpus,
+          "vec_id", "embedding", dim = dim, numPlanes = 6, k = 10)
+          .withColumnRenamed("rank", "rnk"),
+        plantedTopKCond)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -149,9 +216,14 @@ object PipelineQueries {
     * rows-only check). The scale path alongside q31's LSH buckets. */
   def q32AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embSpread(s, dir)
-    Ann.ivfTopK(e.where(col("vec_id") < 8), e, "vec_id", "embedding",
-        k = 10, numCentroids = 16, nProbe = 4)
-      .withColumnRenamed("rank", "rnk")
+    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedVecs(s, dim))
+    withPlantedCheck(
+        Ann.ivfTopK(corpus.where(col("vec_id") < 8), corpus,
+          "vec_id", "embedding", k = 10, numCentroids = 16, nProbe = 4)
+          .withColumnRenamed("rank", "rnk"),
+        plantedTopKCond)
       .orderBy(col("query_id"), col("rnk"))
   }
 

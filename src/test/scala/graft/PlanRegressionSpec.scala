@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Plan-shape regression gate: the star queries must broadcast every
+  * dimension (one shuffle join at most — the fact⋈orders leg) and the
+  * scans must carry pushed filters / pruned schemas. A failure here
+  * means someone dropped a broadcast hint or blocked pushdown — the
+  * kind of regression row-count tests never catch. Runs against the
+  * sf0.001 parquet testdata. */
+class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.count() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countOf(plan: String, op: String): Int =
+    op.r.findAllIn(plan).length
+
+  for ((name, dims) <- Seq(
+      ("q07_star_flatten", 3),     // customer, nation, region
+      ("q10_dashboard_revenue", 2), // customer, nation
+      ("q11_dashboard_topn", 2))) {
+    test(s"$name broadcasts all $dims dims; at most one shuffle join") {
+      val plan = finalPlan(SparkEntry.queries(name)(spark, sfDir))
+      val bhj = countOf(plan, "BroadcastHashJoin")
+      assert(bhj >= dims, s"expected >= $dims BroadcastHashJoin, got $bhj:\n$plan")
+      val shuffleJoins =
+        countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin")
+      assert(shuffleJoins <= 1,
+        s"star query must shuffle at most the fact⋈orders leg, got $shuffleJoins:\n$plan")
+    }
+  }
+
+  test("q01 filter reaches the parquet scan (PushedFilters non-empty)") {
+    val plan = finalPlan(SparkEntry.queries("q01_clean_filter")(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"no filter was pushed to the scan:\n$plan")
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+  }
+
+  test("q07 prunes unused lineitem columns from the scan") {
+    val plan = finalPlan(SparkEntry.queries("q07_star_flatten")(spark, sfDir))
+    // q07 touches neither l_shipdate nor l_tax; a scan reading them
+    // means column pruning broke
+    assert(!plan.contains("l_shipdate"), s"l_shipdate not pruned:\n$plan")
+    assert(!plan.contains("l_tax"), s"l_tax not pruned:\n$plan")
+  }
+}

@@ -1,0 +1,23 @@
+package graft
+
+/** The five approximate (no-oracle) queries plant an identical pair
+  * (ids −2/−1) into their input; identical inputs are deterministically
+  * co-bucketed by MinHash/SimHash/LSH/IVF, so `planted_ok` must be true
+  * on every row and the output can never be empty — the affirmative
+  * signal the driver's rows-only gate reads. */
+class PlantedPairSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val approximate = Seq("q21_dedup_minhash", "q22_dedup_simhash",
+    "q25_dedup_embedding_lsh", "q31_ann_lsh", "q32_ann_ivf")
+
+  for (name <- approximate) {
+    test(s"$name recovers the planted identical pair") {
+      val out = SparkEntry.queries(name)(spark, sfDir)
+      val rows = out.collect()
+      assert(rows.nonEmpty, s"$name output empty despite planted pair")
+      assert(rows.forall(_.getAs[Boolean]("planted_ok")),
+        s"$name lost the planted pair (guaranteed-recall bug)")
+    }
+  }
+}
