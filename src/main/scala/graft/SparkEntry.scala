@@ -42,6 +42,7 @@ object SparkEntry {
     "q23_dedup_ngram_jaccard"     -> (P.q23NgramJaccard _),
     "q24_dedup_embedding"         -> (P.q24DedupEmbedding _),
     "q25_dedup_embedding_lsh"     -> (P.q25DedupEmbeddingLsh _),
+    "q26_dedup_clusters"          -> (P.q26DedupClusters _),
     "q30_ann_bruteforce"          -> (P.q30AnnBruteForce _),
     "q31_ann_lsh"                 -> (P.q31AnnLsh _),
     "q32_ann_ivf"                 -> (P.q32AnnIvf _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,
+    "q26_dedup_clusters"          -> P.q26Oracle,
     "q30_ann_bruteforce"          -> P.q30Oracle,
     "q40_text_langid"             -> P.q40Oracle,
     "q41_text_quality"            -> P.q41Oracle,

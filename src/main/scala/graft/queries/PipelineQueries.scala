@@ -138,6 +138,53 @@ object PipelineQueries {
       |    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------------ q26
+  /** Near-dup pairs → clusters → canonical doc: connected components
+    * over the q23 similarity graph ([[Dedup.connectedComponents]]).
+    * Every real dedup pipeline needs this step — pairs (a,b),(b,c) must
+    * collapse into ONE cluster keeping one representative, which no
+    * per-pair operator provides. Exact (min reachable id), so the
+    * DuckDB recursive-CTE oracle hash-matches. */
+  def q26DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardJoin(
+      docsSpread(s, dir)
+        .select(col("doc_id").as("id"), col("lang").as("blk"),
+          TextAnalysis.canonical(col("text")).as("ct"))
+        .select(col("id"), col("blk"),
+          Dedup.charShinglesFrom(col("ct"), 3).as("sh")),
+      threshold = 0.5)
+    Dedup.connectedComponents(pairs.select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26Oracle: String =
+    """WITH RECURSIVE c AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ctext
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(length(ctext) - 2, 1)),
+      |      i -> substr(ctext, i, 3))) AS sh
+      |  FROM c),
+      |p AS (SELECT l.doc_id AS a, r.doc_id AS b
+      |  FROM s l JOIN s r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |  WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+      |    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) >= 0.5),
+      |bi(u, v) AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |r(src, reach) AS (
+      |  SELECT u, u FROM bi
+      |  UNION
+      |  SELECT r.src, b.v FROM r JOIN bi b ON r.reach = b.u),
+      |comp AS (SELECT src AS doc_id, min(reach) AS cluster_id
+      |  FROM r GROUP BY src)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM comp ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q24
   def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairs(embSpread(s, dir), "vec_id", "embedding",

@@ -89,6 +89,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains collapse, clusters stay separate") {
+    // chain 1-2-3-4-5, triangle 10-11-12 (+ redundant edge), isolate pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(comp(_) === 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) === 10L))
+    assert(Seq(20L, 21L).forall(comp(_) === 20L))
+    assert(comp.size === 10)
+  }
+
+  test("connectedComponents converges on a long chain within maxIter") {
+    // path of 40 nodes: diameter 39 — path halving must converge in
+    // O(log n) rounds, far under the default maxIter of 20
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length === 40)
+    assert(comp.forall(_._2 === 1L))
+  }
+
   test("capBuckets bound: a degenerate bucket is dropped entirely") {
     val many = (1L to 50L).map(i => (i, "identical boilerplate text here"))
       .toDF("id", "text")
