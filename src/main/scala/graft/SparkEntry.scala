@@ -43,6 +43,8 @@ object SparkEntry {
     "q24_dedup_embedding"         -> (P.q24DedupEmbedding _),
     "q25_dedup_embedding_lsh"     -> (P.q25DedupEmbeddingLsh _),
     "q26_dedup_clusters"          -> (P.q26DedupClusters _),
+    "q27_stratified_sample"       -> (P.q27StratifiedSample _),
+    "q28_token_budget"            -> (P.q28TokenBudget _),
     "q30_ann_bruteforce"          -> (P.q30AnnBruteForce _),
     "q31_ann_lsh"                 -> (P.q31AnnLsh _),
     "q32_ann_ivf"                 -> (P.q32AnnIvf _),
@@ -79,6 +81,8 @@ object SparkEntry {
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,
     "q26_dedup_clusters"          -> P.q26Oracle,
+    "q27_stratified_sample"       -> P.q27Oracle,
+    "q28_token_budget"            -> P.q28Oracle,
     "q30_ann_bruteforce"          -> P.q30Oracle,
     "q40_text_langid"             -> P.q40Oracle,
     "q41_text_quality"            -> P.q41Oracle,

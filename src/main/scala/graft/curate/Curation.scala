@@ -1,0 +1,114 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic sampling and
+  * token-budget selection for corpus mixing.
+  *
+  * Everything here is reproducible BY VALUE: sampling decisions derive
+  * from md5 of the row's id (not from partition layout or RNG state), so
+  * re-running on a repartitioned / differently-ordered corpus — or on a
+  * different engine — selects exactly the same rows. `df.sample()` can't
+  * promise any of that.
+  */
+object Curation {
+
+  /** Uniform hash value in [0, 2^32) derived from md5(id ++ salt) —
+    * the first 8 hex chars as an integer. Portable: any engine with md5
+    * computes the identical value. */
+  def hashKey(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  private val HashSpace = 4294967296L // 2^32
+
+  /** Deterministic Bernoulli sample: keeps a row iff its [[hashKey]]
+    * falls below `rate` · 2^32. A pure narrow filter — no shuffle, no
+    * RNG, stable under repartitioning and engine changes. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "graft"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.where(hashKey(col(idCol), salt) < (rate * HashSpace).toLong)
+  }
+
+  /** Stratified mixture sampling: per-stratum keep rates (e.g.
+    * lang → weight), rows in unlisted strata get `defaultRate`. The
+    * decision is still per-row deterministic — one narrow filter, no
+    * shuffle, any stratum skew irrelevant. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.where(hashKey(col(idCol), salt).cast("double") <
+      rateCol * HashSpace.toDouble)
+  }
+
+  /** Select documents per stratum, in deterministic hash order, until a
+    * token budget fills: the corpus-mixing primitive ("2B tokens of en,
+    * 1B of de, ...").
+    *
+    * Semantics: rows ordered by (hashKey, id) within each stratum; a row
+    * is kept iff the running token total UP TO AND INCLUDING it is ≤ the
+    * stratum's budget (so selection stops at the first overflow).
+    *
+    * Scale shape: a naive `sum() OVER (PARTITION BY stratum ORDER BY
+    * key)` funnels each stratum through ONE task — a 40 TB `en` stratum
+    * would serialize. Instead: rows land in 256 hash-prefix buckets; a
+    * tiny per-(stratum, bucket) aggregate is prefix-summed (256 rows per
+    * stratum — metadata scale); each bucket's offset joins back
+    * (broadcast) and the in-bucket running sum is a window keyed by
+    * (stratum, bucket) — 256-way parallel per stratum, identical result
+    * to the single global window because bucket = first hex chars of the
+    * same md5 the in-bucket order uses.
+    *
+    * @param budgets stratum → max total tokens; unlisted strata are
+    *                dropped entirely
+    */
+  def tokenBudget(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long],
+      salt: String = "graft"): DataFrame = {
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val keyed = df
+      .withColumn("_hk", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("_bkt", substring(col("_hk"), 1, 2))
+      .withColumn("_budget", budgetCol)
+      .where(col("_budget").isNotNull)
+    // per-(stratum, bucket) token subtotals → prefix offsets (tiny)
+    val offsets = keyed
+      .groupBy(col(stratumCol).as("_st"), col("_bkt").as("_obkt"))
+      .agg(sum(col(tokensCol)).as("_bt"))
+      .withColumn("_offset",
+        coalesce(
+          sum(col("_bt")).over(Window.partitionBy(col("_st"))
+            .orderBy(col("_obkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_st"), col("_obkt"), col("_offset"))
+    // in-bucket running sum, shifted by the bucket offset
+    val w = Window.partitionBy(col(stratumCol), col("_bkt"))
+      .orderBy(col("_hk"), col(idCol))
+    keyed
+      .join(broadcast(offsets),
+        col(stratumCol) === col("_st") && col("_bkt") === col("_obkt"))
+      .withColumn("_running",
+        col("_offset") + sum(col(tokensCol)).over(w))
+      .where(col("_running") <= col("_budget"))
+      .drop("_hk", "_bkt", "_budget", "_st", "_obkt", "_offset", "_running")
+  }
+}

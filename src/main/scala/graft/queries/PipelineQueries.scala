@@ -220,6 +220,55 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------------------------ q27
+  /** Deterministic stratified mixture sampling ([[Curation]]): per-lang
+    * keep rates decided by md5 of the doc id — reproducible by value on
+    * any engine and any partitioning (df.sample() is neither). Pure
+    * narrow filter: no shuffle, skew-proof. */
+  def q27StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curation.stratifiedSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25, "fr" -> 0.0),
+        defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val q27Oracle: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |  < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+      |       WHEN 'zh' THEN 0.25 WHEN 'fr' THEN 0.0 ELSE 0.1 END) * 4294967296.0
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q28
+  /** Token-budget selection per source ([[Curation.tokenBudget]]): docs
+    * in deterministic hash order until each source's budget fills — the
+    * corpus-mixing primitive. Two-phase bucket prefix-sum inside, but
+    * value-identical to the oracle's single per-stratum window. */
+  def q28TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.curate.Curation.tokenBudget(docs, "doc_id", "source", "n_tokens",
+        budgets = Map("src0" -> 800L, "src1" -> 700L, "src2" -> 600L))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q28Oracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens,
+      |    md5(doc_id::VARCHAR || 'graft') AS hk
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id) AS running
+      |  FROM t)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+      |FROM r
+      |WHERE running <= CASE source WHEN 'src0' THEN 800
+      |  WHEN 'src1' THEN 700 ELSE 600 END
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q30
   def q30AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = embSpread(s, dir)

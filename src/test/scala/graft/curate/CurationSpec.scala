@@ -1,0 +1,71 @@
+package graft.curate
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 400L)
+    .map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh",
+      5L + i % 17))
+    .toDF("id", "lang", "toks")
+
+  test("hashSample is deterministic and partition-independent") {
+    val a = Curation.hashSample(docs, "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Curation.hashSample(docs.repartition(7), "id", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // roughly the requested rate (md5 is uniform; 400 rows, loose bound)
+    assert(a.size > 400 * 0.15 && a.size < 400 * 0.45, a.size)
+  }
+
+  test("hashSample rates are monotone nested: sample(0.2) subset of sample(0.5)") {
+    val small = Curation.hashSample(docs, "id", 0.2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = Curation.hashSample(docs, "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratifiedSample: rate 1 keeps all, rate 0 keeps none, default applies") {
+    val out = Curation.stratifiedSample(docs, "id", "lang",
+      Map("de" -> 1.0, "zh" -> 0.0), defaultRate = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") === totals("de"))
+    assert(!byLang.contains("zh"))
+    val enKept = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enKept > 0.25 && enKept < 0.75, enKept)
+  }
+
+  test("tokenBudget equals the naive single-window prefix semantics") {
+    val budgets = Map("en" -> 300L, "de" -> 150L) // zh unlisted -> dropped
+    val got = Curation.tokenBudget(docs, "id", "lang", "toks", budgets)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // naive reference: one global window per stratum
+    val w = Window.partitionBy($"lang").orderBy($"_hk", $"id")
+    val want = docs
+      .where($"lang".isin("en", "de"))
+      .withColumn("_hk", md5(concat($"id".cast("string"), lit("graft"))))
+      .withColumn("running", sum($"toks").over(w))
+      .where($"running" <= when($"lang" === "en", 300L).otherwise(150L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("tokenBudget totals respect each stratum's budget") {
+    val budgets = Map("en" -> 300L, "de" -> 150L, "zh" -> 5L)
+    val out = Curation.tokenBudget(docs, "id", "lang", "toks", budgets)
+    val sums = out.groupBy("lang").agg(sum("toks").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.getOrElse("en", 0L) <= 300L)
+    assert(sums.getOrElse("de", 0L) <= 150L)
+    assert(sums.getOrElse("zh", 0L) <= 5L)
+  }
+}
