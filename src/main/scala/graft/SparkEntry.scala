@@ -53,6 +53,7 @@ object SparkEntry {
     "q42_token_count"             -> (P.q42TokenCount _),
     "q43_text_fingerprint"        -> (P.q43TextFingerprint _),
     "q44_rolling_fingerprint"     -> (P.q44RollingFingerprint _),
+    "q45_pii_scrub"               -> (P.q45PiiScrub _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _)
   )
 
@@ -89,6 +90,7 @@ object SparkEntry {
     "q42_token_count"             -> P.q42Oracle,
     "q43_text_fingerprint"        -> P.q43Oracle,
     "q44_rolling_fingerprint"     -> P.q44Oracle,
+    "q45_pii_scrub"               -> P.q45Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle
   )
 }

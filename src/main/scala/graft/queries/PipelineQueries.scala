@@ -450,6 +450,41 @@ object PipelineQueries {
       |SELECT rh, min(doc_id) AS keep_id, count(*) AS group_size
       |FROM h GROUP BY rh ORDER BY rh""".stripMargin
 
+  // ------------------------------------------------------------------ q45
+  /** PII scrub over the corpus plus one planted PII-bearing row (id
+    * −100, identical literal in the oracle's UNION) so the redaction
+    * paths are provably exercised even on a clean corpus. Counts +
+    * md5 of the scrubbed text per doc. */
+  def q45PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq((-100L,
+      "reach me at john.doe@example.com or admin@test.org, " +
+        "server 192.168.1.100, ssn 987-65-4321")).toDF("doc_id", "text")
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+      .select(
+        col("doc_id"),
+        graft.text.Pii.countEmails(col("text")).as("n_emails"),
+        graft.text.Pii.countIpv4(col("text")).as("n_ips"),
+        graft.text.Pii.countSsns(col("text")).as("n_ssns"),
+        md5(graft.text.Pii.scrub(col("text"))).as("scrubbed_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q45Oracle: String =
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT -100,
+      |    'reach me at john.doe@example.com or admin@test.org, server 192.168.1.100, ssn 987-65-4321')
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS scrubbed_fp
+      |FROM u ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q50
   def q50MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(
