@@ -54,7 +54,8 @@ object SparkEntry {
     "q43_text_fingerprint"        -> (P.q43TextFingerprint _),
     "q44_rolling_fingerprint"     -> (P.q44RollingFingerprint _),
     "q45_pii_scrub"               -> (P.q45PiiScrub _),
-    "q50_multimodal_meta"         -> (P.q50MultimodalMeta _)
+    "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
+    "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

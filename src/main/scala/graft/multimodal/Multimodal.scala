@@ -109,6 +109,37 @@ object Multimodal {
     }
   }
 
+  /** Cross-media shared-frame near-duplicate pairs — the video-dedup
+    * shape: sample frames, fingerprint each frame's BYTES, build a
+    * frame-hash inverted index, and pair media items sharing ≥
+    * `minShared` distinct frame fingerprints. The frame hash is the
+    * shuffle/join key, so the pair space is per-fingerprint local;
+    * `maxFrameDf` drops degenerate fingerprints (a black/silent frame
+    * appearing in half the corpus would go quadratic — same cap as the
+    * text LSH buckets). Exact given the sampling parameters, but not
+    * SQL-expressible here (no BLOB windowing in the oracle engine) →
+    * rows-only checked with a planted identical pair in q51.
+    *
+    * @return (id_a, id_b, n_shared) with id_a < id_b
+    */
+  def sharedFramePairs(
+      records: Dataset[MediaRecord],
+      stride: Int = 1,
+      frameBytes: Int = 64,
+      maxFrameDf: Int = 100000,
+      minShared: Int = 1): DataFrame = {
+    val frames = sampleFrames(records, stride, frameBytes).toDF()
+      .select(col("media_id"), md5(col("frame_payload")).as("fh"))
+      .distinct()
+    val capped = graft.dedup.Dedup.capBuckets(frames, maxFrameDf, Seq("fh"))
+    capped.as("l")
+      .join(capped.as("r"),
+        col("l.fh") === col("r.fh") && col("l.media_id") < col("r.media_id"))
+      .groupBy(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** STUB resize: deterministic byte down/up-sampling to `targetBytes`
     * standing in for an image resize — preserves the payload-as-binary
     * contract so the pipeline shape (binary in, binary out, metadata

@@ -450,6 +450,24 @@ object PipelineQueries {
       |SELECT rh, min(doc_id) AS keep_id, count(*) AS group_size
       |FROM h GROUP BY rh ORDER BY rh""".stripMargin
 
+  // ------------------------------------------------------------------ q51
+  /** Cross-media shared-frame near-dup ([[Multimodal.sharedFramePairs]]):
+    * frame-hash inverted index over sampled payload frames. Exact for
+    * the sampling parameters but not SQL-expressible here (no BLOB
+    * windowing in the oracle engine) → rows-only with a planted
+    * identical media pair: identical payloads share every frame, so the
+    * (−2, −1) pair must surface. */
+  def q51MultimodalFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(plantedDocs(s))
+    val recs = Multimodal.asMediaRecords(corpus, "doc_id", "text", "textbytes")
+    withPlantedCheck(
+        Multimodal.sharedFramePairs(recs, stride = 2, frameBytes = 64,
+          minShared = 1),
+        plantedPairCond)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------ q45
   /** PII scrub over the corpus plus one planted PII-bearing row (id
     * −100, identical literal in the oracle's UNION) so the redaction

@@ -32,6 +32,37 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L).length === 1 && f(3L).head.frame_payload.isEmpty)
   }
 
+  test("sharedFramePairs pairs media by common frame fingerprints") {
+    // media 1 and 4: identical payloads -> share every frame; byte
+    // values wrap mod 256 so the 10 windows hold only 4 DISTINCT
+    // contents (period 256/64), and fingerprints count distinct;
+    // media 5 shares only the first 128 bytes (frames 0-1) with them;
+    // media 2 (different bytes at every position after tabulate offset)
+    // shares nothing
+    val recs = Seq(
+      MediaRecord(1L, "v", Array.tabulate[Byte](640)(_.toByte)),
+      MediaRecord(4L, "v", Array.tabulate[Byte](640)(_.toByte)),
+      MediaRecord(5L, "v",
+        Array.tabulate[Byte](640)(i => if (i < 128) i.toByte else (i + 7).toByte)),
+      MediaRecord(2L, "v", Array.tabulate[Byte](640)(i => (i + 1).toByte))
+    ).toDS()
+    val pairs = Multimodal.sharedFramePairs(recs, stride = 1, frameBytes = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 4L)) === 4L)
+    assert(pairs((1L, 5L)) === 2L)
+    assert(pairs((4L, 5L)) === 2L)
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // minShared filters weak overlaps
+    val strict = Multimodal.sharedFramePairs(recs, stride = 1, frameBytes = 64,
+      minShared = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((1L, 4L)))
+    // a degenerate frame shared by everything is capped out
+    val capped = Multimodal.sharedFramePairs(recs, stride = 1, frameBytes = 64,
+      maxFrameDf = 1).collect()
+    assert(capped.isEmpty)
+  }
+
   test("resize maps any payload to exactly targetBytes") {
     val out = Multimodal.resize(records, targetBytes = 32).collect()
     assert(out.forall(_.payload.length === 32))
