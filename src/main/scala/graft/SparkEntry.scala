@@ -54,6 +54,7 @@ object SparkEntry {
     "q43_text_fingerprint"        -> (P.q43TextFingerprint _),
     "q44_rolling_fingerprint"     -> (P.q44RollingFingerprint _),
     "q45_pii_scrub"               -> (P.q45PiiScrub _),
+    "q46_quality_filter"          -> (P.q46QualityFilter _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
     "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
@@ -92,6 +93,7 @@ object SparkEntry {
     "q43_text_fingerprint"        -> P.q43Oracle,
     "q44_rolling_fingerprint"     -> P.q44Oracle,
     "q45_pii_scrub"               -> P.q45Oracle,
+    "q46_quality_filter"          -> P.q46Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle
   )
 }

@@ -3,22 +3,53 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{JaccardSim, RollingHash}
+import graft.expressions.{DotProduct, JaccardSim, LshBucket, RollingHash}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
-  * get `jaccard_sim(arr, arr)` and `rolling_hash(str)` alongside the
-  * built-ins. (On an already-running session use
+  * get `jaccard_sim(arr, arr)`, `rolling_hash(str)`,
+  * `dot_product(arr, arr)` and `lsh_bucket(vec, dim, planes[, table])`
+  * alongside the built-ins. (On an already-running session use
   * `GraftColumnBridge.registerFunctions(spark)`.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("jaccard_sim"),
-      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
-      (children: Seq[Expression]) => JaccardSim(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("rolling_hash"),
-      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head)))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Extract a literal Int argument (e.g. `lsh_bucket(v, 64, 6)`). */
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      lit.value match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be an integer literal, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a literal, got ${other.sql}")
   }
+
+  /** (name, expression class, builder) for every native function —
+    * shared by the extension injector and the runtime bridge. */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("jaccard_sim", classOf[JaccardSim],
+      (children: Seq[Expression]) => JaccardSim(children(0), children(1))),
+    ("rolling_hash", classOf[RollingHash],
+      (children: Seq[Expression]) => RollingHash(children.head)),
+    ("dot_product", classOf[DotProduct],
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    ("lsh_bucket", classOf[LshBucket],
+      (children: Seq[Expression]) => LshBucket(
+        children(0),
+        litInt(children(1), "lsh_bucket", "dim"),
+        litInt(children(2), "lsh_bucket", "numPlanes"),
+        if (children.length > 3) litInt(children(3), "lsh_bucket", "table")
+        else 0)))
 }

@@ -450,6 +450,82 @@ object PipelineQueries {
       |SELECT rh, min(doc_id) AS keep_id, count(*) AS group_size
       |FROM h GROUP BY rh ORDER BY rh""".stripMargin
 
+  // ------------------------------------------------------------------ q46
+  /** The composite pretraining filter pass — every doc gets a keep/drop
+    * decision with the FIRST failing check as the reason, precedence
+    * dup > lang > quality > pii (canonical-fingerprint dedup keeps the
+    * min doc_id; language must be identifiable; q41's quality gates;
+    * zero PII matches). One scan + one window on the fingerprint —
+    * the decision columns are all narrow expressions. */
+  def q46QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val m = TextAnalysis.qualityMetrics(Tables.documents(s, dir), "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .withColumn("n_pii",
+        graft.text.Pii.countEmails(col("text")) +
+          graft.text.Pii.countIpv4(col("text")) +
+          graft.text.Pii.countSsns(col("text")))
+    m.select(
+        col("doc_id"),
+        col("pred_lang"),
+        (col("dup_rank") > 1).as("is_dup"),
+        col("quality_ok"),
+        (col("n_pii") === 0).as("pii_ok"),
+        when(col("dup_rank") > 1, "dup")
+          .when(col("pred_lang") === "und", "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(col("n_pii") =!= 0, "pii")
+          .otherwise("keep").as("decision"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q46Oracle: String = {
+    val pats = TextAnalysis.stopwordPatterns
+    val canon = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val scoreExprs = pats.map { case (code, pat) =>
+      s"len(regexp_extract_all($canon, '$pat')) AS s_$code"
+    }.mkString(",\n    ")
+    val codes = pats.map(_._1)
+    val allZero = codes.map(c => s"s_$c = 0").mkString(" AND ")
+    val chain = codes.zipWithIndex.map { case (c, i) =>
+      val later = codes.drop(i + 1)
+      val cond =
+        if (later.isEmpty) "TRUE"
+        else later.map(o => s"s_$c >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$c'"
+    }.mkString("\n      ")
+    s"""WITH m AS (SELECT doc_id, text,
+       |    md5($canon) AS fp,
+       |    len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS n_tokens,
+       |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+       |    round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+       |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       |      + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+       |      + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_pii,
+       |    $scoreExprs
+       |  FROM documents),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank,
+       |    CASE WHEN $allZero THEN 'und'
+       |      $chain
+       |      ELSE 'und' END AS pred_lang,
+       |    (n_tokens >= 5 AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2) AS quality_ok
+       |  FROM m)
+       |SELECT doc_id, pred_lang,
+       |  (dup_rank > 1) AS is_dup,
+       |  quality_ok,
+       |  (n_pii = 0) AS pii_ok,
+       |  CASE WHEN dup_rank > 1 THEN 'dup'
+       |    WHEN pred_lang = 'und' THEN 'lang'
+       |    WHEN NOT quality_ok THEN 'quality'
+       |    WHEN n_pii != 0 THEN 'pii'
+       |    ELSE 'keep' END AS decision
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ q51
   /** Cross-media shared-frame near-dup ([[Multimodal.sharedFramePairs]]):
     * frame-hash inverted index over sampled payload frames. Exact for

@@ -13,14 +13,10 @@ object GraftColumnBridge {
   /** Register graft's native expressions as SQL functions on a live
     * session (the runtime counterpart of configuring
     * [[graft.extensions.GraftExtensions]] via spark.sql.extensions). */
-  def registerFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim",
-      exprs => graft.expressions.JaccardSim(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash",
-      exprs => graft.expressions.RollingHash(exprs.head),
-      "built-in")
-  }
+  def registerFunctions(spark: SparkSession): Unit =
+    graft.extensions.GraftExtensions.builders.foreach {
+      case (name, _, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "built-in")
+    }
 }

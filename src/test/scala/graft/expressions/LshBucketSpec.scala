@@ -69,6 +69,24 @@ class LshBucketSpec extends SparkSpec {
     }
   }
 
+  test("lsh_bucket and dot_product register as SQL functions") {
+    org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT lsh_bucket(array(1.0F, 0.0F, -0.5F, 2.0F), 4, 6) AS b0,
+        |       lsh_bucket(array(1.0F, 0.0F, -0.5F, 2.0F), 4, 6, 1) AS b1,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+        |""".stripMargin).head()
+    assert(r.getLong(0) === ref(Seq(1.0f, 0.0f, -0.5f, 2.0f), 6, 0))
+    assert(r.getLong(1) === ref(Seq(1.0f, 0.0f, -0.5f, 2.0f), 6, 1))
+    assert(r.getDouble(2) === 11.0)
+    // non-literal plane count is rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT lsh_bucket(array(1.0F), cast(rand()*4 AS INT), 2)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("DotProduct rejects integer arrays instead of reading garbage") {
     val df = Seq((Seq(1, 2), Seq(1.0f, 2.0f))).toDF("ints", "floats")
     intercept[AnalysisException] {
