@@ -269,6 +269,81 @@ object PipelineQueries {
       |  WHEN 'src1' THEN 700 ELSE 600 END
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q29
+  /** Dataset-card rollup: per (source, decision) doc counts and token
+    * sums over the q46 filter verdicts — the summary a curated corpus
+    * ships with ("kept N docs / M tokens from src X; dropped D as
+    * dups..."). Pure composition: the q46 decision pipeline feeding one
+    * aggregation. */
+  def q29DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val decided = TextAnalysis.qualityMetrics(Tables.documents(s, dir), "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .withColumn("n_pii",
+        graft.text.Pii.countEmails(col("text")) +
+          graft.text.Pii.countIpv4(col("text")) +
+          graft.text.Pii.countSsns(col("text")))
+      .withColumn("decision",
+        when(col("dup_rank") > 1, "dup")
+          .when(col("pred_lang") === "und", "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(col("n_pii") =!= 0, "pii")
+          .otherwise("keep"))
+    decided
+      .groupBy(col("source"), col("decision"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+      .orderBy(col("source"), col("decision"))
+  }
+
+  val q29Oracle: String = {
+    val pats = TextAnalysis.stopwordPatterns
+    val canon = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val scoreExprs = pats.map { case (code, pat) =>
+      s"len(regexp_extract_all($canon, '$pat')) AS s_$code"
+    }.mkString(",\n    ")
+    val codes = pats.map(_._1)
+    val allZero = codes.map(c => s"s_$c = 0").mkString(" AND ")
+    val chain = codes.zipWithIndex.map { case (c, i) =>
+      val later = codes.drop(i + 1)
+      val cond =
+        if (later.isEmpty) "TRUE"
+        else later.map(o => s"s_$c >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$c'"
+    }.mkString("\n      ")
+    s"""WITH m AS (SELECT doc_id, source, text,
+       |    md5($canon) AS fp,
+       |    len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS n_tokens,
+       |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+       |    round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+       |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       |      + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+       |      + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_pii,
+       |    $scoreExprs
+       |  FROM documents),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank,
+       |    CASE WHEN $allZero THEN 'und'
+       |      $chain
+       |      ELSE 'und' END AS pred_lang,
+       |    (n_tokens >= 5 AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2) AS quality_ok
+       |  FROM m),
+       |d AS (SELECT source, n_tokens,
+       |    CASE WHEN dup_rank > 1 THEN 'dup'
+       |      WHEN pred_lang = 'und' THEN 'lang'
+       |      WHEN NOT quality_ok THEN 'quality'
+       |      WHEN n_pii != 0 THEN 'pii'
+       |      ELSE 'keep' END AS decision
+       |  FROM r)
+       |SELECT source, decision, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM d GROUP BY source, decision ORDER BY source, decision""".stripMargin
+  }
+
   // ------------------------------------------------------------------ q30
   def q30AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = embSpread(s, dir)

@@ -45,6 +45,19 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("GreaterThan(l_quantity"), plan)
   }
 
+  test("q28's running-sum window is bucket-parallel, not one task per stratum") {
+    val plan = finalPlan(SparkEntry.queries("q28_token_budget")(spark, sfDir))
+    // the big cumulative window must partition by (stratum, hash bucket);
+    // a window spec without _bkt means the stratum funnels through one task
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, plan)
+    val cumulative = winSpecs.filter(_.contains("_hk"))
+    assert(cumulative.nonEmpty, s"running-sum window not found:\n$plan")
+    assert(cumulative.forall(_.contains("_bkt")),
+      s"running-sum window lost its bucket key:\n$plan")
+  }
+
   test("q07 prunes unused lineitem columns from the scan") {
     val plan = finalPlan(SparkEntry.queries("q07_star_flatten")(spark, sfDir))
     // q07 touches neither l_shipdate nor l_tax; a scan reading them
