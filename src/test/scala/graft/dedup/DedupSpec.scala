@@ -104,6 +104,30 @@ class DedupSpec extends SparkSpec {
     assert(comp.size === 10)
   }
 
+  test("connectedComponents agrees with union-find on random graphs") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rng = new scala.util.Random(seed)
+      val n = 80
+      val pairs = (1 to 120).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2)
+      // reference: classic union-find with min-id relabeling
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("connectedComponents converges on a long chain within maxIter") {
     // path of 40 nodes: diameter 39 — path halving must converge in
     // O(log n) rounds, far under the default maxIter of 20
