@@ -278,10 +278,11 @@ object PipelineQueries {
   def q29DatasetCard(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val decided = TextAnalysis.qualityMetrics(Tables.documents(s, dir), "text")
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val decided = TextAnalysis
+      .qualityMetrics(Tables.documents(s, dir), "text", keepCanonical = true)
+      .withColumn("fp", md5(col("_ct")))
       .withColumn("dup_rank", row_number().over(w))
-      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .withColumn("pred_lang", TextAnalysis.langIdFrom(col("_ct")))
       .withColumn("n_pii",
         graft.text.Pii.countEmails(col("text")) +
           graft.text.Pii.countIpv4(col("text")) +
@@ -401,7 +402,10 @@ object PipelineQueries {
   // ------------------------------------------------------------------ q40
   def q40TextLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      // materialize the canonical form once; the 5 stopword scorers
+      // share the attribute instead of re-canonicalizing per pattern
+      .select(col("lang"), TextAnalysis.canonical(col("text")).as("_ct"))
+      .withColumn("pred_lang", TextAnalysis.langIdFrom(col("_ct")))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
@@ -535,10 +539,11 @@ object PipelineQueries {
   def q46QualityFilter(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val m = TextAnalysis.qualityMetrics(Tables.documents(s, dir), "text")
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val m = TextAnalysis
+      .qualityMetrics(Tables.documents(s, dir), "text", keepCanonical = true)
+      .withColumn("fp", md5(col("_ct")))
       .withColumn("dup_rank", row_number().over(w))
-      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .withColumn("pred_lang", TextAnalysis.langIdFrom(col("_ct")))
       .withColumn("n_pii",
         graft.text.Pii.countEmails(col("text")) +
           graft.text.Pii.countIpv4(col("text")) +

@@ -54,20 +54,30 @@ object TextAnalysis {
   )
 
   /** Score of one language = count of (possibly overlapping-adjacent)
-    * stopword hits on the canonical text. Overlap caused by the shared
-    * space between adjacent stopwords is intentional and mirrored in the
-    * oracle by counting non-overlapping matches the same way in both
-    * engines (both use leftmost, non-overlapping semantics). */
-  def langScore(text: Column, pattern: String): Column =
-    size(regexp_extract_all(canonical(text), lit(pattern), lit(0)))
+    * stopword hits on a PRE-MATERIALIZED canonical-text ATTRIBUTE
+    * column (same plan-shape contract as
+    * [[graft.dedup.Dedup.shinglesFromTokens]]: handing this a complex
+    * expression re-evaluates the canonicalization once per pattern —
+    * 5 regex passes per row where one suffices). Overlap caused by the
+    * shared space between adjacent stopwords is intentional and
+    * mirrored in the oracle (both engines count leftmost
+    * non-overlapping matches). */
+  def langScoreFrom(ct: Column, pattern: String): Column =
+    size(regexp_extract_all(ct, lit(pattern), lit(0)))
 
-  /** Heuristic language ID: argmax of stopword scores; ties go to the
-    * earlier language in `stopwordPatterns` order; "und" (undetermined)
-    * when every score is 0. Implemented as a when-chain so the DuckDB
-    * oracle can express the identical CASE. */
-  def langId(text: Column): Column = {
+  /** Convenience single-expression form — see [[langScoreFrom]] for the
+    * plan-shape caveat. */
+  def langScore(text: Column, pattern: String): Column =
+    langScoreFrom(canonical(text), pattern)
+
+  /** Heuristic language ID over a pre-materialized canonical-text
+    * attribute: argmax of stopword scores; ties go to the earlier
+    * language in `stopwordPatterns` order; "und" (undetermined) when
+    * every score is 0. Implemented as a when-chain so the DuckDB oracle
+    * can express the identical CASE. */
+  def langIdFrom(ct: Column): Column = {
     val scores = stopwordPatterns.map { case (code, pat) =>
-      code -> langScore(text, pat)
+      code -> langScoreFrom(ct, pat)
     }
     val allZero = scores.map(_._2 === 0).reduce(_ && _)
     val chain = scores.zipWithIndex.foldLeft(when(allZero, "und")) {
@@ -79,10 +89,22 @@ object TextAnalysis {
     chain.otherwise("und")
   }
 
+  /** Convenience single-expression form — prefer materializing
+    * `canonical(text)` in its own projection and calling [[langIdFrom]]
+    * (this form canonicalizes once per stopword pattern). */
+  def langId(text: Column): Column = langIdFrom(canonical(text))
+
   /** Quality metrics: token count, alpha ratio, punctuation ratio,
     * space ratio, mean token length, stopword ratio — the
-    * length/punct/stopword signals used for corpus filtering. */
-  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    * length/punct/stopword signals used for corpus filtering. The
+    * canonical form is materialized ONCE (`_ct`) and shared by all five
+    * stopword scorers instead of being recomputed per pattern;
+    * `keepCanonical = true` leaves the `_ct` column in the output so
+    * downstream fingerprint/langId reuse it too. */
+  def qualityMetrics(
+      df: DataFrame,
+      textCol: String,
+      keepCanonical: Boolean = false): DataFrame = {
     val t = col(textCol)
     val chars = length(t).cast("double")
     val alpha = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
@@ -90,9 +112,10 @@ object TextAnalysis {
     val spaces = length(regexp_replace(t, "[^ ]", "")).cast("double")
     val toks = tokenCount(t).cast("double")
     val stopHits = stopwordPatterns
-      .map { case (_, pat) => langScore(t, pat).cast("double") }
+      .map { case (_, pat) => langScoreFrom(col("_ct"), pat).cast("double") }
       .reduce(_ + _)
-    df.withColumn("n_chars_m", length(t))
+    df.withColumn("_ct", canonical(t))
+      .withColumn("n_chars_m", length(t))
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("alpha_ratio", round(alpha / chars, 6))
       .withColumn("punct_ratio", round(punct / chars, 6))
@@ -107,6 +130,7 @@ object TextAnalysis {
         "quality_ok",
         col("n_tokens") >= 5 && col("alpha_ratio") >= 0.5 &&
           col("punct_ratio") <= 0.2)
+      .drop((if (keepCanonical) Seq.empty[String] else Seq("_ct")): _*)
   }
 
 }
