@@ -301,49 +301,11 @@ object PipelineQueries {
       .orderBy(col("source"), col("decision"))
   }
 
-  val q29Oracle: String = {
-    val pats = TextAnalysis.stopwordPatterns
-    val canon = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    val scoreExprs = pats.map { case (code, pat) =>
-      s"len(regexp_extract_all($canon, '$pat')) AS s_$code"
-    }.mkString(",\n    ")
-    val codes = pats.map(_._1)
-    val allZero = codes.map(c => s"s_$c = 0").mkString(" AND ")
-    val chain = codes.zipWithIndex.map { case (c, i) =>
-      val later = codes.drop(i + 1)
-      val cond =
-        if (later.isEmpty) "TRUE"
-        else later.map(o => s"s_$c >= s_$o").mkString(" AND ")
-      s"WHEN $cond THEN '$c'"
-    }.mkString("\n      ")
-    s"""WITH m AS (SELECT doc_id, source, text,
-       |    md5($canon) AS fp,
-       |    len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS n_tokens,
-       |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
-       |    round(CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-       |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-       |      + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
-       |      + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_pii,
-       |    $scoreExprs
-       |  FROM documents),
-       |r AS (SELECT *,
-       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank,
-       |    CASE WHEN $allZero THEN 'und'
-       |      $chain
-       |      ELSE 'und' END AS pred_lang,
-       |    (n_tokens >= 5 AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2) AS quality_ok
-       |  FROM m),
-       |d AS (SELECT source, n_tokens,
-       |    CASE WHEN dup_rank > 1 THEN 'dup'
-       |      WHEN pred_lang = 'und' THEN 'lang'
-       |      WHEN NOT quality_ok THEN 'quality'
-       |      WHEN n_pii != 0 THEN 'pii'
-       |      ELSE 'keep' END AS decision
-       |  FROM r)
+  val q29Oracle: String =
+    s"""WITH $filterDecisionCtes
        |SELECT source, decision, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM d GROUP BY source, decision ORDER BY source, decision""".stripMargin
-  }
 
   // ------------------------------------------------------------------ q30
   def q30AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
@@ -562,7 +524,11 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  val q46Oracle: String = {
+  /** Shared m → r → d CTE chain for the filter-decision oracles
+    * (q46 per-doc verdicts, q29 dataset-card rollup): per-doc metrics,
+    * fingerprint dup rank, the q40 langid CASE chain, quality gates and
+    * the precedence decision. */
+  private lazy val filterDecisionCtes: String = {
     val pats = TextAnalysis.stopwordPatterns
     val canon = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     val scoreExprs = pats.map { case (code, pat) =>
@@ -577,7 +543,7 @@ object PipelineQueries {
         else later.map(o => s"s_$c >= s_$o").mkString(" AND ")
       s"WHEN $cond THEN '$c'"
     }.mkString("\n      ")
-    s"""WITH m AS (SELECT doc_id, text,
+    s"""m AS (SELECT doc_id, source, text,
        |    md5($canon) AS fp,
        |    len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS n_tokens,
        |    round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
@@ -593,18 +559,21 @@ object PipelineQueries {
        |      $chain
        |      ELSE 'und' END AS pred_lang,
        |    (n_tokens >= 5 AND alpha_ratio >= 0.5 AND punct_ratio <= 0.2) AS quality_ok
-       |  FROM m)
-       |SELECT doc_id, pred_lang,
-       |  (dup_rank > 1) AS is_dup,
-       |  quality_ok,
-       |  (n_pii = 0) AS pii_ok,
-       |  CASE WHEN dup_rank > 1 THEN 'dup'
-       |    WHEN pred_lang = 'und' THEN 'lang'
-       |    WHEN NOT quality_ok THEN 'quality'
-       |    WHEN n_pii != 0 THEN 'pii'
-       |    ELSE 'keep' END AS decision
-       |FROM r ORDER BY doc_id""".stripMargin
+       |  FROM m),
+       |d AS (SELECT doc_id, source, n_tokens, pred_lang,
+       |    (dup_rank > 1) AS is_dup, quality_ok, (n_pii = 0) AS pii_ok,
+       |    CASE WHEN dup_rank > 1 THEN 'dup'
+       |      WHEN pred_lang = 'und' THEN 'lang'
+       |      WHEN NOT quality_ok THEN 'quality'
+       |      WHEN n_pii != 0 THEN 'pii'
+       |      ELSE 'keep' END AS decision
+       |  FROM r)""".stripMargin
   }
+
+  val q46Oracle: String =
+    s"""WITH $filterDecisionCtes
+       |SELECT doc_id, pred_lang, is_dup, quality_ok, pii_ok, decision
+       |FROM d ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ q51
   /** Cross-media shared-frame near-dup ([[Multimodal.sharedFramePairs]]):
