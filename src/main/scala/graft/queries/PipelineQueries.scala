@@ -275,31 +275,13 @@ object PipelineQueries {
     * ships with ("kept N docs / M tokens from src X; dropped D as
     * dups..."). Pure composition: the q46 decision pipeline feeding one
     * aggregation. */
-  def q29DatasetCard(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val decided = TextAnalysis
-      .qualityMetrics(Tables.documents(s, dir), "text", keepCanonical = true)
-      .withColumn("fp", md5(col("_ct")))
-      .withColumn("dup_rank", row_number().over(w))
-      .withColumn("pred_lang", TextAnalysis.langIdFrom(col("_ct")))
-      .withColumn("n_pii",
-        graft.text.Pii.countEmails(col("text")) +
-          graft.text.Pii.countIpv4(col("text")) +
-          graft.text.Pii.countSsns(col("text")))
-      .withColumn("decision",
-        when(col("dup_rank") > 1, "dup")
-          .when(col("pred_lang") === "und", "lang")
-          .when(!col("quality_ok"), "quality")
-          .when(col("n_pii") =!= 0, "pii")
-          .otherwise("keep"))
-    decided
+  def q29DatasetCard(s: SparkSession, dir: String): DataFrame =
+    filterDecisions(s, dir)
       .groupBy(col("source"), col("decision"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("sum_tokens"))
       .orderBy(col("source"), col("decision"))
-  }
 
   val q29Oracle: String =
     s"""WITH $filterDecisionCtes
@@ -498,10 +480,14 @@ object PipelineQueries {
     * min doc_id; language must be identifiable; q41's quality gates;
     * zero PII matches). One scan + one window on the fingerprint —
     * the decision columns are all narrow expressions. */
-  def q46QualityFilter(s: SparkSession, dir: String): DataFrame = {
+  /** Shared per-doc decision pipeline for q46/q29: quality metrics with
+    * ONE materialized canonicalization, fingerprint dup rank, langid,
+    * PII counts and the precedence decision (dup > lang > quality >
+    * pii). One scan + one window on the fingerprint. */
+  private def filterDecisions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val m = TextAnalysis
+    TextAnalysis
       .qualityMetrics(Tables.documents(s, dir), "text", keepCanonical = true)
       .withColumn("fp", md5(col("_ct")))
       .withColumn("dup_rank", row_number().over(w))
@@ -510,19 +496,24 @@ object PipelineQueries {
         graft.text.Pii.countEmails(col("text")) +
           graft.text.Pii.countIpv4(col("text")) +
           graft.text.Pii.countSsns(col("text")))
-    m.select(
+      .withColumn("decision",
+        when(col("dup_rank") > 1, "dup")
+          .when(col("pred_lang") === "und", "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(col("n_pii") =!= 0, "pii")
+          .otherwise("keep"))
+  }
+
+  def q46QualityFilter(s: SparkSession, dir: String): DataFrame =
+    filterDecisions(s, dir)
+      .select(
         col("doc_id"),
         col("pred_lang"),
         (col("dup_rank") > 1).as("is_dup"),
         col("quality_ok"),
         (col("n_pii") === 0).as("pii_ok"),
-        when(col("dup_rank") > 1, "dup")
-          .when(col("pred_lang") === "und", "lang")
-          .when(!col("quality_ok"), "quality")
-          .when(col("n_pii") =!= 0, "pii")
-          .otherwise("keep").as("decision"))
+        col("decision"))
       .orderBy(col("doc_id"))
-  }
 
   /** Shared m → r → d CTE chain for the filter-decision oracles
     * (q46 per-doc verdicts, q29 dataset-card rollup): per-doc metrics,
