@@ -46,6 +46,7 @@ object SparkEntry {
     "q27_stratified_sample"       -> (P.q27StratifiedSample _),
     "q28_token_budget"            -> (P.q28TokenBudget _),
     "q29_dataset_card"            -> (P.q29DatasetCard _),
+    "q52_sequence_pack"           -> (P.q52SequencePack _),
     "q30_ann_bruteforce"          -> (P.q30AnnBruteForce _),
     "q31_ann_lsh"                 -> (P.q31AnnLsh _),
     "q32_ann_ivf"                 -> (P.q32AnnIvf _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q27_stratified_sample"       -> P.q27Oracle,
     "q28_token_budget"            -> P.q28Oracle,
     "q29_dataset_card"            -> P.q29Oracle,
+    "q52_sequence_pack"           -> P.q52Oracle,
     "q30_ann_bruteforce"          -> P.q30Oracle,
     "q40_text_langid"             -> P.q40Oracle,
     "q41_text_quality"            -> P.q41Oracle,

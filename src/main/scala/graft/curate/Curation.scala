@@ -85,11 +85,32 @@ object Curation {
       case (acc, (s, b)) => when(col(stratumCol) === s, lit(b)).otherwise(acc)
     }
     val keyed = df
-      .withColumn("_hk", md5(concat(col(idCol).cast("string"), lit(salt))))
-      .withColumn("_bkt", substring(col("_hk"), 1, 2))
       .withColumn("_budget", budgetCol)
       .where(col("_budget").isNotNull)
-    // per-(stratum, bucket) token subtotals → prefix offsets (tiny)
+    withRunningTokens(keyed, idCol, stratumCol, tokensCol, salt)
+      .where(col("_running") <= col("_budget"))
+      .drop("_budget", "_running")
+  }
+
+  /** Running per-stratum token total (inclusive of the current row) in
+    * deterministic md5-hash order — the two-phase bucket prefix-sum
+    * shared by [[tokenBudget]] and [[packSequences]]: rows land in 256
+    * hash-prefix buckets, a metadata-scale per-(stratum, bucket)
+    * aggregate is prefix-summed, each bucket's offset broadcasts back,
+    * and the in-bucket running sum is a window keyed by
+    * (stratum, bucket) — 256-way parallel per stratum, value-identical
+    * to one global per-stratum window because bucket = first hex chars
+    * of the same md5 the in-bucket order uses. Output adds `_running`;
+    * internal columns are dropped. */
+  private def withRunningTokens(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokensCol: String,
+      salt: String): DataFrame = {
+    val keyed = df
+      .withColumn("_hk", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("_bkt", substring(col("_hk"), 1, 2))
     val offsets = keyed
       .groupBy(col(stratumCol).as("_st"), col("_bkt").as("_obkt"))
       .agg(sum(col(tokensCol)).as("_bt"))
@@ -100,7 +121,6 @@ object Curation {
             .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("_st"), col("_obkt"), col("_offset"))
-    // in-bucket running sum, shifted by the bucket offset
     val w = Window.partitionBy(col(stratumCol), col("_bkt"))
       .orderBy(col("_hk"), col(idCol))
     keyed
@@ -108,7 +128,33 @@ object Curation {
         col(stratumCol) === col("_st") && col("_bkt") === col("_obkt"))
       .withColumn("_running",
         col("_offset") + sum(col(tokensCol)).over(w))
-      .where(col("_running") <= col("_budget"))
-      .drop("_hk", "_bkt", "_budget", "_st", "_obkt", "_offset", "_running")
+      .drop("_hk", "_bkt", "_st", "_obkt", "_offset")
+  }
+
+  /** Context-window sequence packing, concatenation style: documents of
+    * a stratum are laid end-to-end in deterministic hash order and cut
+    * every `ctxLen` tokens — each doc is annotated with the bin it
+    * STARTS in and its token offset inside that bin (the GPT-pretraining
+    * packing layout, where documents may span cut points). Pure
+    * function of the ids and token counts: reproducible across
+    * engines, partitionings and runs, and the bin assembly downstream
+    * can shuffle on (stratum, bin_id).
+    *
+    * Scale shape: the only non-narrow work is [[withRunningTokens]]'s
+    * two-phase prefix sum — no stratum ever funnels through one task.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokensCol: String,
+      ctxLen: Long,
+      salt: String = "graft"): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    withRunningTokens(df, idCol, stratumCol, tokensCol, salt)
+      .withColumn("_start", col("_running") - col(tokensCol))
+      .withColumn("bin_id", floor(col("_start") / ctxLen))
+      .withColumn("bin_offset", col("_start") % ctxLen)
+      .drop("_running", "_start")
   }
 }

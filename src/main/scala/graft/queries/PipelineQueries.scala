@@ -269,6 +269,36 @@ object PipelineQueries {
       |  WHEN 'src1' THEN 700 ELSE 600 END
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q52
+  /** Context-window sequence packing ([[graft.curate.Curation
+    * .packSequences]]): docs laid end-to-end per source in
+    * deterministic hash order, cut every 512 tokens — each doc
+    * annotated with its starting bin and in-bin offset. */
+  def q52SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.curate.Curation.packSequences(docs, "doc_id", "source",
+        "n_tokens", ctxLen = 512L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("bin_id"), col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q52Oracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens,
+      |    md5(doc_id::VARCHAR || 'graft') AS hk
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id)
+      |      - n_tokens AS st
+      |  FROM t)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(floor(st / 512) AS BIGINT) AS bin_id,
+      |  CAST(st % 512 AS BIGINT) AS bin_offset
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q29
   /** Dataset-card rollup: per (source, decision) doc counts and token
     * sums over the q46 filter verdicts — the summary a curated corpus

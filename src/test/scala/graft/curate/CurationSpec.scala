@@ -59,6 +59,32 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("packSequences lays docs end-to-end: offsets chain, bins cut at ctxLen") {
+    val packed = Curation.packSequences(docs, "id", "lang", "toks", ctxLen = 64)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("id"),
+        r.getAs[Long]("toks"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("bin_offset")))
+    assert(packed.length === 400)
+    // reconstruct each stratum's concatenation order and check the
+    // global start positions chain with no gaps or overlaps
+    for ((_, rows) <- packed.groupBy(_._1)) {
+      val byStart = rows.sortBy(r => r._4 * 64 + r._5)
+      var pos = 0L
+      for ((_, _, toks, bin, off) <- byStart) {
+        assert(bin === pos / 64)
+        assert(off === pos % 64)
+        pos += toks
+      }
+    }
+    // partition-independence: same layout after repartitioning
+    val re = Curation.packSequences(docs.repartition(7), "id", "lang",
+        "toks", ctxLen = 64)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("bin_offset"))).toSet
+    assert(re === packed.map(r => (r._2, r._4, r._5)).toSet)
+  }
+
   test("tokenBudget totals respect each stratum's budget") {
     val budgets = Map("en" -> 300L, "de" -> 150L, "zh" -> 5L)
     val out = Curation.tokenBudget(docs, "id", "lang", "toks", budgets)
