@@ -57,6 +57,7 @@ object SparkEntry {
     "q44_rolling_fingerprint"     -> (P.q44RollingFingerprint _),
     "q45_pii_scrub"               -> (P.q45PiiScrub _),
     "q46_quality_filter"          -> (P.q46QualityFilter _),
+    "q47_repetition"              -> (P.q47Repetition _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
     "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
@@ -98,6 +99,7 @@ object SparkEntry {
     "q44_rolling_fingerprint"     -> P.q44Oracle,
     "q45_pii_scrub"               -> P.q45Oracle,
     "q46_quality_filter"          -> P.q46Oracle,
+    "q47_repetition"              -> P.q47Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle
   )
 }

@@ -596,6 +596,52 @@ object PipelineQueries {
        |SELECT doc_id, pred_lang, is_dup, quality_ok, pii_ok, decision
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q47
+  /** Repetition metrics (Gopher-style): duplicate-line ratio and
+    * top-token fraction per doc, with one planted repetitive row (id
+    * −101, identical literal in the oracle's UNION) so the signals are
+    * provably exercised on a clean corpus. */
+  def q47Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq((-101L,
+      "spam spam spam spam line\nspam spam spam spam line\nunique tail"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        TextAnalysis.dupLineRatio(col("text")).as("dup_line_ratio"))
+      .join(
+        TextAnalysis.topTokenFrac(docs, "doc_id", "text")
+          .withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("top_token_frac", coalesce(col("top_token_frac"), lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47Oracle: String =
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT -101,
+      |    'spam spam spam spam line' || chr(10) || 'spam spam spam spam line' || chr(10) || 'unique tail'),
+      |l AS (SELECT doc_id,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    round(1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+      |      / CAST(len(string_split(text, chr(10))) AS DOUBLE), 6) AS dup_line_ratio
+      |  FROM u),
+      |tok AS (SELECT doc_id, t, count(*) AS c
+      |  FROM (SELECT doc_id,
+      |      unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^ ]+')) AS t
+      |    FROM u)
+      |  GROUP BY doc_id, t),
+      |tf AS (SELECT doc_id,
+      |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_token_frac
+      |  FROM tok GROUP BY doc_id)
+      |SELECT l.doc_id, l.n_lines, l.dup_line_ratio,
+      |  coalesce(tf.top_token_frac, 0.0) AS top_token_frac
+      |FROM l LEFT JOIN tf ON l.doc_id = tf.doc_id
+      |ORDER BY l.doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q51
   /** Cross-media shared-frame near-dup ([[Multimodal.sharedFramePairs]]):
     * frame-hash inverted index over sampled payload frames. Exact for

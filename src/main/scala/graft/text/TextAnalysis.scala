@@ -94,6 +94,31 @@ object TextAnalysis {
     * (this form canonicalizes once per stopword pattern). */
   def langId(text: Column): Column = langIdFrom(canonical(text))
 
+  /** Duplicate-line ratio: 1 − distinct/total over newline-split lines —
+    * the line-level repetition signal (boilerplate, scraped nav bars,
+    * degenerate generations). 0 for single-line or all-unique docs. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    round(
+      lit(1.0) - size(array_distinct(lines)).cast("double")
+        / size(lines).cast("double"), 6)
+  }
+
+  /** Per-doc top-token fraction over a corpus: share of the most
+    * frequent whitespace token of the canonical text (near 1 ⇒
+    * degenerate repetition). Shuffles on (id, token) then id — both
+    * keyed, scalable; docs with no tokens are absent from the result
+    * (join back with a 0 default). Output: (`id`, `top_token_frac`). */
+  def topTokenFrac(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(regexp_extract_all(
+          canonical(col(textCol)), lit("[^ ]+"), lit(0))).as("t"))
+      .groupBy(col("id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(round(max(col("c")).cast("double")
+        / sum(col("c")).cast("double"), 6).as("top_token_frac"))
+
   /** Quality metrics: token count, alpha ratio, punctuation ratio,
     * space ratio, mean token length, stopword ratio — the
     * length/punct/stopword signals used for corpus filtering. The

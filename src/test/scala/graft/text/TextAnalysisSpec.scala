@@ -66,6 +66,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq(true, false))
   }
 
+  test("repetition metrics: duplicate lines and degenerate tokens score high") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "line a\nline a\nline a\nline b"), // 3 dup lines of 4
+      (2L, "all lines unique here"),          // single line
+      (3L, "spam spam spam spam tail")        // token spam
+    ).toDF("id", "text")
+    val dup = df.select(TextAnalysis.dupLineRatio(col("text")))
+      .collect().map(_.getDouble(0))
+    assert(dup(0) === 0.5)   // 2 distinct / 4 lines
+    assert(dup(1) === 0.0)
+    val tf = TextAnalysis.topTokenFrac(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tf(3L) === 0.8)   // 4 of 5 tokens are 'spam'
+    assert(tf(2L) === 0.25)  // all unique
+  }
+
   test("stopword ratio reflects function-word density") {
     val out = TextAnalysis.qualityMetrics(
         Seq((1L, "the cat and the dog is in the house"),
