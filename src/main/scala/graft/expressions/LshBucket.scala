@@ -33,11 +33,28 @@ import org.apache.spark.sql.types._
 case class LshBucket(child: Expression, dim: Int, numPlanes: Int, table: Int)
     extends UnaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
-  }
+  // Bounds live in the expression itself (not just the Column helper) so
+  // the SQL-registered path is covered too: bits pack into one Long, and
+  // `1L << p` silently wraps mod 64 — planes 64+ would alias onto bits
+  // 0-63 and degrade bucket quality undetected.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numPlanes < 1 || numPlanes > 64)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires 1 <= numPlanes <= 64 (bucket bits pack " +
+          s"into one LONG), got $numPlanes")
+    else if (table < 0 || table >= (1 << 15))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires 0 <= table < 32768 (table is mixed into " +
+          s"the plane index as table << 16), got $table")
+    else if (dim < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires dim >= 1, got $dim")
+    else child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+    }
 
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"

@@ -56,12 +56,17 @@ object PipelineQueries {
   }
 
   /** Append a constant `planted_ok` column: true iff any result row
-    * satisfies `cond`. One broadcast of a 1-row aggregate; the result is
-    * persisted so the two plan consumers don't recompute it. */
+    * satisfies `cond`. One broadcast of a 1-row aggregate. The result is
+    * materialized ONCE via an eager local checkpoint shared by both plan
+    * consumers — unlike `persist()` (whose entry the CacheManager pins
+    * until an explicit unpersist, leaking blocks in a long-lived session
+    * that invokes these queries repeatedly), checkpoint blocks are
+    * released by the ContextCleaner as soon as the returned frame is
+    * garbage-collected. */
   private def withPlantedCheck(
       out: DataFrame,
       cond: org.apache.spark.sql.Column): DataFrame = {
-    val o = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val o = out.localCheckpoint(true)
     o.crossJoin(broadcast(o.agg(
       coalesce(max(when(cond, true)), lit(false)).as("planted_ok"))))
   }

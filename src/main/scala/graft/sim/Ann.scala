@@ -152,7 +152,8 @@ object Ann {
     * ([[nearDupPairsLsh]]); table 0 is the original single-table planes
     * (the plane index is mixed as `(table << 16) | p`, identity at 0). */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int, table: Int = 0): Column = {
-    require(numPlanes < (1 << 16), s"numPlanes must fit 16 bits, got $numPlanes")
+    // hard bounds (planes pack into one Long) live in the LshBucket
+    // expression itself, covering this path and the SQL-registered one
     graft.expressions.LshBucket.lshBucket(vec, dim, numPlanes, table)
   }
 

@@ -23,6 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Jdbc {
 
+  /** The helpers below interpolate table/column names into SQL text
+    * (pushed-down subqueries, prepared-statement UPDATE/INSERT shells).
+    * Identifiers are therefore restricted to `[A-Za-z_][A-Za-z0-9_]*`
+    * (tables may be schema-qualified with `.`) and emitted either bare
+    * or ANSI double-quoted — a caller-tainted name like
+    * `t; DROP TABLE x` must fail fast, not reach the database. Exotic
+    * or backtick-dialect identifiers are out of contract here; use
+    * Spark's own `read/write.jdbc` dialect handling for those. */
+  private val SafeIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def requireIdent(name: String, what: String): Unit =
+    require(SafeIdent.pattern.matcher(name).matches(),
+      s"$what '$name' is not a safe SQL identifier " +
+        "([A-Za-z_][A-Za-z0-9_]*); refusing to interpolate it")
+  private def requireTableIdent(name: String): Unit = {
+    val parts = name.split("\\.", -1)
+    require(parts.nonEmpty && parts.forall(p =>
+        SafeIdent.pattern.matcher(p).matches()),
+      s"table '$name' is not a safe (optionally schema-qualified) SQL " +
+        "identifier; refusing to interpolate it")
+  }
+
   /** Bulk-load a dim/fact snapshot. `maxConnections` caps the writing
     * partitions (and thus concurrent connections + batch streams). */
   def writeTable(
@@ -69,10 +90,13 @@ object Jdbc {
       table: String,
       dateCol: String,
       watermark: java.sql.Date,
-      properties: java.util.Properties = new java.util.Properties): DataFrame =
+      properties: java.util.Properties = new java.util.Properties): DataFrame = {
+    requireTableIdent(table)
+    requireIdent(dateCol, "dateCol")
     spark.read.jdbc(url,
       s"""(SELECT * FROM $table WHERE "$dateCol" > '$watermark') AS incr""",
       properties)
+  }
 
   /** Apply an SCD upsert (the `toUpdate`/`toInsert` split of
     * [[graft.etl.Scd.scdUpsert]]) to an external table with MERGE
@@ -90,7 +114,9 @@ object Jdbc {
       keyCols: Seq[String],
       maxConnections: Int = 8,
       batchSize: Int = 1000): Unit = {
+    requireTableIdent(table)
     val cols = updates.columns.toSeq
+    cols.foreach(requireIdent(_, "column"))
     require(inserts.columns.toSeq == cols,
       s"updates/inserts schemas differ: $cols vs ${inserts.columns.toSeq}")
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),

@@ -128,6 +128,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents handles non-numeric (string) ids") {
+    // Regression: the old sum-of-decimal convergence checksum nulled out
+    // on string ids (cast to decimal → NULL → every round summed to 0),
+    // falsely signalling convergence after one round. The changed-row
+    // count works for any orderable id type. Zero-padded names keep
+    // lexicographic order == numeric order for the min-label assertions.
+    val pairs = ((1 until 12).map(i => (f"n$i%02d", f"n${i + 1}%02d")) ++
+      Seq(("zz1", "zz2"), ("zz2", "zz3"))).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert((1 to 12).forall(i => comp(f"n$i%02d") === "n01"))
+    assert(Seq("zz1", "zz2", "zz3").forall(comp(_) === "zz1"))
+    assert(comp.size === 15)
+  }
+
   test("connectedComponents converges on a long chain within maxIter") {
     // path of 40 nodes: diameter 39 — path halving must converge in
     // O(log n) rounds, far under the default maxIter of 20

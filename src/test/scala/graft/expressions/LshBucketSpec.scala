@@ -69,6 +69,19 @@ class LshBucketSpec extends SparkSpec {
     }
   }
 
+  test("out-of-range numPlanes/table/dim are analysis errors (Long packs 64 bits)") {
+    // 1L << p wraps mod 64, so planes 65+ would silently alias onto bits
+    // 0-63; the bound lives in the expression so the SQL path errors too
+    for ((dim, planes, table) <- Seq((4, 0, 0), (4, 65, 0), (4, 6, -1),
+        (4, 6, 1 << 15), (0, 6, 0))) {
+      intercept[AnalysisException] {
+        vecs.select(LshBucket.lshBucket(col("v"), dim, planes, table)).collect()
+      }
+    }
+    // boundary values are fine
+    vecs.select(LshBucket.lshBucket(col("v"), 4, 64, (1 << 15) - 1)).collect()
+  }
+
   test("lsh_bucket and dot_product register as SQL functions") {
     org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
     val r = spark.sql(

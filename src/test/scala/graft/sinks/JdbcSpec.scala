@@ -93,4 +93,30 @@ class JdbcSpec extends SparkSpec {
     assert(part.rdd.getNumPartitions === 3)
     assert(part.count() === 2)
   }
+
+  test("SQL-interpolating helpers reject unsafe identifiers") {
+    // these interpolate names into SQL text — a tainted name must fail
+    // fast on the driver, never reach the database
+    intercept[IllegalArgumentException] {
+      Jdbc.readNewerThan(spark, "jdbc:derby:unused", "t; DROP TABLE x",
+        "start_date", d("2024-01-01"))
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.readNewerThan(spark, "jdbc:derby:unused", "DIM_INC",
+        """d" OR '1'='1""", d("2024-01-01"))
+    }
+    val evil = dimRows.withColumnRenamed("name", "na me")
+    intercept[IllegalArgumentException] {
+      Jdbc.applyScdUpsert(evil, evil, "jdbc:derby:unused", "DIM_X", Seq("nk"))
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.applyScdUpsert(dimRows, dimRows, "jdbc:derby:unused",
+        "schema.DIM OK", Seq("nk"))
+    }
+    // schema-qualified tables stay in contract
+    val url = freshDb()
+    Jdbc.writeTable(dimRows, url, "APP.DIM_Q", SaveMode.Overwrite)
+    assert(Jdbc.readNewerThan(spark, url, "APP.DIM_Q", "start_date",
+      d("2024-01-01")).count() === 1)
+  }
 }
