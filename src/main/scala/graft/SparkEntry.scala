@@ -36,6 +36,10 @@ object SparkEntry {
     "q15_full_measures"           -> (W.q15FullMeasures _),
     "q16_lookup_backfill"         -> (W.q16LookupBackfill _),
     "q17_typed_ingest"            -> (W.q17TypedIngest _),
+    "q18_sessionize"              -> (W.q18Sessionize _),
+    "q19_rollup_dashboard"        -> (W.q19RollupDashboard _),
+    "q60_pivot_dashboard"         -> (W.q60PivotDashboard _),
+    "q61_column_profile"          -> (W.q61ColumnProfile _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -58,6 +62,8 @@ object SparkEntry {
     "q45_pii_scrub"               -> (P.q45PiiScrub _),
     "q46_quality_filter"          -> (P.q46QualityFilter _),
     "q47_repetition"              -> (P.q47Repetition _),
+    "q48_decontaminate"           -> (P.q48Decontaminate _),
+    "q49_common_grams"            -> (P.q49CommonGrams _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
     "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
@@ -83,6 +89,10 @@ object SparkEntry {
     "q15_full_measures"           -> W.q15Oracle,
     "q16_lookup_backfill"         -> W.q16Oracle,
     "q17_typed_ingest"            -> W.q17Oracle,
+    "q18_sessionize"              -> W.q18Oracle,
+    "q19_rollup_dashboard"        -> W.q19Oracle,
+    "q60_pivot_dashboard"         -> W.q60Oracle,
+    "q61_column_profile"          -> W.q61Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,
@@ -100,6 +110,8 @@ object SparkEntry {
     "q45_pii_scrub"               -> P.q45Oracle,
     "q46_quality_filter"          -> P.q46Oracle,
     "q47_repetition"              -> P.q47Oracle,
+    "q48_decontaminate"           -> P.q48Oracle,
+    "q49_common_grams"            -> P.q49Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle
   )
 }

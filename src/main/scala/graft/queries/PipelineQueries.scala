@@ -700,6 +700,62 @@ object PipelineQueries {
       |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS scrubbed_fp
       |FROM u ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q48
+  /** Benchmark decontamination ([[graft.text.WordGrams.decontaminate]]):
+    * a deterministic md5-selected ~12% of the corpus plays the held-out
+    * eval set; every remaining training doc is flagged with the number
+    * of distinct word 5-grams it shares with ANY eval doc — the overlap
+    * audit every LLM training pipeline runs before release. */
+  private val EvalRate = 0.12
+  private val evalHash =
+    graft.curate.Curation.hashKey(col("doc_id"), "eval").cast("double")
+
+  def q48Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+    val eval_ = docs.where(evalHash < EvalRate * 4294967296.0)
+    val train = docs.where(evalHash >= EvalRate * 4294967296.0)
+    graft.text.WordGrams.decontaminate(train, eval_, "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val gramCtes: String =
+    """d AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t,
+      |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'eval'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      < 0.12 * 4294967296.0 AS is_eval
+      |  FROM documents)""".stripMargin
+
+  val q48Oracle: String =
+    s"""WITH $gramCtes,
+       |g AS (SELECT doc_id, is_eval, t, unnest(generate_series(1, len(t) - 4)) AS i FROM d),
+       |grams AS (SELECT DISTINCT doc_id, is_eval, array_to_string(t[i:i+4], ' ') AS gram FROM g),
+       |eg AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+       |hits AS (SELECT tg.doc_id, count(*) AS n_shared
+       |         FROM grams tg JOIN eg USING (gram) WHERE NOT tg.is_eval
+       |         GROUP BY tg.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       |  coalesce(h.n_shared, 0) > 0 AS contaminated
+       |FROM d LEFT JOIN hits h USING (doc_id)
+       |WHERE NOT d.is_eval ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q49
+  /** Corpus-frequency gram mining ([[graft.text.WordGrams.commonGrams]]):
+    * word 3-grams recurring in >= 5 distinct documents with their
+    * document frequency — the input a boilerplate/common-gram filter
+    * consumes. */
+  def q49CommonGrams(s: SparkSession, dir: String): DataFrame =
+    graft.text.WordGrams.commonGrams(docsSpread(s, dir), "doc_id", "text",
+        n = 3, minDocs = 5)
+      .orderBy(desc("doc_freq"), col("gram"))
+
+  val q49Oracle: String =
+    s"""WITH $gramCtes,
+       |g AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM d),
+       |grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram FROM g)
+       |SELECT gram, count(*) AS doc_freq FROM grams GROUP BY gram
+       |HAVING count(*) >= 5 ORDER BY doc_freq DESC, gram""".stripMargin
+
   // ------------------------------------------------------------------ q50
   def q50MultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractMeta(

@@ -499,4 +499,107 @@ object WarehouseQueries {
       |  CAST(round(CAST(price_str AS DECIMAL(9,2)), 2) AS DOUBLE) AS price,
       |  round(CASE WHEN isnan(maybe_nan) THEN NULL ELSE maybe_nan END, 6) AS tax_or_null
       |FROM dirty ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ------------------------------------------------------------------ q18
+  /** Gap-based sessionization of the event stream ([[graft.etl.Sessionize]]):
+    * 30-minute inactivity gap per user, then a per-session rollup — the
+    * standard behavioural-data preparation the reference's BI layer
+    * would need for any "visits" dashboard. One shuffle on user_id. */
+  def q18Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Sessionize.sessionStats(Tables.events(s, dir),
+        keyCol = "user_id", tsCol = "ts", gapMicros = 30L * 60 * 1000000,
+        tieBreakCol = "event_id", valueCol = "value")
+      .orderBy(col("user_id"), col("session_seq"))
+
+  val q18Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+      |m AS (SELECT user_id, event_id, value, us,
+      |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM e),
+      |s AS (SELECT user_id, value, us,
+      |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |      FROM m)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  (max(us) - min(us)) // 1000000 AS duration_sec,
+      |  round(sum(value), 6) AS total_value
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  // ------------------------------------------------------------------ q19
+  /** ROLLUP dashboard: revenue/order counts at (year, priority),
+    * per-year subtotal and grand-total grain in ONE aggregation pass
+    * (Expand + single shuffle) instead of three dashboard queries.
+    * NULL grouping slots are coalesced to sentinels so the output (and
+    * its ordering) is engine-portable. */
+  def q19RollupDashboard(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .rollup(col("order_year"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast("int").as("grp"),
+        count(lit(1)).as("n_orders"),
+        emit(sum(col("o_totalprice").cast("decimal(12,2)"))).as("revenue"))
+      .select(col("grp"),
+        coalesce(col("order_year"), lit(-1)).as("order_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("grp"), col("order_year"), col("priority"))
+
+  val q19Oracle: String =
+    """SELECT CAST(GROUPING(year(o_orderdate), o_orderpriority) AS INTEGER) AS grp,
+      |  coalesce(year(o_orderdate), -1) AS order_year,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+      |ORDER BY grp, order_year, priority""".stripMargin
+
+  // ------------------------------------------------------------------ q60
+  /** Pivoted dashboard: quantity by return flag × line status as a
+    * wide table. The pivot value list is EXPLICIT — without it Spark
+    * runs a distinct-values job over the fact table before planning,
+    * a full extra scan at 100 TB. */
+  def q60PivotDashboard(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(emit(sum(col("l_quantity").cast("decimal(12,2)"))))
+      .select(col("l_returnflag"),
+        col("F").as("qty_f"), col("O").as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  val q60Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F'), 4) AS DOUBLE) AS qty_f,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O'), 4) AS DOUBLE) AS qty_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------ q61
+  /** Column profiling QA over the fact table ([[graft.etl.Profiler]]):
+    * one scan + one aggregation produces nulls/distincts/range/exact
+    * sums for every profiled column at once. */
+  private val profileCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  def q61ColumnProfile(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Profiler.numericProfile(Tables.lineitem(s, dir), profileCols)
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), round(col("min_v"), 6).as("min_v"),
+        round(col("max_v"), 6).as("max_v"),
+        emit(col("sum_v")).as("sum_v"))
+      .orderBy(col("col_name"))
+
+  val q61Oracle: String = profileCols.map { c =>
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  round(CAST(min($c) AS DOUBLE), 6) AS min_v,
+       |  round(CAST(max($c) AS DOUBLE), 6) AS max_v,
+       |  CAST(round(sum(CAST($c AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_v
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 }

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Word n-gram operators over a document corpus: benchmark
+  * decontamination (flag training docs sharing any n-gram with an eval
+  * set — the overlap check every LLM training pipeline runs before
+  * release) and corpus-frequency gram mining (boilerplate n-grams that
+  * recur across many documents).
+  *
+  * Tokenization is the shared canonical form: lowercase, non-alnum runs
+  * collapsed to single spaces, whitespace-split — cheap, deterministic
+  * and expressible in ANSI SQL so both operators stay oracle-checkable.
+  *
+  * Plan shape: grams are built with per-document window `lead`s over
+  * the exploded token list — everything stays codegen'd column work
+  * (an equivalent higher-order `transform(sequence(...), slice)` form
+  * is interpreted per element, the q44 mistake). The window shuffle is
+  * keyed on doc id; all downstream joins/aggregates key on the gram
+  * string, so corpus size scales horizontally and no token list ever
+  * needs to fit anywhere but its own document's task.
+  */
+object WordGrams {
+
+  /** Canonical token array of `text` (may contain one empty token for
+    * blank text — gram builders drop it). */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+
+  /** One row per complete word n-gram: (`idCol`, `gram`) with the gram
+    * as a space-joined string. Documents with fewer than `n` tokens
+    * emit nothing. */
+  def grams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leadCols = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"_t$k"))
+    val withLeads = toks.select(
+      (col(idCol) +: col("tok").as("_t0") +: leadCols): _*)
+    val complete =
+      if (n == 1) withLeads else withLeads.where(col(s"_t${n - 1}").isNotNull)
+    complete.select(col(idCol),
+      concat_ws(" ", (0 until n).map(k => col(s"_t$k")): _*).as("gram"))
+  }
+
+  /** Per-training-doc contamination report against `eval`: how many
+    * DISTINCT n-grams the doc shares with ANY eval document, plus the
+    * boolean verdict. Every training doc appears (n_shared = 0 when
+    * clean).
+    *
+    * Both gram sets are distinct-reduced (map-side combinable) before
+    * the equi-join on the gram string; the eval side of a real
+    * decontamination run is benchmark-sized — orders smaller than the
+    * corpus — so AQE broadcast-plans it. */
+  def decontaminate(
+      train: DataFrame,
+      eval_ : DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val trainGrams = grams(train, idCol, textCol, n).distinct()
+    val evalGrams = grams(eval_, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val hits = trainGrams.join(evalGrams, "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Corpus-frequency gram mining: n-grams occurring in at least
+    * `minDocs` DISTINCT documents, with their document frequency —
+    * the input to boilerplate stripping / common-gram filters. */
+  def commonGrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Long): DataFrame =
+    grams(docs, idCol, textCol, n).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocs)
+}

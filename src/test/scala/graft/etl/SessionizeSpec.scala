@@ -1,0 +1,63 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  // user 1: two sessions split by a 45-min gap; user 2: one session
+  private def events = Seq(
+    (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+    (2L, 1L, ts("2024-01-01 10:10:00"), 2.0),
+    (3L, 1L, ts("2024-01-01 10:55:00"), 4.0),
+    (4L, 1L, ts("2024-01-01 11:05:00"), 8.0),
+    (5L, 2L, ts("2024-01-01 09:00:00"), 1.5)
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  private val gap30m = 30L * 60 * 1000000
+
+  test("session boundaries open on gaps strictly over the threshold") {
+    val seq = Sessionize.withSessionSeq(events, "user_id", "ts", gap30m,
+        "event_id")
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seq === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("a gap of exactly the threshold does NOT split") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 10:30:00"), 1.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val seq = Sessionize.withSessionSeq(e, "user_id", "ts", gap30m, "event_id")
+      .select("session_seq").collect().map(_.getLong(0))
+    assert(seq.toSet === Set(1L))
+  }
+
+  test("sessionStats aggregates count/duration/value per session") {
+    val stats = Sessionize.sessionStats(events, "user_id", "ts", gap30m,
+        "event_id", "value")
+      .orderBy("user_id", "session_seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(stats.toSeq === Seq(
+      (1L, 1L, 2L, 600L, 3.0),
+      (1L, 2L, 2L, 600L, 12.0),
+      (2L, 1L, 1L, 0L, 1.5)))
+  }
+
+  test("timestamp ties break deterministically on the tie-break column") {
+    val e = Seq(
+      (9L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (3L, 1L, ts("2024-01-01 10:00:00"), 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val seq = Sessionize.withSessionSeq(e, "user_id", "ts", gap30m, "event_id")
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seq === Map(3L -> 1L, 9L -> 1L))
+  }
+}

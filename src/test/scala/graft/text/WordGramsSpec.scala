@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WordGramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grams canonicalizes, windows and drops incomplete tails") {
+    val docs = Seq(
+      (1L, "The quick, BROWN fox!"),
+      (2L, "tiny doc"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = WordGrams.grams(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set(
+      (1L, "the quick brown"), (1L, "quick brown fox")))
+  }
+
+  test("grams n=1 emits every token; blank docs emit nothing") {
+    val docs = Seq((1L, "a b a"), (2L, "   ")).toDF("doc_id", "text")
+    val got = WordGrams.grams(docs, "doc_id", "text", 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq.sorted === Seq((1L, "a"), (1L, "a"), (1L, "b")))
+  }
+
+  test("decontaminate counts distinct shared grams and keeps clean docs") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta"),      // shares "alpha beta gamma" once
+      (11L, "alpha beta gamma alpha beta gamma"), // same gram twice -> distinct 1 + "beta gamma alpha" + "gamma alpha beta"
+      (12L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (90L, "alpha beta gamma alpha beta")
+    ).toDF("doc_id", "text")
+    val got = WordGrams.decontaminate(train, eval_, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // eval grams: {alpha beta gamma, beta gamma alpha, gamma alpha beta}
+    assert(got.toSeq === Seq(
+      (10L, 1L, true),
+      (11L, 3L, true),
+      (12L, 0L, false)))
+  }
+
+  test("commonGrams counts document frequency, not occurrences") {
+    val docs = Seq(
+      (1L, "x y x y x y"), // gram "x y" appears 3x in one doc -> df 1
+      (2L, "x y z"),
+      (3L, "x y q"),
+      (4L, "unrelated words")
+    ).toDF("doc_id", "text")
+    val got = WordGrams.commonGrams(docs, "doc_id", "text", 2, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("x y", 3L)))
+  }
+}
