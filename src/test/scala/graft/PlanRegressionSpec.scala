@@ -65,4 +65,29 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("l_shipdate"), s"l_shipdate not pruned:\n$plan")
     assert(!plan.contains("l_tax"), s"l_tax not pruned:\n$plan")
   }
+
+  test("q18 sessionize: windows and rollup share ONE data shuffle") {
+    // HashPartitioning(user_id) satisfies the (user_id, session_seq)
+    // clustered requirement, so the per-session groupBy must NOT add a
+    // second exchange after the window's
+    val plan = finalPlan(SparkEntry.queries("q18_sessionize")(spark, sfDir))
+    val exchanges = countOf(plan, "Exchange hashpartitioning")
+    assert(exchanges === 1,
+      s"sessionize should shuffle once (got $exchanges):\n$plan")
+  }
+
+  test("q61 profiler: no Expand — single-distinct cascade only") {
+    // the wide multi-countDistinct form Expands every row once per
+    // profiled column; the melt form must keep exactly one Generate
+    // and no Expand
+    val plan = finalPlan(SparkEntry.queries("q61_column_profile")(spark, sfDir))
+    assert(countOf(plan, "Expand") === 0, s"Expand crept back in:\n$plan")
+    assert(countOf(plan, "Generate") === 1, plan)
+  }
+
+  test("q60 pivot: explicit value list means a single lineitem scan") {
+    val plan = finalPlan(SparkEntry.queries("q60_pivot_dashboard")(spark, sfDir))
+    assert(countOf(plan, "Scan parquet") === 1,
+      s"pivot should not run a distinct-values discovery scan:\n$plan")
+  }
 }
