@@ -64,6 +64,7 @@ object SparkEntry {
     "q47_repetition"              -> (P.q47Repetition _),
     "q48_decontaminate"           -> (P.q48Decontaminate _),
     "q49_common_grams"            -> (P.q49CommonGrams _),
+    "q62_quantile_cutoff"         -> (P.q62QuantileCutoff _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
     "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
@@ -112,6 +113,7 @@ object SparkEntry {
     "q47_repetition"              -> P.q47Oracle,
     "q48_decontaminate"           -> P.q48Oracle,
     "q49_common_grams"            -> P.q49Oracle,
+    "q62_quantile_cutoff"         -> P.q62Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle
   )
 }

@@ -157,4 +157,40 @@ object Curation {
       .withColumn("bin_offset", col("_start") % ctxLen)
       .drop("_running", "_start")
   }
+
+  /** Per-stratum adaptive quantile cutoffs: exact interpolated
+    * percentiles (p_lo / p_mid / p_hi) of `valueCol`, plus how many
+    * rows the [p_lo, p_hi] band keeps — the "per-domain length filter"
+    * shape, where thresholds come from each stratum's own distribution
+    * instead of one global constant.
+    *
+    * Cutoffs are rounded to 6 decimals BEFORE the keep test so the
+    * band edges are reproducible across engines (raw interpolation
+    * differs in the last float bit). Two passes over the input, one
+    * shuffle each, both keyed on the stratum; the cutoff table is one
+    * row per stratum and is broadcast back. Exact percentile buffers
+    * each stratum's values in its aggregation state — fine while a
+    * stratum fits a task (the same contract as any exact quantile);
+    * for extreme cardinalities swap `percentile` for
+    * `approx_percentile` and keep everything else. */
+  def quantileCutoff(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      loP: Double,
+      midP: Double,
+      hiP: Double): DataFrame = {
+    require(Seq(loP, midP, hiP).forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1], got ($loP, $midP, $hiP)")
+    val cuts = df.groupBy(col(stratumCol)).agg(
+      round(expr(s"percentile($valueCol, CAST($loP AS DOUBLE))"), 6).as("p_lo"),
+      round(expr(s"percentile($valueCol, CAST($midP AS DOUBLE))"), 6).as("p_mid"),
+      round(expr(s"percentile($valueCol, CAST($hiP AS DOUBLE))"), 6).as("p_hi"),
+      count(lit(1)).as("n_rows"))
+    df.join(broadcast(cuts), stratumCol)
+      .groupBy(col(stratumCol), col("p_lo"), col("p_mid"), col("p_hi"),
+        col("n_rows"))
+      .agg(sum(when(col(valueCol) >= col("p_lo") &&
+          col(valueCol) <= col("p_hi"), 1L).otherwise(0L)).as("n_kept"))
+  }
 }

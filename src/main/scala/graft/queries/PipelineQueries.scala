@@ -700,6 +700,38 @@ object PipelineQueries {
       |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS scrubbed_fp
       |FROM u ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q62
+  /** Adaptive per-source length cutoffs
+    * ([[graft.curate.Curation.quantileCutoff]]): each source's own
+    * token-count p25/p90 band becomes its keep filter — the
+    * per-domain percentile filtering pattern, with exact interpolated
+    * quantiles and the band's keep count per source. */
+  def q62QuantileCutoff(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curation.quantileCutoff(
+        Tables.documents(s, dir).withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("double")),
+        "source", "n_tokens", loP = 0.25, midP = 0.5, hiP = 0.9)
+      .select(col("source"), col("p_lo").as("p25"), col("p_mid").as("p50"),
+        col("p_hi").as("p90"), col("n_rows").as("n_docs"), col("n_kept"))
+      .orderBy(col("source"))
+
+  val q62Oracle: String =
+    """WITH t AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS DOUBLE) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT source,
+      |    round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+      |    round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+      |    round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+      |    count(*) AS n_docs
+      |  FROM t GROUP BY source)
+      |SELECT c.source, p25, p50, p90, n_docs,
+      |  CAST(sum(CASE WHEN t.n_tokens >= p25 AND t.n_tokens <= p90
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM t JOIN c ON t.source = c.source
+      |GROUP BY c.source, p25, p50, p90, n_docs
+      |ORDER BY c.source""".stripMargin
+
   // ------------------------------------------------------------------ q48
   /** Benchmark decontamination ([[graft.text.WordGrams.decontaminate]]):
     * a deterministic md5-selected ~12% of the corpus plays the held-out

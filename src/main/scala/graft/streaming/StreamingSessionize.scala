@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization — the streaming face of
+  * [[graft.etl.Sessionize]]: events keep arriving, a session closes
+  * once its key has been idle past the gap, and closed sessions are
+  * emitted exactly once.
+  *
+  * Two tiers, mirroring [[StreamingDedup]]:
+  *  - [[sessionAggregates]]: Spark's built-in `session_window` gap
+  *    windows — the engine handles merging, late arrivals within the
+  *    watermark, and state eviction. Use this unless per-key session
+  *    NUMBERING is required. Works identically on batch frames.
+  *  - [[annotateSessions]]: `flatMapGroupsWithState` keyed by the
+  *    session key, emitting each CLOSED session with a per-key
+  *    `session_seq` (1-based, in event-time order) — the batch
+  *    [[graft.etl.Sessionize.sessionStats]] shape. The idle-gap timer
+  *    is an EVENT-time timeout riding the watermark (processing-time
+  *    timers busy-loop no-data micro-batches), anchored on the max
+  *    observed event time because the first batch's watermark is
+  *    still epoch 0.
+  *
+  * Scale shape: both tiers shuffle once on the session key (the state
+  * store key). Per-key state is one open session (five scalars) —
+  * independent of stream history; total state is bounded by
+  * keys-active-within-gap.
+  *
+  * Contract of the custom tier: records are event-time sorted within
+  * each micro-batch; a record older than the open session's span
+  * extends that session (single-pass streaming sessionization's
+  * standard trade — the built-in tier buffers instead, at the cost of
+  * no sequence numbers). */
+object StreamingSessionize {
+
+  /** One closed session. `sessionEnd` is the LAST event's time (the
+    * built-in tier's `session_window.end` is last event + gap). */
+  case class ClosedSession(
+      key: Long,
+      sessionSeq: Long,
+      startMs: Long,
+      endMs: Long,
+      nEvents: Long,
+      totalValue: Double)
+
+  /** Open-session state (public: Spark encoder codegen needs it). */
+  case class OpenSession(
+      seq: Long,
+      startMs: Long,
+      lastMs: Long,
+      nEvents: Long,
+      totalValue: Double)
+
+  /** Built-in gap windows: one row per (key, session) with the
+    * engine-managed session bounds. */
+  def sessionAggregates(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: String,
+      delay: String,
+      valueCol: String): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 6).as("total_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Closed sessions with per-key 1-based sequence numbers. A session
+    * closes when a later event of the same key exceeds the gap, or
+    * when the watermark passes its last event + gap (event-time
+    * timeout). The still-open session is withheld until it closes —
+    * append-mode exactly-once. */
+  def annotateSessions(
+      stream: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      delay: String,
+      gapMs: Long): Dataset[ClosedSession] = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble)
+    // watermarked column must pass through UNTOUCHED (a cast would mint
+    // a fresh attribute without the watermark metadata)
+    val keyed = stream
+      .withWatermark(tsCol, delay)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+          state: GroupState[OpenSession]) =>
+        if (state.hasTimedOut) {
+          // idle past the gap: flush the open session
+          val st = state.get
+          state.remove()
+          Iterator.single(ClosedSession(key, st.seq, st.startMs, st.lastMs,
+            st.nEvents, st.totalValue))
+        } else {
+          val sorted = rows.toVector.sortBy(r => (r._2.getTime, r._3))
+          var open = state.getOption
+          val closed = Vector.newBuilder[ClosedSession]
+          sorted.foreach { case (_, t, v) =>
+            val ms = t.getTime
+            open match {
+              case Some(st) if ms - st.lastMs > gapMs =>
+                closed += ClosedSession(key, st.seq, st.startMs, st.lastMs,
+                  st.nEvents, st.totalValue)
+                open = Some(OpenSession(st.seq + 1, ms, ms, 1L, v))
+              case Some(st) =>
+                open = Some(st.copy(
+                  startMs = math.min(st.startMs, ms),
+                  lastMs = math.max(st.lastMs, ms),
+                  nEvents = st.nEvents + 1,
+                  totalValue = st.totalValue + v))
+              case None =>
+                open = Some(OpenSession(1L, ms, ms, 1L, v))
+            }
+          }
+          val st = open.get
+          state.update(st)
+          state.setTimeoutTimestamp(
+            math.max(st.lastMs, state.getCurrentWatermarkMs()) + gapMs)
+          closed.result().iterator
+        }
+    }
+  }
+}

@@ -94,4 +94,20 @@ class CurationSpec extends SparkSpec {
     assert(sums.getOrElse("de", 0L) <= 150L)
     assert(sums.getOrElse("zh", 0L) <= 5L)
   }
+
+  test("quantileCutoff: exact interpolated percentiles and band keep count") {
+    // stratum a: values 1..5 -> p25 = 2.0, p50 = 3.0, p90 = 4.6;
+    // band [2.0, 4.6] keeps {2,3,4} = 3 rows
+    val df = ((1 to 5).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 10.0), ("b", 20.0))).toDF("src", "v")
+    val got = Curation.quantileCutoff(df, "src", "v", 0.25, 0.5, 0.9)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("a", 2.0, 3.0, 4.6, 5L, 3L),
+      // stratum b: p25 = 12.5, p50 = 15.0, p90 = 19.0 -> band keeps none
+      // of {10, 20}? 10 < 12.5, 20 > 19.0 -> 0
+      ("b", 12.5, 15.0, 19.0, 2L, 0L)))
+  }
 }
