@@ -65,6 +65,7 @@ object SparkEntry {
     "q48_decontaminate"           -> (P.q48Decontaminate _),
     "q49_common_grams"            -> (P.q49CommonGrams _),
     "q62_quantile_cutoff"         -> (P.q62QuantileCutoff _),
+    "q63_substring_dup"           -> (P.q63SubstringDup _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
     "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
@@ -114,6 +115,7 @@ object SparkEntry {
     "q48_decontaminate"           -> P.q48Oracle,
     "q49_common_grams"            -> P.q49Oracle,
     "q62_quantile_cutoff"         -> P.q62Oracle,
+    "q63_substring_dup"           -> P.q63Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle
   )
 }

@@ -22,6 +22,47 @@ object Dedup {
     df.groupBy(keyCol.as("dup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Exact substring-level duplicate detection: groups of documents that
+    * share ANY length-`k` canonical-text span — the span-dedup shape
+    * ("deduplicating training data" exact-substring family), which
+    * catches boilerplate and quotation overlap that document-level
+    * fingerprints miss.
+    *
+    * Every length-`k` codepoint window is hashed in ONE pass per
+    * document by the native [[graft.expressions.RollingWindows]] kernel
+    * (Rabin–Karp slide, codegen'd); windows dedup per document before
+    * the explode, and the aggregation shuffles on the window hash — at
+    * corpus scale the (doc, hash) stream is the inherent cost of
+    * substring dedup, bounded by total characters. `sampleMod > 1`
+    * applies the standard winnowing trade: only window hashes
+    * ≡ 0 (mod sampleMod) survive, cutting the shuffle by that factor
+    * while still catching any shared span of length ≥ k + sampleMod
+    * (in expectation).
+    *
+    * @return (`wh` window hash, `keep_id` min doc id, `n_docs`) for
+    *         every window shared by at least `minDocs` documents */
+  def substringDupGroups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minDocs: Long = 2L,
+      sampleMod: Int = 1): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val windows = array_distinct(
+      graft.expressions.RollingWindows.rollingWindows(
+        TextAnalysis.canonical(col(textCol)), k))
+    val exploded = docs
+      .select(col(idCol), explode(windows).as("wh"))
+    val sampled =
+      if (sampleMod == 1) exploded
+      else exploded.where(col("wh") % sampleMod === 0)
+    sampled
+      .groupBy(col("wh"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** Latest-record-per-natural-key dedup (window row_number). */
   def latestPerKey(
       df: DataFrame,

@@ -3,12 +3,13 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, JaccardSim, LshBucket, RollingHash}
+import graft.expressions.{DotProduct, JaccardSim, LshBucket, RollingHash, RollingWindows}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
   * get `jaccard_sim(arr, arr)`, `rolling_hash(str)`,
-  * `dot_product(arr, arr)` and `lsh_bucket(vec, dim, planes[, table])`
+  * `rolling_windows(str, k)`, `dot_product(arr, arr)` and
+  * `lsh_bucket(vec, dim, planes[, table])`
   * alongside the built-ins. (On an already-running session use
   * `GraftColumnBridge.registerFunctions(spark)`.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -43,6 +44,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => JaccardSim(children(0), children(1))),
     ("rolling_hash", classOf[RollingHash],
       (children: Seq[Expression]) => RollingHash(children.head)),
+    ("rolling_windows", classOf[RollingWindows],
+      (children: Seq[Expression]) => RollingWindows(
+        children(0), litInt(children(1), "rolling_windows", "k"))),
     ("dot_product", classOf[DotProduct],
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     ("lsh_bucket", classOf[LshBucket],

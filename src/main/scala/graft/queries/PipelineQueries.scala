@@ -700,6 +700,30 @@ object PipelineQueries {
       |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS scrubbed_fp
       |FROM u ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q63
+  /** Exact substring-level dedup ([[Dedup.substringDupGroups]]): every
+    * 20-char canonical span shared by >= 2 documents, hashed by the
+    * native one-pass Rabin–Karp window kernel. The oracle re-hashes
+    * each window independently (O(n·k)); the kernel's slide is
+    * value-identical at O(n). */
+  def q63SubstringDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupGroups(docsSpread(s, dir), "doc_id", "text", k = 20)
+      .orderBy(col("wh"))
+
+  val q63Oracle: String =
+    """WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ct
+      |  FROM documents),
+      |h AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(length(ct) - 19, 0)),
+      |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |           generate_series(CAST(i AS INT), CAST(i + 19 AS INT)),
+      |           j -> CAST(ascii(substr(ct, CAST(j AS INT), 1)) AS BIGINT))),
+      |         (acc, x) -> (acc * 257 + x) % 2147483647))) AS whs
+      |  FROM c),
+      |u AS (SELECT doc_id, unnest(whs) AS wh FROM h)
+      |SELECT wh, min(doc_id) AS keep_id, count(*) AS n_docs
+      |FROM u GROUP BY wh HAVING count(*) >= 2 ORDER BY wh""".stripMargin
+
   // ------------------------------------------------------------------ q62
   /** Adaptive per-source length cutoffs
     * ([[graft.curate.Curation.quantileCutoff]]): each source's own

@@ -128,6 +128,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("substringDupGroups finds shared spans; sampleMod thins the index") {
+    val docs = Seq(
+      (1L, "the COMMON shared span here plus unique tail one"),
+      (2L, "prefix two the common SHARED span here plus other"),
+      (3L, "completely unrelated text with no overlap at all!")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.substringDupGroups(docs, "doc_id", "text", k = 20)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // docs 1+2 share "common shared span here plus" (canonical, > 20 chars)
+    assert(groups.nonEmpty)
+    assert(groups.forall { case (keep, n) => keep === 1L && n === 2L })
+    // doc 3 shares nothing: it never appears as a keeper of a group of 1
+    val sampled = Dedup.substringDupGroups(docs, "doc_id", "text", k = 20,
+      sampleMod = 4)
+    assert(sampled.collect().length <= groups.length)
+  }
+
   test("connectedComponents handles non-numeric (string) ids") {
     // Regression: the old sum-of-decimal convergence checksum nulled out
     // on string ids (cast to decimal → NULL → every round summed to 0),
