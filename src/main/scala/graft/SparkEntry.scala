@@ -66,6 +66,7 @@ object SparkEntry {
     "q49_common_grams"            -> (P.q49CommonGrams _),
     "q62_quantile_cutoff"         -> (P.q62QuantileCutoff _),
     "q63_substring_dup"           -> (P.q63SubstringDup _),
+    "q64_incremental_dedup"       -> (P.q64IncrementalDedup _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
     "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
@@ -116,6 +117,7 @@ object SparkEntry {
     "q49_common_grams"            -> P.q49Oracle,
     "q62_quantile_cutoff"         -> P.q62Oracle,
     "q63_substring_dup"           -> P.q63Oracle,
+    "q64_incremental_dedup"       -> P.q64Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle
   )
 }

@@ -63,6 +63,31 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Incremental corpus dedup: collapse an incoming batch against an
+    * EXISTING snapshot's fingerprint set — the daily-ingest shape, where
+    * re-fingerprinting the whole corpus per batch is off the table.
+    * A batch doc survives iff its canonical fingerprint is absent from
+    * the snapshot; batch-internal duplicates collapse to the min id.
+    *
+    * One anti-join keyed on the fingerprint (the snapshot side is just
+    * fingerprints — at 100 TB that column lives bucketed/sorted by fp,
+    * making this a co-located join) plus one aggregation on the same
+    * key, so the second shuffle reuses the first's partitioning.
+    *
+    * @param snapshotFps existing corpus fingerprints, column `fp`
+    * @return (`fp`, `keep_id`, `n_batch` batch occurrences) per
+    *         genuinely-new fingerprint */
+  def dedupAgainstSnapshot(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      snapshotFps: DataFrame): DataFrame =
+    incoming
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(snapshotFps.select(col("fp")), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
+
   /** Latest-record-per-natural-key dedup (window row_number). */
   def latestPerKey(
       df: DataFrame,

@@ -700,6 +700,36 @@ object PipelineQueries {
       |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS scrubbed_fp
       |FROM u ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q64
+  /** Incremental corpus dedup ([[Dedup.dedupAgainstSnapshot]]): an
+    * md5-selected ~70% of the corpus plays the existing snapshot, the
+    * rest the incoming batch; batch docs survive only with a
+    * fingerprint unseen in the snapshot, collapsing batch-internal
+    * dups to the min id. */
+  def q64IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+    val snapHash =
+      graft.curate.Curation.hashKey(col("doc_id"), "snap").cast("double")
+    val snapshot = docs.where(snapHash < 0.7 * 4294967296.0)
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val incoming = docs.where(snapHash >= 0.7 * 4294967296.0)
+    Dedup.dedupAgainstSnapshot(incoming, "doc_id", "text", snapshot)
+      .orderBy(col("fp"))
+  }
+
+  val q64Oracle: String =
+    """WITH f AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'snap'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      < 0.7 * 4294967296.0 AS is_old
+      |  FROM documents),
+      |new_docs AS (SELECT doc_id, fp FROM f WHERE NOT is_old),
+      |old_fps AS (SELECT DISTINCT fp FROM f WHERE is_old)
+      |SELECT n.fp, min(n.doc_id) AS keep_id, count(*) AS n_batch
+      |FROM new_docs n ANTI JOIN old_fps o ON n.fp = o.fp
+      |GROUP BY n.fp ORDER BY n.fp""".stripMargin
+
   // ------------------------------------------------------------------ q63
   /** Exact substring-level dedup ([[Dedup.substringDupGroups]]): every
     * 20-char canonical span shared by >= 2 documents, hashed by the

@@ -32,6 +32,24 @@ object Tables {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** JSONL (one JSON object per line) — the lingua franca of
+    * training-data interchange. Explicit schema (inference is a full
+    * extra pass at 100 TB); PERMISSIVE with a corrupt-record column so
+    * malformed lines surface for audit instead of silently vanishing.
+    * Line-delimited JSON splits by newline, so a 100 TB corpus
+    * parallelizes like any text source. */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol,
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -145,6 +145,20 @@ class DedupSpec extends SparkSpec {
     assert(sampled.collect().length <= groups.length)
   }
 
+  test("dedupAgainstSnapshot drops known fps, collapses batch dups") {
+    val incoming = Seq(
+      (10L, "brand new document"),
+      (11L, "Brand  NEW document"),   // canonical dup of 10 within batch
+      (12L, "already in the corpus"), // known fp -> dropped
+      (13L, "another fresh one")
+    ).toDF("doc_id", "text")
+    val snapshot = Seq("already in the corpus").toDF("t")
+      .select(graft.text.TextAnalysis.fingerprint(col("t")).as("fp"))
+    val got = Dedup.dedupAgainstSnapshot(incoming, "doc_id", "text", snapshot)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((10L, 2L), (13L, 1L)))
+  }
+
   test("connectedComponents handles non-numeric (string) ids") {
     // Regression: the old sum-of-decimal convergence checksum nulled out
     // on string ids (cast to decimal → NULL → every round summed to 0),

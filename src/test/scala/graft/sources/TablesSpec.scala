@@ -39,4 +39,25 @@ class TablesSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
     assert(out(1).getDouble(2) === 1.5)
   }
+
+  test("jsonl reads line-delimited JSON; corrupt lines surface, not vanish") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("part0.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "hello", "lang": "en"}""",
+      """{"doc_id": 2, "text": "welt", "lang": "de"}""",
+      """{"doc_id": 3, "text": "truncated...""""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = Tables.jsonl(spark, f.toString, schema)
+    val rows = df.collect()
+    assert(rows.length === 3)
+    val good = rows.filter(_.isNullAt(3))
+    assert(good.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    val bad = rows.filter(!_.isNullAt(3))
+    assert(bad.length === 1 &&
+      bad.head.getString(3).startsWith("""{"doc_id": 3"""))
+  }
 }
