@@ -40,6 +40,7 @@ object SparkEntry {
     "q19_rollup_dashboard"        -> (W.q19RollupDashboard _),
     "q60_pivot_dashboard"         -> (W.q60PivotDashboard _),
     "q61_column_profile"          -> (W.q61ColumnProfile _),
+    "q65_skew_join"               -> (W.q65SkewJoin _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q19_rollup_dashboard"        -> W.q19Oracle,
     "q60_pivot_dashboard"         -> W.q60Oracle,
     "q61_column_profile"          -> W.q61Oracle,
+    "q65_skew_join"               -> W.q65Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,

@@ -558,6 +558,35 @@ object WarehouseQueries {
       |GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
       |ORDER BY grp, order_year, priority""".stripMargin
 
+  // ------------------------------------------------------------------ q65
+  /** Skew-mitigated fact⋈dim join ([[graft.etl.Skew.saltedEquiJoin]]):
+    * the fact side is salted by full-row hash and the dim replicated
+    * per salt, so a hot part key spreads over 8 reducers instead of
+    * one — value-identical to the plain equi-join (which IS the
+    * oracle), for the skews AQE cannot re-split (deterministic layouts
+    * feeding bucketed sinks, build sides too large even after a
+    * split). */
+  def q65SkewJoin(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Skew.saltedEquiJoin(
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p_partkey"), col("l_quantity"),
+            col("l_extendedprice")),
+        Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        key = "p_partkey", salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        emit(sum(col("l_quantity").cast("decimal(12,2)"))).as("sum_qty"),
+        emit(sum(col("l_extendedprice").cast("decimal(12,2)")))
+          .as("sum_price"))
+      .orderBy(col("p_brand"))
+
+  val q65Oracle: String =
+    """SELECT p_brand, count(*) AS n_lines,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ------------------------------------------------------------------ q60
   /** Pivoted dashboard: quantity by return flag × line status as a
     * wide table. The pivot value list is EXPLICIT — without it Spark
