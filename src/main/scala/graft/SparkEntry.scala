@@ -55,6 +55,7 @@ object SparkEntry {
     "q30_ann_bruteforce"          -> (P.q30AnnBruteForce _),
     "q31_ann_lsh"                 -> (P.q31AnnLsh _),
     "q32_ann_ivf"                 -> (P.q32AnnIvf _),
+    "q66_ann_pq"                  -> (P.q66AnnPq _),
     "q40_text_langid"             -> (P.q40TextLangId _),
     "q41_text_quality"            -> (P.q41TextQuality _),
     "q42_token_count"             -> (P.q42TokenCount _),

@@ -378,6 +378,27 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ------------------------------------------------------------------ q66
+  /** PQ-compressed approximate top-k ([[Ann.pqTopK]]): the corpus rides
+    * as m=8 integer codes per vector, queries precompute ADC lookup
+    * tables — the compressed ANN tier. The planted identical pair's
+    * ADC equals its own quantization error, which is provably minimal,
+    * so it must rank 1 (ids break the tie toward the planted corpus
+    * doc). Approximate → rows-only + planted check. */
+  def q66AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = embSpread(s, dir)
+    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedVecs(s, dim))
+    val m = if (dim % 8 == 0) 8 else if (dim % 4 == 0) 4 else 1
+    withPlantedCheck(
+        Ann.pqTopK(corpus.where(col("vec_id") < 8), corpus,
+          "vec_id", "embedding", dim = dim, k = 10, m = m, ksub = 16)
+          .withColumnRenamed("rank", "rnk"),
+        plantedTopKCond)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------------ q40
   def q40TextLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

@@ -239,6 +239,111 @@ object Ann {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  // ---------------------------------------------------------------------
+  // PQ (product quantization) ANN
+  // ---------------------------------------------------------------------
+
+  /** Train a PQ codebook on the driver from a deterministic hash-ordered
+    * corpus sample: per subspace, seed `ksub` centroids from the first
+    * sample subvectors and run a few Lloyd iterations. The sample
+    * (`sampleSize` × dim floats) and the codebook (m·ksub·dsub floats)
+    * are metadata-scale BY CONSTRUCTION — the same contract as the IVF
+    * coarse quantizer; the corpus itself never leaves the executors.
+    * Empty clusters keep their previous centroid, so the codebook is a
+    * total function and encoding never fails. */
+  def trainPqCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      dsub: Int,
+      sampleSize: Int = 2048,
+      lloydIters: Int = 3): Array[Float] = {
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.length >= m * dsub)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val cb = new Array[Float](m * ksub * dsub)
+    for (j <- 0 until m) {
+      // seed from the hash-ordered sample (wraps if sample < ksub)
+      for (c <- 0 until ksub; t <- 0 until dsub)
+        cb((j * ksub + c) * dsub + t) = sample(c % sample.length)(j * dsub + t)
+      for (_ <- 0 until lloydIters) {
+        val sums = Array.fill(ksub, dsub)(0.0)
+        val counts = new Array[Int](ksub)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          for (c <- 0 until ksub) {
+            var d = 0.0
+            for (t <- 0 until dsub) {
+              val diff = v(j * dsub + t) - cb((j * ksub + c) * dsub + t)
+              d += diff * diff
+            }
+            if (d < bestD) { bestD = d; best = c }
+          }
+          counts(best) += 1
+          for (t <- 0 until dsub) sums(best)(t) += v(j * dsub + t)
+        }
+        for (c <- 0 until ksub if counts(c) > 0; t <- 0 until dsub)
+          cb((j * ksub + c) * dsub + t) = (sums(c)(t) / counts(c)).toFloat
+      }
+    }
+    cb
+  }
+
+  /** Approximate top-k via product quantization: the corpus ships as m
+    * integer codes per vector ([[graft.expressions.PqEncode]] — at
+    * dim 64 / m 8 a ~32× storage and shuffle cut vs raw floats), each
+    * query precomputes one distance lookup table
+    * ([[graft.expressions.PqLut]]), and scoring a pair is m table
+    * lookups ([[graft.expressions.PqAdc]]) instead of a dim-length dot
+    * product — the compressed tier of the ANN family (brute → LSH →
+    * IVF → PQ), for corpora whose raw vectors are too large to ship.
+    *
+    * Distances are squared L2 of the raw vectors (normalize first for
+    * cosine ranking). Ranking is ascending ADC with neighbor-id ties —
+    * identical query/corpus vectors share codes, making the planted
+    * pair's ADC provably minimal (the self-quantization error), so
+    * recall-1 pairs always surface. Approximate by design → no oracle. */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      sampleSize: Int = 2048): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val dsub = dim / m
+    val cb = trainPqCodebook(corpus, idCol, vecCol, m, ksub, dsub, sampleSize)
+    import graft.expressions.PqOps
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"),
+        PqOps.pqEncode(col(vecCol), cb, m, ksub, dsub).as("codes"))
+      .where(col("codes").isNotNull)
+    val q = queries
+      .select(col(idCol).as("query_id"),
+        PqOps.pqLut(col(vecCol), cb, m, ksub, dsub).as("lut"))
+      .where(col("lut").isNotNull)
+    val scored = broadcast(q)
+      .join(codes, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", PqOps.pqAdc(col("codes"), col("lut"), m, ksub))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   /** Approximate top-k: queries only compete against corpus rows in the
     * same LSH bucket. The bucket is the shuffle/join key — per-bucket
     * work is local and the cross product never materializes. */

@@ -1,6 +1,6 @@
 package graft
 
-/** The five approximate (no-oracle) queries plant an identical pair
+/** The approximate (no-oracle) queries plant an identical pair
   * (ids −2/−1) into their input; identical inputs are deterministically
   * co-bucketed by MinHash/SimHash/LSH/IVF, so `planted_ok` must be true
   * on every row and the output can never be empty — the affirmative
@@ -10,7 +10,7 @@ class PlantedPairSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private val approximate = Seq("q21_dedup_minhash", "q22_dedup_simhash",
     "q25_dedup_embedding_lsh", "q31_ann_lsh", "q32_ann_ivf",
-    "q51_multimodal_frame_dedup")
+    "q51_multimodal_frame_dedup", "q66_ann_pq")
 
   for (name <- approximate) {
     test(s"$name recovers the planted identical pair") {

@@ -102,4 +102,50 @@ class AnnSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.head.getAs[Long]("neighbor_id") === 4L)
   }
+
+  test("pqTopK ranks the identical vector first (minimal ADC)") {
+    val out = Ann.pqTopK(
+        vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding",
+        dim = 4, k = 3, m = 2, ksub = 2, sampleSize = 4)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    // vec 4 is identical to the query: its codes equal the query's own
+    // argmin codes, so ADC(q, 4) is the query's self-quantization error
+    // — provably minimal. Vec 2 quantizes to the SAME codes (that is
+    // what compression means), so it ties at the minimal ADC and the
+    // smaller id wins rank 1; the guarantee is "an ADC-minimal
+    // neighbor ranks first", which is why the planted corpus doc uses
+    // the corpus-minimal id.
+    val top = out.head
+    assert(Set(2L, 4L).contains(top.getAs[Long]("neighbor_id")))
+    val distOf = out.map(r =>
+      r.getAs[Long]("neighbor_id") -> r.getAs[Double]("adc_dist")).toMap
+    assert(distOf(4L) === top.getAs[Double]("adc_dist"))
+  }
+
+  test("pqTopK recall vs brute force on clustered vectors") {
+    // three tight clusters of 8; top-3 of any member should be members
+    // of its own cluster under PQ too
+    val rng = new scala.util.Random(11)
+    def cluster(center: Array[Float], base: Long) =
+      (0 until 8).map { i =>
+        (base + i, center.toSeq.map(_ + (rng.nextFloat() - 0.5f) * 0.1f))
+      }
+    val data = (cluster(Array(10f, 0f, 0f, 0f), 0L) ++
+      cluster(Array(0f, 10f, 0f, 0f), 100L) ++
+      cluster(Array(0f, 0f, 10f, 0f), 200L)).toDF("vec_id", "embedding")
+    val got = Ann.pqTopK(data.where($"vec_id" === 101), data,
+        "vec_id", "embedding", dim = 4, k = 3, m = 2, ksub = 4,
+        sampleSize = 24)
+      .collect().map(_.getAs[Long]("neighbor_id"))
+    assert(got.length === 3)
+    assert(got.forall(id => id >= 100L && id < 200L), got.toSeq)
+  }
+
+  test("trainPqCodebook is deterministic") {
+    val a = Ann.trainPqCodebook(vecs, "vec_id", "embedding", 2, 2, 2)
+    val b = Ann.trainPqCodebook(vecs, "vec_id", "embedding", 2, 2, 2)
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 2 * 2 * 2)
+  }
 }
