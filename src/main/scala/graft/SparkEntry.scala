@@ -56,6 +56,7 @@ object SparkEntry {
     "q31_ann_lsh"                 -> (P.q31AnnLsh _),
     "q32_ann_ivf"                 -> (P.q32AnnIvf _),
     "q66_ann_pq"                  -> (P.q66AnnPq _),
+    "q67_filtered_ann"            -> (P.q67FilteredAnn _),
     "q40_text_langid"             -> (P.q40TextLangId _),
     "q41_text_quality"            -> (P.q41TextQuality _),
     "q42_token_count"             -> (P.q42TokenCount _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q29_dataset_card"            -> P.q29Oracle,
     "q52_sequence_pack"           -> P.q52Oracle,
     "q30_ann_bruteforce"          -> P.q30Oracle,
+    "q67_filtered_ann"            -> P.q67Oracle,
     "q40_text_langid"             -> P.q40Oracle,
     "q41_text_quality"            -> P.q41Oracle,
     "q42_token_count"             -> P.q42Oracle,

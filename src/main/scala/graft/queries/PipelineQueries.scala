@@ -399,6 +399,52 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ------------------------------------------------------------------ q67
+  /** Filtered vector search: top-k cosine neighbors among only the
+    * corpus rows passing a metadata predicate (here: English documents
+    * with >= 40 whitespace tokens), with the matching doc metadata
+    * hydrated onto the hits — the retrieval shape every vector store
+    * serves. The predicate applies BEFORE scoring (pre-filtering), so
+    * selectivity cuts the scored set instead of starving top-k after
+    * the fact; the metadata join keys on the id both ways and the
+    * small query side broadcasts. */
+  def q67FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val eligible = docs.where(col("lang") === "en" && col("n_tokens") >= 40)
+    val corpus = embSpread(s, dir)
+      .join(eligible.select(col("doc_id").as("vec_id")), "vec_id")
+    Ann.bruteForceTopK(embSpread(s, dir).where(col("vec_id") < 8), corpus,
+        "vec_id", "embedding", k = 5)
+      .withColumnRenamed("rank", "rnk")
+      .join(docs.select(col("doc_id").as("neighbor_id"), col("source"),
+        col("n_tokens")), "neighbor_id")
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("cos_sim"), col("source"), col("n_tokens"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val q67Oracle: String =
+    """WITH meta AS (SELECT doc_id, lang, source,
+      |    CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |w AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS self_dot
+      |  FROM embeddings),
+      |corpus AS (SELECT w.* FROM w JOIN meta ON w.vec_id = meta.doc_id
+      |           WHERE meta.lang = 'en' AND meta.n_tokens >= 40),
+      |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(q.v, c.v) / sqrt(q.self_dot * c.self_dot) AS cs
+      |  FROM w q JOIN corpus c ON q.vec_id < 8 AND q.vec_id != c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cs,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id ASC) AS rnk
+      |  FROM scored)
+      |SELECT r.query_id, r.rnk, r.neighbor_id, round(r.cs, 6) AS cos_sim,
+      |  m.source, m.n_tokens
+      |FROM ranked r JOIN meta m ON r.neighbor_id = m.doc_id
+      |WHERE r.rnk <= 5 ORDER BY r.query_id, r.rnk""".stripMargin
+
   // ------------------------------------------------------------------ q40
   def q40TextLangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
