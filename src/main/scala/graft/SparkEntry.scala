@@ -52,6 +52,7 @@ object SparkEntry {
     "q28_token_budget"            -> (P.q28TokenBudget _),
     "q29_dataset_card"            -> (P.q29DatasetCard _),
     "q52_sequence_pack"           -> (P.q52SequencePack _),
+    "q68_chunk_spans"             -> (P.q68ChunkSpans _),
     "q30_ann_bruteforce"          -> (P.q30AnnBruteForce _),
     "q31_ann_lsh"                 -> (P.q31AnnLsh _),
     "q32_ann_ivf"                 -> (P.q32AnnIvf _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q28_token_budget"            -> P.q28Oracle,
     "q29_dataset_card"            -> P.q29Oracle,
     "q52_sequence_pack"           -> P.q52Oracle,
+    "q68_chunk_spans"             -> P.q68Oracle,
     "q30_ann_bruteforce"          -> P.q30Oracle,
     "q67_filtered_ann"            -> P.q67Oracle,
     "q40_text_langid"             -> P.q40Oracle,

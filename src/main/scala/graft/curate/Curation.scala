@@ -158,6 +158,38 @@ object Curation {
       .drop("_running", "_start")
   }
 
+  /** Fixed-length overlapping chunk spans per document — the
+    * context-window chunking step (RAG indexing, long-doc training
+    * prep): chunks of `chunkLen` tokens starting every
+    * `chunkLen − overlap`, the last chunk clipped to the document end.
+    * Emits (`chunk_id`, `start_tok`, `end_tok`, `chunk_tokens`) per
+    * chunk; a chunk starts at every multiple of the step below the
+    * token count, so trailing slivers shorter than the overlap are
+    * kept (deterministic, engine-portable definition).
+    *
+    * Purely narrow work — one `sequence` + explode per row, no
+    * shuffle; downstream substring extraction can ride the same row. */
+  def chunkSpans(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      chunkLen: Long,
+      overlap: Long): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be positive, got $chunkLen")
+    require(overlap >= 0 && overlap < chunkLen,
+      s"overlap must be in [0, chunkLen), got $overlap")
+    val step = chunkLen - overlap
+    df.where(col(tokensCol) > 0)
+      .select(col(idCol), col(tokensCol),
+        posexplode(sequence(lit(0L), col(tokensCol).cast("long") - 1,
+          lit(step))).as(Seq("_pos", "start_tok")))
+      .select(col(idCol), col("_pos").cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(col("start_tok") + chunkLen, col(tokensCol).cast("long"))
+          .as("end_tok"))
+      .withColumn("chunk_tokens", col("end_tok") - col("start_tok"))
+  }
+
   /** Per-stratum adaptive quantile cutoffs: exact interpolated
     * percentiles (p_lo / p_mid / p_hi) of `valueCol`, plus how many
     * rows the [p_lo, p_hi] band keeps — the "per-domain length filter"

@@ -797,6 +797,31 @@ object PipelineQueries {
       |FROM new_docs n ANTI JOIN old_fps o ON n.fp = o.fp
       |GROUP BY n.fp ORDER BY n.fp""".stripMargin
 
+  // ------------------------------------------------------------------ q68
+  /** Context-window chunking ([[graft.curate.Curation.chunkSpans]]):
+    * 32-token chunks with 8-token overlap per document — narrow
+    * per-row explode, no shuffle. */
+  def q68ChunkSpans(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curation.chunkSpans(
+        Tables.documents(s, dir).withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id", "n_tokens", chunkLen = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("end_tok"), col("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q68Oracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_tokens,
+      |    unnest(generate_series(0, n_tokens - 1, 24)) AS start_tok
+      |  FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, start_tok // 24 AS chunk_id, start_tok,
+      |  least(start_tok + 32, n_tokens) AS end_tok,
+      |  least(start_tok + 32, n_tokens) - start_tok AS chunk_tokens
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------------------------------------------ q63
   /** Exact substring-level dedup ([[Dedup.substringDupGroups]]): every
     * 20-char canonical span shared by >= 2 documents, hashed by the

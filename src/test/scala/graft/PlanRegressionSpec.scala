@@ -90,4 +90,10 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(countOf(plan, "Scan parquet") === 1,
       s"pivot should not run a distinct-values discovery scan:\n$plan")
   }
+
+  test("q67 filtered search pushes the lang predicate to the documents scan") {
+    val plan = finalPlan(SparkEntry.queries("q67_filtered_ann")(spark, sfDir))
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"lang filter not pushed to the parquet scan:\n$plan")
+  }
 }

@@ -95,6 +95,19 @@ class CurationSpec extends SparkSpec {
     assert(sums.getOrElse("zh", 0L) <= 5L)
   }
 
+  test("chunkSpans: overlapping windows chain, last chunk clips, empty skipped") {
+    val df = Seq((1L, 70L), (2L, 10L), (3L, 0L)).toDF("id", "toks")
+    val got = Curation.chunkSpans(df, "id", "toks", chunkLen = 32, overlap = 8)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 32L, 32L),   // starts step 24: 0, 24, 48
+      (1L, 1L, 24L, 56L, 32L),
+      (1L, 2L, 48L, 70L, 22L),  // clipped to doc end
+      (2L, 0L, 0L, 10L, 10L)))  // short doc -> one clipped chunk; doc 3 none
+  }
+
   test("quantileCutoff: exact interpolated percentiles and band keep count") {
     // stratum a: values 1..5 -> p25 = 2.0, p50 = 3.0, p90 = 4.6;
     // band [2.0, 4.6] keeps {2,3,4} = 3 rows
