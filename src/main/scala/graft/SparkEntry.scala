@@ -41,6 +41,8 @@ object SparkEntry {
     "q60_pivot_dashboard"         -> (W.q60PivotDashboard _),
     "q61_column_profile"          -> (W.q61ColumnProfile _),
     "q65_skew_join"               -> (W.q65SkewJoin _),
+    "q69_moving_avg"              -> (W.q69MovingAvg _),
+    "q70_cohort_retention"        -> (W.q70CohortRetention _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -101,6 +103,8 @@ object SparkEntry {
     "q60_pivot_dashboard"         -> W.q60Oracle,
     "q61_column_profile"          -> W.q61Oracle,
     "q65_skew_join"               -> W.q65Oracle,
+    "q69_moving_avg"              -> W.q69Oracle,
+    "q70_cohort_retention"        -> W.q70Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,

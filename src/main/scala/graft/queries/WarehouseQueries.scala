@@ -587,6 +587,67 @@ object WarehouseQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ------------------------------------------------------------------ q69
+  /** Trailing 7-day moving revenue average per order priority — the
+    * dashboard smoothing window. Daily totals aggregate FIRST (the
+    * heavy reduction), then the RANGE frame runs over one row per
+    * (priority, day): the window's shuffle is |priorities| × |days|
+    * rows, not the fact table. The frame keys on an integer day index
+    * so the range bound is engine-portable. */
+  def q69MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .withColumn("d", to_date(col("o_orderdate")))
+      .groupBy(col("o_orderpriority").as("priority"), col("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("day_rev"))
+      .withColumn("day_idx", datediff(col("d"), lit("1970-01-01")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("day_idx"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg(col("day_rev")).over(w), 4).cast("double"))
+      .select(col("priority"), col("d"), emit(col("day_rev")).as("day_rev"),
+        col("ma7"))
+      .orderBy(col("priority"), col("d"))
+  }
+
+  val q69Oracle: String =
+    """WITH daily AS (SELECT o_orderpriority AS priority,
+      |    CAST(o_orderdate AS DATE) AS d,
+      |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS day_rev,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx
+      |  FROM orders GROUP BY 1, 2, 4)
+      |SELECT priority, d, CAST(round(day_rev, 4) AS DOUBLE) AS day_rev,
+      |  CAST(round(avg(day_rev) OVER (PARTITION BY priority ORDER BY day_idx
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS ma7
+      |FROM daily ORDER BY priority, d""".stripMargin
+
+  // ------------------------------------------------------------------ q70
+  /** Cohort retention over the event stream: users grouped by
+    * first-activity week, actives counted per (cohort week, activity
+    * week) — the standard retention triangle. Two aggregations, both
+    * keyed on the user then the week pair; exact distinct actives. */
+  def q70CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000").as("week"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week"))
+  }
+
+  val q70Oracle: String =
+    """WITH ev AS (SELECT user_id,
+      |    (epoch_ns(ts) // 1000) // 604800000000 AS week
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+      |SELECT c.cohort_week, e.week, count(DISTINCT e.user_id) AS active_users
+      |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |GROUP BY c.cohort_week, e.week
+      |ORDER BY c.cohort_week, e.week""".stripMargin
+
   // ------------------------------------------------------------------ q60
   /** Pivoted dashboard: quantity by return flag × line status as a
     * wide table. The pivot value list is EXPLICIT — without it Spark
