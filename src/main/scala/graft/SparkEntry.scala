@@ -70,6 +70,7 @@ object SparkEntry {
     "q47_repetition"              -> (P.q47Repetition _),
     "q48_decontaminate"           -> (P.q48Decontaminate _),
     "q49_common_grams"            -> (P.q49CommonGrams _),
+    "q71_vocabulary"              -> (P.q71Vocabulary _),
     "q62_quantile_cutoff"         -> (P.q62QuantileCutoff _),
     "q63_substring_dup"           -> (P.q63SubstringDup _),
     "q64_incremental_dedup"       -> (P.q64IncrementalDedup _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q47_repetition"              -> P.q47Oracle,
     "q48_decontaminate"           -> P.q48Oracle,
     "q49_common_grams"            -> P.q49Oracle,
+    "q71_vocabulary"              -> P.q71Oracle,
     "q62_quantile_cutoff"         -> P.q62Oracle,
     "q63_substring_dup"           -> P.q63Oracle,
     "q64_incremental_dedup"       -> P.q64Oracle,

@@ -846,6 +846,25 @@ object PipelineQueries {
       |SELECT wh, min(doc_id) AS keep_id, count(*) AS n_docs
       |FROM u GROUP BY wh HAVING count(*) >= 2 ORDER BY wh""".stripMargin
 
+  // ------------------------------------------------------------------ q71
+  /** Vocabulary induction ([[graft.text.WordGrams.vocabulary]]):
+    * corpus-wide token occurrence + document frequencies with a
+    * min-count floor — the tokenizer-building first step. */
+  def q71Vocabulary(s: SparkSession, dir: String): DataFrame =
+    graft.text.WordGrams.vocabulary(docsSpread(s, dir), "doc_id", "text",
+        minCount = 20)
+      .orderBy(desc("n_occurrences"), col("token"))
+
+  val q71Oracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS n_occurrences,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM toks WHERE len(token) > 0 GROUP BY token
+      |HAVING count(*) >= 20
+      |ORDER BY n_occurrences DESC, token""".stripMargin
+
   // ------------------------------------------------------------------ q62
   /** Adaptive per-source length cutoffs
     * ([[graft.curate.Curation.quantileCutoff]]): each source's own

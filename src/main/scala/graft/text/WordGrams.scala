@@ -74,6 +74,24 @@ object WordGrams {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Vocabulary induction: corpus-wide token occurrence counts with a
+    * minimum-frequency floor — the first step of any tokenizer/vocab
+    * build. One explode + one aggregation keyed on the token
+    * (map-side combinable); `n_docs` is an exact single-distinct count
+    * folded into the same cascade. */
+  def vocabulary(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .where(col("n_occurrences") >= minCount)
+
   /** Corpus-frequency gram mining: n-grams occurring in at least
     * `minDocs` DISTINCT documents, with their document frequency —
     * the input to boilerplate stripping / common-gram filters. */

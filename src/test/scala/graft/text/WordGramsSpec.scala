@@ -44,6 +44,17 @@ class WordGramsSpec extends SparkSpec {
       (12L, 0L, false)))
   }
 
+  test("vocabulary counts occurrences and doc frequency with a floor") {
+    val docs = Seq(
+      (1L, "ab ab ab cd"),
+      (2L, "ab cd cd"),
+      (3L, "ef")
+    ).toDF("doc_id", "text")
+    val got = WordGrams.vocabulary(docs, "doc_id", "text", minCount = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("ab", 4L, 2L), ("cd", 3L, 2L)))
+  }
+
   test("commonGrams counts document frequency, not occurrences") {
     val docs = Seq(
       (1L, "x y x y x y"), // gram "x y" appears 3x in one doc -> df 1
