@@ -55,6 +55,7 @@ object SparkEntry {
     "q29_dataset_card"            -> (P.q29DatasetCard _),
     "q52_sequence_pack"           -> (P.q52SequencePack _),
     "q68_chunk_spans"             -> (P.q68ChunkSpans _),
+    "q72_split_assign"            -> (P.q72SplitAssign _),
     "q30_ann_bruteforce"          -> (P.q30AnnBruteForce _),
     "q31_ann_lsh"                 -> (P.q31AnnLsh _),
     "q32_ann_ivf"                 -> (P.q32AnnIvf _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q29_dataset_card"            -> P.q29Oracle,
     "q52_sequence_pack"           -> P.q52Oracle,
     "q68_chunk_spans"             -> P.q68Oracle,
+    "q72_split_assign"            -> P.q72Oracle,
     "q30_ann_bruteforce"          -> P.q30Oracle,
     "q67_filtered_ann"            -> P.q67Oracle,
     "q40_text_langid"             -> P.q40Oracle,

@@ -158,6 +158,33 @@ object Curation {
       .drop("_running", "_start")
   }
 
+  /** Deterministic train/validation/test assignment: each row lands in
+    * the first split whose cumulative rate covers its md5 hash
+    * fraction — per-row, by value, so the assignment survives
+    * repartitioning, engine swaps and incremental re-runs (a doc never
+    * migrates between splits when the corpus grows, the property
+    * random splits lack).
+    *
+    * @param splits (name, rate) in priority order; rates must sum to 1
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "bad split rates")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split rates must sum to 1, got ${splits.map(_._2).sum}")
+    val frac = hashKey(col(idCol), salt).cast("double") / HashSpace.toDouble
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split is the default branch so float edges cannot drop a row
+    val expr0 = splits.init.zip(cumulative.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
+        when(frac < cum, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr0)
+  }
+
   /** Fixed-length overlapping chunk spans per document — the
     * context-window chunking step (RAG indexing, long-doc training
     * prep): chunks of `chunkLen` tokens starting every

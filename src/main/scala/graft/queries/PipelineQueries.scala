@@ -865,6 +865,33 @@ object PipelineQueries {
       |HAVING count(*) >= 20
       |ORDER BY n_occurrences DESC, token""".stripMargin
 
+  // ------------------------------------------------------------------ q72
+  /** Deterministic train/val/test split
+    * ([[graft.curate.Curation.assignSplit]], 80/10/10 by id hash) with
+    * a per-(split, source) rollup — stable under repartitioning,
+    * engine swaps and corpus growth. */
+  def q72SplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curation.assignSplit(
+        Tables.documents(s, dir).withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+
+  val q72Oracle: String =
+    """WITH d AS (SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft-split'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      / 4294967296.0 AS frac
+      |  FROM documents)
+      |SELECT CASE WHEN frac < 0.8 THEN 'train'
+      |            WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split,
+      |  source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM d GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
   // ------------------------------------------------------------------ q62
   /** Adaptive per-source length cutoffs
     * ([[graft.curate.Curation.quantileCutoff]]): each source's own

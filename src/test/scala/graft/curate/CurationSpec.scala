@@ -95,6 +95,27 @@ class CurationSpec extends SparkSpec {
     assert(sums.getOrElse("zh", 0L) <= 5L)
   }
 
+  test("assignSplit: total partition, deterministic, roughly proportional") {
+    val df = (0L until 1000L).toDF("id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val counts = Curation.assignSplit(df, "id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L)          // nothing dropped
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 180)
+    assert(counts("test") > 50 && counts("test") < 180)
+    // deterministic: repartitioned input assigns identically
+    val a = Curation.assignSplit(df, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Curation.assignSplit(df.repartition(7), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(df, "id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
   test("chunkSpans: overlapping windows chain, last chunk clips, empty skipped") {
     val df = Seq((1L, 70L), (2L, 10L), (3L, 0L)).toDF("id", "toks")
     val got = Curation.chunkSpans(df, "id", "toks", chunkLen = 32, overlap = 8)
