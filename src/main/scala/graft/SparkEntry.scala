@@ -43,6 +43,7 @@ object SparkEntry {
     "q65_skew_join"               -> (W.q65SkewJoin _),
     "q69_moving_avg"              -> (W.q69MovingAvg _),
     "q70_cohort_retention"        -> (W.q70CohortRetention _),
+    "q74_histogram"               -> (W.q74Histogram _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "q48_decontaminate"           -> (P.q48Decontaminate _),
     "q49_common_grams"            -> (P.q49CommonGrams _),
     "q71_vocabulary"              -> (P.q71Vocabulary _),
+    "q73_tfidf_keywords"          -> (P.q73TfidfKeywords _),
     "q62_quantile_cutoff"         -> (P.q62QuantileCutoff _),
     "q63_substring_dup"           -> (P.q63SubstringDup _),
     "q64_incremental_dedup"       -> (P.q64IncrementalDedup _),
@@ -107,6 +109,7 @@ object SparkEntry {
     "q65_skew_join"               -> W.q65Oracle,
     "q69_moving_avg"              -> W.q69Oracle,
     "q70_cohort_retention"        -> W.q70Oracle,
+    "q74_histogram"               -> W.q74Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,
@@ -130,6 +133,7 @@ object SparkEntry {
     "q48_decontaminate"           -> P.q48Oracle,
     "q49_common_grams"            -> P.q49Oracle,
     "q71_vocabulary"              -> P.q71Oracle,
+    "q73_tfidf_keywords"          -> P.q73Oracle,
     "q62_quantile_cutoff"         -> P.q62Oracle,
     "q63_substring_dup"           -> P.q63Oracle,
     "q64_incremental_dedup"       -> P.q64Oracle,

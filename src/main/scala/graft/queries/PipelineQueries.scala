@@ -892,6 +892,52 @@ object PipelineQueries {
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM d GROUP BY 1, 2 ORDER BY split, source""".stripMargin
 
+  // ------------------------------------------------------------------ q73
+  /** TF-IDF keyword extraction: per-document top-3 tokens by
+    * tf · ln(N/df) — term counts and document frequencies are two
+    * aggregations over the exploded token table (both keyed on the
+    * token side, map-side combinable), the corpus size N rides a
+    * 1-row broadcast, and the per-doc top-k is a window over the
+    * scored (doc, token) rows. Scores round to 6 decimals so the
+    * cross-engine ln() ulp cannot flip the hash. */
+  def q73TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir).where(col("doc_id") < 50)
+    val toks = docs.select(col("doc_id"),
+        explode(graft.text.WordGrams.tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val q73Oracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents WHERE doc_id < 50),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM d
+      |       WHERE len(token) > 0 GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 50),
+      |scored AS (SELECT tf.doc_id, tf.token,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+      |  FROM tf JOIN dfreq df USING (token) CROSS JOIN n),
+      |ranked AS (SELECT doc_id, token, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, token, score FROM ranked
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   // ------------------------------------------------------------------ q62
   /** Adaptive per-source length cutoffs
     * ([[graft.curate.Curation.quantileCutoff]]): each source's own

@@ -648,6 +648,28 @@ object WarehouseQueries {
       |GROUP BY c.cohort_week, e.week
       |ORDER BY c.cohort_week, e.week""".stripMargin
 
+  // ------------------------------------------------------------------ q74
+  /** Fixed-width value histogram of the fact's extended price (20 bins
+    * of 5000, overflow clamped to the last bin) — distribution
+    * profiling for dashboards/QA as ONE aggregation; fixed bin edges
+    * keep the op a single pass (data-dependent edges would need a
+    * min/max pre-pass). */
+  def q74Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(least(floor(col("l_extendedprice") / 5000.0), lit(19L))
+        .cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bin_lo", (col("bin") * 5000.0).cast("double"))
+      .select(col("bin"), col("bin_lo"), col("n_rows"))
+      .orderBy(col("bin"))
+
+  val q74Oracle: String =
+    """SELECT bin, CAST(bin * 5000.0 AS DOUBLE) AS bin_lo, count(*) AS n_rows
+      |FROM (SELECT CAST(least(floor(l_extendedprice / 5000.0), 19) AS BIGINT) AS bin
+      |      FROM lineitem)
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
   // ------------------------------------------------------------------ q60
   /** Pivoted dashboard: quantity by return flag × line status as a
     * wide table. The pivot value list is EXPLICIT — without it Spark
