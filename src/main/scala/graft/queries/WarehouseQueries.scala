@@ -670,6 +670,31 @@ object WarehouseQueries {
       |      FROM lineitem)
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ------------------------------------------------------------------ q75
+  /** Semi-structured attribute extraction: the event stream's JSON
+    * `props` column parsed ONCE per row with `from_json` against an
+    * explicit schema (no inference pass, codegen'd Jackson parse),
+    * then aggregated per event type — the ingest shape for
+    * attribute-bag event data. */
+  def q75JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(s, dir)
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q75Oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------------ q60
   /** Pivoted dashboard: quantity by return flag × line status as a
     * wide table. The pivot value list is EXPLICIT — without it Spark
