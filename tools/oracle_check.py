@@ -3,7 +3,11 @@
 DuckDB over the sf parquet tables, compare to the Spark result dumped by
 graft.Verify (columns sorted by name, rows sorted, value-wise compare).
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [--skip q23,q26,...]
+(--skip exists for sf0.1 runs, where the all-pairs/recursive-CTE
+oracles of q23/q26 and the O(n*k) window re-hash of q63 are
+prohibitively slow in DuckDB; skipped queries report as SKIPPED and
+don't count against the gate.)
 """
 import sys, json, glob, os
 import duckdb
@@ -66,6 +70,9 @@ def compare(name, spark_df, oracle_df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    skip = set()
+    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
+        skip = set(sys.argv[4].split(","))
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -80,6 +87,9 @@ def main():
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
             results[name] = ["NO SPARK OUTPUT"]
+            continue
+        if name in skip:
+            print(f"{name}: SKIPPED (expensive oracle)")
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if name not in oracles:
@@ -98,7 +108,7 @@ def main():
         for i in issues[:6]:
             print(f"    {i}")
     for name in oracles:
-        if name not in results:
+        if name not in results and name not in skip:
             print(f"{name}: MISSING SPARK OUTPUT (query failed)")
             results[name] = ["missing spark output"]
     n_bad = sum(1 for v in results.values() if v)
