@@ -45,6 +45,7 @@ object SparkEntry {
     "q70_cohort_retention"        -> (W.q70CohortRetention _),
     "q74_histogram"               -> (W.q74Histogram _),
     "q75_json_extract"            -> (W.q75JsonExtract _),
+    "q76_funnel"                  -> (W.q76Funnel _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "q70_cohort_retention"        -> W.q70Oracle,
     "q74_histogram"               -> W.q74Oracle,
     "q75_json_extract"            -> W.q75Oracle,
+    "q76_funnel"                  -> W.q76Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,

@@ -695,6 +695,28 @@ object WarehouseQueries {
       |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------ q76
+  /** Conversion funnel ([[graft.etl.Funnel]]): view → click → purchase
+    * with strict event-time succession per user; one user-keyed
+    * aggregation per step. */
+  def q76Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Funnel.funnelCounts(Tables.events(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
+  val q76Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT step, n_users FROM (
+      |  SELECT 'step1_view' AS step, count(*) AS n_users FROM s1
+      |  UNION ALL SELECT 'step2_click', count(*) FROM s2
+      |  UNION ALL SELECT 'step3_purchase', count(*) FROM s3)
+      |ORDER BY step""".stripMargin
+
   // ------------------------------------------------------------------ q60
   /** Pivoted dashboard: quantity by return flag × line status as a
     * wide table. The pivot value list is EXPLICIT — without it Spark
