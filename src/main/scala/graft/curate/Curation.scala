@@ -241,6 +241,10 @@ object Curation {
       hiP: Double): DataFrame = {
     require(Seq(loP, midP, hiP).forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1], got ($loP, $midP, $hiP)")
+    // valueCol rides inside an expr() string — restrict to a plain
+    // identifier so arbitrary SQL cannot be pasted in
+    require(valueCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"valueCol '$valueCol' must match [A-Za-z_][A-Za-z0-9_]*")
     val cuts = df.groupBy(col(stratumCol)).agg(
       round(expr(s"percentile($valueCol, CAST($loP AS DOUBLE))"), 6).as("p_lo"),
       round(expr(s"percentile($valueCol, CAST($midP AS DOUBLE))"), 6).as("p_mid"),

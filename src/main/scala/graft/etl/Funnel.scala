@@ -47,9 +47,16 @@ object Funnel {
       tsCol: String,
       typeCol: String,
       steps: Seq[String]): DataFrame = {
+    // step names ride inside a selectExpr string literal below — keep
+    // them to word characters so a quote cannot break the parse
+    steps.foreach(s => require(s.matches("[A-Za-z0-9_-]+"),
+      s"step name '$s' must match [A-Za-z0-9_-]+"))
     val times = funnelTimes(events, keyCol, tsCol, typeCol, steps)
+    // coalesce: an empty funnel (nobody reached step 1) must report 0
+    // per step, not NULL (sum over zero rows)
     val aggs = steps.indices.map(i =>
-      sum(col(s"t_${i + 1}").isNotNull.cast("long")).as(s"_c${i + 1}"))
+      coalesce(sum(col(s"t_${i + 1}").isNotNull.cast("long")), lit(0L))
+        .as(s"_c${i + 1}"))
     val wide = times.agg(aggs.head, aggs.tail: _*)
     val stackArgs = steps.zipWithIndex.map { case (s, i) =>
       s"'step${i + 1}_$s', _c${i + 1}"

@@ -26,6 +26,10 @@ object Profiler {
     * sum. Values are compared/aggregated as DOUBLE. */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
+    // names ride inside a selectExpr string; reject anything a backtick
+    // or quote could use to break the parse
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column '$c' must match [A-Za-z_][A-Za-z0-9_]*"))
     val stackArgs =
       cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
     df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")

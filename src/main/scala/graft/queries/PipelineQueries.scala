@@ -57,16 +57,19 @@ object PipelineQueries {
 
   /** Append a constant `planted_ok` column: true iff any result row
     * satisfies `cond`. One broadcast of a 1-row aggregate. The result is
-    * materialized ONCE via an eager local checkpoint shared by both plan
+    * materialized ONCE via a LAZY local checkpoint shared by both plan
     * consumers — unlike `persist()` (whose entry the CacheManager pins
     * until an explicit unpersist, leaking blocks in a long-lived session
     * that invokes these queries repeatedly), checkpoint blocks are
     * released by the ContextCleaner as soon as the returned frame is
-    * garbage-collected. */
+    * garbage-collected; and unlike an EAGER checkpoint, merely BUILDING
+    * the query (graft.Explain's plan audit) runs no jobs — work happens
+    * at first consumption. Trade-off: the checkpoint truncates lineage,
+    * so these queries' printed plans end at a Scan ExistingRDD. */
   private def withPlantedCheck(
       out: DataFrame,
       cond: org.apache.spark.sql.Column): DataFrame = {
-    val o = out.localCheckpoint(true)
+    val o = out.localCheckpoint(false)
     o.crossJoin(broadcast(o.agg(
       coalesce(max(when(cond, true)), lit(false)).as("planted_ok"))))
   }

@@ -76,15 +76,26 @@ object StreamingSessionize {
     * closes when a later event of the same key exceeds the gap, or
     * when the watermark passes its last event + gap (event-time
     * timeout). The still-open session is withheld until it closes —
-    * append-mode exactly-once. */
+    * append-mode exactly-once.
+    *
+    * After a timeout flush the per-key sequence COUNTER is retained
+    * (as closed-sentinel state with nEvents = 0) for `counterTtlMs` of
+    * event time, so a key that resumes activity continues its
+    * numbering instead of silently reusing session_seq 1; only after
+    * the counter TTL passes with no activity is the key's state
+    * reclaimed and its numbering restarted (the explicit, documented
+    * bound on per-key state lifetime). */
   def annotateSessions(
       stream: DataFrame,
       keyCol: String,
       tsCol: String,
       valueCol: String,
       delay: String,
-      gapMs: Long): Dataset[ClosedSession] = {
+      gapMs: Long,
+      counterTtlMs: Long = 7L * 24 * 3600 * 1000): Dataset[ClosedSession] = {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    require(counterTtlMs >= gapMs,
+      s"counterTtlMs ($counterTtlMs) must be >= gapMs ($gapMs)")
     implicit val outEnc = Encoders.product[ClosedSession]
     implicit val stEnc = Encoders.product[OpenSession]
     implicit val keyEnc = Encoders.scalaLong
@@ -103,14 +114,27 @@ object StreamingSessionize {
       (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
           state: GroupState[OpenSession]) =>
         if (state.hasTimedOut) {
-          // idle past the gap: flush the open session
           val st = state.get
-          state.remove()
-          Iterator.single(ClosedSession(key, st.seq, st.startMs, st.lastMs,
-            st.nEvents, st.totalValue))
+          if (st.nEvents > 0) {
+            // idle past the gap: flush the open session but RETAIN the
+            // sequence counter (closed sentinel) so later activity
+            // continues the numbering
+            state.update(st.copy(nEvents = 0L, totalValue = 0.0))
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs, state.getCurrentWatermarkMs()) + counterTtlMs)
+            Iterator.single(ClosedSession(key, st.seq, st.startMs, st.lastMs,
+              st.nEvents, st.totalValue))
+          } else {
+            // counter TTL expired with no new activity: reclaim the key
+            state.remove()
+            Iterator.empty
+          }
         } else {
           val sorted = rows.toVector.sortBy(r => (r._2.getTime, r._3))
-          var open = state.getOption
+          // a closed sentinel (nEvents == 0) carries only the last-used
+          // sequence number; it is not an open session
+          var open = state.getOption.filter(_.nEvents > 0)
+          var lastSeq = state.getOption.map(_.seq).getOrElse(0L)
           val closed = Vector.newBuilder[ClosedSession]
           sorted.foreach { case (_, t, v) =>
             val ms = t.getTime
@@ -126,8 +150,9 @@ object StreamingSessionize {
                   nEvents = st.nEvents + 1,
                   totalValue = st.totalValue + v))
               case None =>
-                open = Some(OpenSession(1L, ms, ms, 1L, v))
+                open = Some(OpenSession(lastSeq + 1, ms, ms, 1L, v))
             }
+            lastSeq = open.get.seq
           }
           val st = open.get
           state.update(st)

@@ -69,6 +69,38 @@ class StreamingSessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session numbering continues after a timeout flush (counter retained)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingSessionize
+      .annotateSessions(input.toDF(), "user_id", "ts", "value",
+        delay = "1 minute", gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("ss_seq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past 10:00 + gap -> session 1 flushes
+      // via event-time timeout (needs a batch to advance, one to fire)
+      input.addData(ev(99, "2024-01-01 14:00:00", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-01 14:01:00", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("ss_seq").as[ClosedRow].collect()
+        .exists(r => r.key == 1L && r.sessionSeq == 1L))
+      // user 1 comes back: the retained counter must number this 2, not 1
+      input.addData(ev(1, "2024-01-01 15:00:00", 4.0))
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-01 20:00:00", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-01 20:01:00", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("ss_seq").as[ClosedRow].collect()
+        .filter(_.key == 1L).map(r => (r.sessionSeq, r.totalValue)).toSet
+      assert(u1 === Set((1L, 1.0), (2L, 4.0)))
+    } finally q.stop()
+  }
+
   test("annotateSessions matches batch Sessionize on a replayed stream") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(

@@ -69,10 +69,19 @@ def compare(name, spark_df, oracle_df):
     return issues
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    args = sys.argv[1:]
     skip = set()
-    if len(sys.argv) > 4 and sys.argv[3] == "--skip":
-        skip = set(sys.argv[4].split(","))
+    if "--skip" in args:
+        i = args.index("--skip")
+        if i + 1 >= len(args):
+            sys.exit("--skip requires a comma-separated query list")
+        skip = set(q for q in args[i + 1].split(",") if q)
+        if not skip:
+            sys.exit("--skip requires a non-empty query list")
+        args = args[:i] + args[i + 2:]
+    if len(args) != 2:
+        sys.exit(__doc__)
+    sf_dir, out_dir = args
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
