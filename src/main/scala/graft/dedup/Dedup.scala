@@ -281,6 +281,12 @@ object Dedup {
     // edges to a handful of inter-star links; the iterative part below
     // then runs on the contracted graph only (measured at sf0.1: 2.4M
     // directed edges → a few hundred, CC wall time 6.8s → ~2s).
+    // The eager checkpoint is NOT just lineage hygiene: the
+    // materialized RDD gives Catalyst an exact size for `seed`, which
+    // is what lets the two contraction joins broadcast it. Without it
+    // the aggregate's estimated stats exceed the broadcast threshold
+    // and both joins plan as sort-merge over the full edge table
+    // (measured: q26 9.3s → 17.5s at sf0.1).
     val seed = edges
       .groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("comp"))
@@ -298,6 +304,9 @@ object Dedup {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eagerly checkpointed for the same stats reason as `seed`: the
+    // loop's per-round joins must see the label table's true (tiny)
+    // size to broadcast it
     var labels = contracted
       .groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("comp"))
