@@ -44,6 +44,28 @@ class WordGramsSpec extends SparkSpec {
       (12L, 0L, false)))
   }
 
+  test("grams match the naive sliding-window reference on random corpora") {
+    val vocab = Vector("a", "bb", "ccc", "Dd", "e9", "f!f", "GG")
+    for (seed <- Seq(3, 17, 42); n <- Seq(2, 3, 5)) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0L until 20L).map { i =>
+        (i, (0 until rng.nextInt(12)).map(_ => vocab(rng.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // reference: canonicalize like WordGrams.tokens, then sliding(n)
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split(" ").filter(_.nonEmpty)
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(g => (id, g.mkString(" "))).toSeq
+      }
+      val got = WordGrams.grams(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.sorted.toSeq === want.sorted.toSeq, s"seed $seed n=$n")
+    }
+  }
+
   test("vocabulary counts occurrences and doc frequency with a floor") {
     val docs = Seq(
       (1L, "ab ab ab cd"),
