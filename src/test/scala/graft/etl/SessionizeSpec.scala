@@ -50,6 +50,43 @@ class SessionizeSpec extends SparkSpec {
       (2L, 1L, 1L, 0L, 1.5)))
   }
 
+  test("sessionStats matches a naive per-user reference on random streams") {
+    for (seed <- Seq(5, 23)) {
+      val rng = new scala.util.Random(seed)
+      val evs = (1L to 200L).map { id =>
+        val user = rng.nextInt(6).toLong
+        val at = new java.sql.Timestamp(
+          ts("2024-01-01 00:00:00").getTime + rng.nextInt(6 * 3600) * 1000L)
+        (id, user, at, (rng.nextInt(100) + 1).toDouble)
+      }
+      val gap = 20L * 60 * 1000000 // 20 min
+      // driver-side reference: sort per user by (ts, id), split on gap
+      val want = evs.groupBy(_._2).toSeq.flatMap { case (user, rows) =>
+        val sorted = rows.sortBy(r => (r._3.getTime, r._1))
+        val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, java.sql.Timestamp, Double)]]) {
+          case (acc, (id, _, at, v)) =>
+            if (acc.nonEmpty &&
+                (at.getTime - acc.last.last._2.getTime) * 1000 <= gap)
+              acc.init :+ (acc.last :+ ((id, at, v)))
+            else acc :+ Vector((id, at, v))
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (user, (i + 1).toLong, s.length.toLong,
+            (s.map(_._2.getTime).max - s.map(_._2.getTime).min) / 1000,
+            s.map(_._3).sum)
+        }
+      }.toSet
+      val got = Sessionize.sessionStats(
+          evs.toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", gap, "event_id", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+        .toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("timestamp ties break deterministically on the tie-break column") {
     val e = Seq(
       (9L, 1L, ts("2024-01-01 10:00:00"), 1.0),
