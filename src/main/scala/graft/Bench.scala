@@ -71,15 +71,27 @@ object Bench {
         (name, median, spread, true)
       }
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s, _) =>
-      "\"" + k + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
-    val oks = results.map { case (k, _, _, ok) => "\"" + k + "\":" + ok }
+    // The driver captures a bounded TAIL of stdout: the round-4 line
+    // (full-precision medians + per-query spread and ok maps) overran it
+    // and the artifact truncated mid-JSON with "parsed": null. Keep the
+    // stdout line COMPACT (3-decimal medians, failures as a list, one
+    // spread summary) so it always parses, and write the full-precision
+    // per-query detail to BENCH_SELF.json for regression diffs.
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._4).map(_._2).sum
     val nFail = results.count(!_._4)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"ok":$oks,"failed":$nFail,"sf":"$sfDir"}""")
+    val failedList = results.filter(!_._4).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val (spreadMaxQ, spreadMax) = results.map(r => (r._1, r._3))
+      .maxBy(_._2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$nFail,"failed_queries":$failedList,"spread_max":${f"$spreadMax%.3f"},"spread_max_q":"$spreadMaxQ","sf":"$sfDir"}""")
+    val detail = results.map { case (k, v, s, ok) =>
+      s""""$k":{"median_sec":$v,"spread":${f"$s%.3f"},"ok":$ok}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SELF.json"),
+      s"""{"total_sec":$total,"runs":$runs,"failed":$nFail,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
     spark.stop()
   }
 }

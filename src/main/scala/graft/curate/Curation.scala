@@ -176,7 +176,14 @@ object Curation {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split rates must sum to 1, got ${splits.map(_._2).sum}")
     val frac = hashKey(col(idCol), salt).cast("double") / HashSpace.toDouble
+    // round each cumulative boundary to 12 decimals: the float left-fold
+    // (0.8 + 0.1 = 0.9000000000000001) would otherwise sit 1 ulp off the
+    // LITERAL boundary an external re-implementation writes, and a hash
+    // fraction landing in that gap would be assigned differently by the
+    // two engines. Rounding snaps to the literal the external engine
+    // uses, making assignment engine-portable for any rate list
     val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.rint(c * 1e12) / 1e12)
     // last split is the default branch so float edges cannot drop a row
     val expr0 = splits.init.zip(cumulative.init).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
@@ -227,28 +234,46 @@ object Curation {
     * band edges are reproducible across engines (raw interpolation
     * differs in the last float bit). Two passes over the input, one
     * shuffle each, both keyed on the stratum; the cutoff table is one
-    * row per stratum and is broadcast back. Exact percentile buffers
-    * each stratum's values in its aggregation state — fine while a
-    * stratum fits a task (the same contract as any exact quantile);
-    * for extreme cardinalities swap `percentile` for
-    * `approx_percentile` and keep everything else. */
+    * row per stratum and is broadcast back.
+    *
+    * Exact vs approximate tier: `exact = true` (default) uses exact
+    * interpolated `percentile`, which buffers each stratum's values in
+    * its aggregation state — right for oracle-matched results while a
+    * stratum fits a task. At 100 TB a single stratum does NOT fit one
+    * aggregation buffer, so pass `exact = false` to wire
+    * `approx_percentile` (GK sketch, bounded memory ~O(accuracy), rank
+    * error ≤ n/accuracy) — same output schema, same band-keep pass.
+    *
+    * @param exact    true = exact interpolated percentile (value-exact,
+    *                 memory O(stratum)); false = approx_percentile
+    *                 (memory O(accuracy), the 100 TB tier)
+    * @param accuracy approx_percentile accuracy knob (only read when
+    *                 `exact = false`): rank error is at most
+    *                 n/accuracy rows */
   def quantileCutoff(
       df: DataFrame,
       stratumCol: String,
       valueCol: String,
       loP: Double,
       midP: Double,
-      hiP: Double): DataFrame = {
+      hiP: Double,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
     require(Seq(loP, midP, hiP).forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1], got ($loP, $midP, $hiP)")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     // valueCol rides inside an expr() string — restrict to a plain
     // identifier so arbitrary SQL cannot be pasted in
     require(valueCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"valueCol '$valueCol' must match [A-Za-z_][A-Za-z0-9_]*")
+    def pct(p: Double): Column =
+      if (exact) expr(s"percentile($valueCol, CAST($p AS DOUBLE))")
+      else expr(s"approx_percentile($valueCol, CAST($p AS DOUBLE), $accuracy)")
+        .cast("double")
     val cuts = df.groupBy(col(stratumCol)).agg(
-      round(expr(s"percentile($valueCol, CAST($loP AS DOUBLE))"), 6).as("p_lo"),
-      round(expr(s"percentile($valueCol, CAST($midP AS DOUBLE))"), 6).as("p_mid"),
-      round(expr(s"percentile($valueCol, CAST($hiP AS DOUBLE))"), 6).as("p_hi"),
+      round(pct(loP), 6).as("p_lo"),
+      round(pct(midP), 6).as("p_mid"),
+      round(pct(hiP), 6).as("p_hi"),
       count(lit(1)).as("n_rows"))
     df.join(broadcast(cuts), stratumCol)
       .groupBy(col(stratumCol), col("p_lo"), col("p_mid"), col("p_hi"),

@@ -23,16 +23,20 @@ object Profiler {
 
   /** Profile numeric columns: one output row per column with
     * n_rows / n_nulls / n_distinct / min / max / exact decimal(18,2)
-    * sum. Values are compared/aggregated as DOUBLE. */
+    * sum. min/max/distinct compare values as DOUBLE; the sum casts the
+    * ORIGINAL column straight to decimal(18,2) — not via the double —
+    * so it stays exact even for inputs whose decimal→double round-trip
+    * is lossy (e.g. decimal(18,4) or >15 significant digits). */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     // names ride inside a selectExpr string; reject anything a backtick
     // or quote could use to break the parse
     cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"column '$c' must match [A-Za-z_][A-Za-z0-9_]*"))
-    val stackArgs =
-      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
-    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
+    val stackArgs = cols
+      .map(c => s"'$c', CAST(`$c` AS DOUBLE), CAST(`$c` AS DECIMAL(18,2))")
+      .mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v, dv)")
       .groupBy(col("col_name"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -40,6 +44,6 @@ object Profiler {
         countDistinct(col("v")).as("n_distinct"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"),
-        sum(col("v").cast("decimal(18,2)")).as("sum_v"))
+        sum(col("dv")).as("sum_v"))
   }
 }

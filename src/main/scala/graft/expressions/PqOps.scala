@@ -130,7 +130,11 @@ case class PqLut(child: Expression, codebook: Array[Float],
 
 /** `pq_adc(codes, lut)` → double: Σ_j lut[j·ksub + codes[j]] — the
   * asymmetric distance between a query (via its LUT) and a PQ-encoded
-  * vector. m lookups per pair. */
+  * vector. m lookups per pair. Mismatched inputs (codes shorter than m,
+  * a code outside [0, ksub), or a lut shorter than m·ksub — e.g. a
+  * PqAdc constructed with an m/ksub that doesn't match the arrays)
+  * yield NULL, matching encode/lut's short-input convention, instead
+  * of an ArrayIndexOutOfBounds or a silent read of wrong lut slots. */
 case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
     extends BinaryExpression {
 
@@ -147,14 +151,21 @@ case class PqAdc(left: Expression, right: Expression, m: Int, ksub: Int)
     }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "pq_adc"
 
   override protected def nullSafeEval(codes: Any, lut: Any): Any =
     PqOps.adc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], m, ksub)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (c, l) =>
-      s"graft.expressions.PqOps.adc($c, $l, $m, $ksub)")
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val boxed = ctx.freshName("adc")
+      s"""
+      java.lang.Double $boxed = graft.expressions.PqOps.adc($c, $l, $m, $ksub);
+      ${ev.isNull} = ($boxed == null);
+      ${ev.value} = ${ev.isNull} ? -1.0 : $boxed.doubleValue();
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdc =
@@ -222,14 +233,21 @@ object PqOps {
     new GenericArrayData(out)
   }
 
-  def adc(codes: ArrayData, lut: ArrayData, m: Int, ksub: Int): Double = {
+  /** ADC score, or NULL when the arrays don't match the declared
+    * geometry (codes < m, lut < m·ksub, or any code outside
+    * [0, ksub)) — the same convention as encode/lut's short-input
+    * NULL, instead of throwing or silently reading wrong lut slots. */
+  def adc(codes: ArrayData, lut: ArrayData, m: Int, ksub: Int): java.lang.Double = {
+    if (codes.numElements() < m || lut.numElements() < m * ksub) return null
     var d = 0.0
     var j = 0
     while (j < m) {
-      d += lut.getFloat(j * ksub + codes.getInt(j))
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub) return null
+      d += lut.getFloat(j * ksub + c)
       j += 1
     }
-    d
+    java.lang.Double.valueOf(d)
   }
 
   /** Column forms. */

@@ -13,15 +13,17 @@ object PipelineQueries {
 
   /** The test corpus arrives as one parquet row group → one scan task,
     * which serializes the interpreted shingle/array work. Spread it with
-    * an id-keyed repartition: locally this unlocks all cores; at real
-    * corpus scale the source splits naturally and this is a cheap
-    * raw-text shuffle feeding several heavier stages. */
+    * an id-keyed repartition — but ONLY when the source is actually
+    * under-partitioned ([[graft.etl.Spread.byKeyIfNarrow]]): at real
+    * corpus scale the source splits into thousands of tasks and the
+    * repartition would be a full-corpus raw-text shuffle for nothing,
+    * so there it is skipped entirely (no plan node added). */
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition(col("doc_id"))
+    graft.etl.Spread.byKeyIfNarrow(Tables.documents(s, dir), col("doc_id"))
 
-  /** Same single-row-group consideration for the embeddings table. */
+  /** Same conditional-spread consideration for the embeddings table. */
   private def embSpread(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).repartition(col("vec_id"))
+    graft.etl.Spread.byKeyIfNarrow(Tables.embeddings(s, dir), col("vec_id"))
 
   // ---------------------------------------------------------------------
   // Planted-pair self-checks for the approximate (no-oracle) operators.
@@ -904,7 +906,7 @@ object PipelineQueries {
     * scored (doc, token) rows. Scores round to 6 decimals so the
     * cross-engine ln() ulp cannot flip the hash. */
   def q73TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsSpread(s, dir).where(col("doc_id") < 50)
+    val docs = docsSpread(s, dir)
     val toks = docs.select(col("doc_id"),
         explode(graft.text.WordGrams.tokens(col("text"))).as("token"))
       .where(length(col("token")) > 0)
@@ -927,11 +929,11 @@ object PipelineQueries {
   val q73Oracle: String =
     """WITH d AS (SELECT doc_id,
       |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
-      |  FROM documents WHERE doc_id < 50),
+      |  FROM documents),
       |tf AS (SELECT doc_id, token, count(*) AS tf FROM d
       |       WHERE len(token) > 0 GROUP BY doc_id, token),
       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-      |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 50),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
       |scored AS (SELECT tf.doc_id, tf.token,
       |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
       |  FROM tf JOIN dfreq df USING (token) CROSS JOIN n),

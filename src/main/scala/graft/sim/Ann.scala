@@ -260,10 +260,14 @@ object Ann {
       dsub: Int,
       sampleSize: Int = 2048,
       lloydIters: Int = 3): Array[Float] = {
+    // cast to array<float> before collecting so BOTH element types the
+    // PQ kernels accept (float and double) train identically — without
+    // it a double-element corpus passes analysis but getSeq[Float]
+    // throws ClassCastException on the driver
     val sample: Array[Array[Float]] = corpus
       .orderBy(xxhash64(col(idCol).cast("string")), col(idCol))
       .limit(sampleSize)
-      .select(col(vecCol))
+      .select(col(vecCol).cast("array<float>"))
       .collect()
       .map(_.getSeq[Float](0).toArray)
       .filter(_.length >= m * dsub)
@@ -335,6 +339,9 @@ object Ann {
     val scored = broadcast(q)
       .join(codes, col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", PqOps.pqAdc(col("codes"), col("lut"), m, ksub))
+      // pq_adc NULLs on geometry mismatch; ascending order would rank
+      // NULLS FIRST, so drop them before the top-k window
+      .where(col("adc_dist").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     scored

@@ -144,4 +144,36 @@ class CurationSpec extends SparkSpec {
       // of {10, 20}? 10 < 12.5, 20 > 19.0 -> 0
       ("b", 12.5, 15.0, 19.0, 2L, 0L)))
   }
+
+  test("quantileCutoff approx tier tracks exact within the GK rank bound") {
+    // the 100 TB tier: approx_percentile must not buffer a stratum, and
+    // its cutoffs must sit within accuracy's rank-error bound of exact.
+    // Skewed stratum: 900 small values + a heavy tail of large ones.
+    val vals = (1 to 900).map(_.toDouble) ++
+      (1 to 100).map(i => 10000.0 + i * 1000.0)
+    val df = vals.map(("a", _)).toDF("src", "v")
+    val exact = Curation.quantileCutoff(df, "src", "v", 0.25, 0.5, 0.9)
+      .select("p_lo", "p_mid", "p_hi").head()
+    val approx = Curation
+      .quantileCutoff(df, "src", "v", 0.25, 0.5, 0.9,
+        exact = false, accuracy = 10000)
+      .select("p_lo", "p_mid", "p_hi").head()
+    // n = 1000, accuracy = 10000 -> rank error <= n/accuracy < 1 rank;
+    // approx picks an actual sample value, exact interpolates between
+    // neighbors, so they may differ by at most one inter-value step
+    val sorted = vals.sorted
+    for (i <- 0 until 3) {
+      val e = exact.getDouble(i)
+      val a = approx.getDouble(i)
+      val idx = sorted.indexWhere(_ >= e - 1e-6)
+      val lo = sorted(math.max(idx - 1, 0))
+      val hi = sorted(math.min(idx + 1, sorted.size - 1))
+      assert(a >= lo && a <= hi,
+        s"approx cutoff $a outside [$lo, $hi] around exact $e")
+    }
+    // same output schema and stratum bookkeeping on both tiers
+    val aRow = Curation.quantileCutoff(df, "src", "v", 0.25, 0.5, 0.9,
+      exact = false).head()
+    assert(aRow.length === 6)
+  }
 }

@@ -47,6 +47,25 @@ class PqOpsSpec extends SparkSpec {
     assert(adc === lut(0) + lut(3))
   }
 
+  test("adc NULLs on geometry mismatch instead of throwing or misreading") {
+    val lutDf = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("id", "v")
+      .select(PqOps.pqLut(col("v"), cb, 2, 2, 2).as("lut"))
+    // codes shorter than m
+    assert(lutDf.select(PqOps.pqAdc(array(lit(0)), col("lut"), 2, 2))
+      .head().isNullAt(0))
+    // a code outside [0, ksub)
+    assert(lutDf.select(PqOps.pqAdc(array(lit(0), lit(2)), col("lut"), 2, 2))
+      .head().isNullAt(0))
+    assert(lutDf.select(PqOps.pqAdc(array(lit(-1), lit(0)), col("lut"), 2, 2))
+      .head().isNullAt(0))
+    // lut shorter than m*ksub (PqAdc declared with the wrong geometry)
+    assert(lutDf.select(PqOps.pqAdc(array(lit(0), lit(1), lit(0)), col("lut"), 3, 2))
+      .head().isNullAt(0))
+    // matching geometry still scores
+    assert(!lutDf.select(PqOps.pqAdc(array(lit(0), lit(1)), col("lut"), 2, 2))
+      .head().isNullAt(0))
+  }
+
   test("codebook size mismatch is an analysis error") {
     intercept[org.apache.spark.sql.AnalysisException] {
       Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("id", "v")
