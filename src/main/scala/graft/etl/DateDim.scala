@@ -45,6 +45,33 @@ object DateDim {
       date_format(col("full_date"), "yyyy/MM").as("year_month"))
   }
 
+  /** Append the −1 unknown calendar member so facts with a null or
+    * out-of-range date still have a dimension row to land on.
+    *
+    * reference: include/scripts/sql/insert_unknown_into_date_table.sql:1-9
+    * — `VALUES(-1, DATEFROMPARTS(1900,1,1), -1, …, 'unknown', CAST(0 AS
+    * bit), …)`. The literal for each attribute is derived from its TYPE,
+    * exactly the reference's convention: dates → 1900-01-01, numbers →
+    * −1, strings → 'unknown', booleans → false. Works on the plain
+    * calendar and on one keyed by [[SurrogateKeys.assign]] (the
+    * surrogate column is numeric → −1, the reference's DateId).
+    */
+  def withUnknownMember(dim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val unknownRow = dim.sparkSession.range(1).select(dim.schema.fields.map { f =>
+      val v: Column = f.dataType match {
+        case DateType => to_date(lit("1900-01-01"))
+        case TimestampType => to_timestamp(lit("1900-01-01"))
+        case StringType => lit("unknown")
+        case BooleanType => lit(false)
+        case _: NumericType => lit(-1).cast(f.dataType)
+        case other => lit(null).cast(other)
+      }
+      v.as(f.name)
+    }: _*)
+    dim.unionByName(unknownRow)
+  }
+
   /** Build the dimension spanning the observed range of `dateCol`,
     * optionally extended `extendYears` past the observed max so facts
     * dated beyond the last build still find their date key (reference:

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.etl.{Cleaning, DateDim, Scd, StarSchema}
+import graft.etl.{Cleaning, DateDim, Scd, StarSchema, SurrogateKeys}
 import graft.dedup.Dedup
 import graft.sources.Tables
 
@@ -716,6 +716,94 @@ object WarehouseQueries {
       |  UNION ALL SELECT 'step2_click', count(*) FROM s2
       |  UNION ALL SELECT 'step3_purchase', count(*) FROM s3)
       |ORDER BY step""".stripMargin
+
+  // ------------------------------------------------------------------ q77
+  /** Surrogate-keyed star join ([[graft.etl.SurrogateKeys]]): the
+    * customer dim is built in two loads — an initial assignment and an
+    * IDENTITY-preserving extension (existing ids untouched, new rows
+    * continue from the max) — then the orders fact resolves its FK on
+    * the surrogate and aggregates per (sk, segment). Mirrors the
+    * reference's IDENTITY dims + FK joins
+    * (data_warehouse/sql/CreateModel.sql:48/:129). */
+  def q77SurrogateStar(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val initial = SurrogateKeys.assign(
+      c.where(col("c_custkey") <= 750), "customer_sk", Seq("c_custkey"))
+    val dim = SurrogateKeys.extend(
+      initial, c.where(col("c_custkey") > 750),
+      "customer_sk", Seq("c_custkey"), Seq("c_custkey"))
+    val fact = SurrogateKeys.resolveFk(
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      dim, Seq("c_custkey"), "customer_sk", "customer_sk")
+    fact
+      .join(broadcast(dim.select(col("customer_sk"), col("c_mktsegment"))),
+        Seq("customer_sk"))
+      .groupBy(col("customer_sk"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        emit(sum(col("o_totalprice").cast("decimal(12,2)"))).as("revenue"))
+      .orderBy(col("customer_sk"))
+  }
+
+  val q77Oracle: String =
+    """WITH d1 AS (SELECT c_custkey, c_mktsegment,
+      |         row_number() OVER (ORDER BY c_custkey) AS customer_sk
+      |       FROM customer WHERE c_custkey <= 750),
+      |d2 AS (SELECT c_custkey, c_mktsegment,
+      |         (SELECT count(*) FROM d1) + row_number() OVER (ORDER BY c_custkey) AS customer_sk
+      |       FROM customer WHERE c_custkey > 750),
+      |dim AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+      |SELECT d.customer_sk, d.c_mktsegment, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS revenue
+      |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+      |GROUP BY d.customer_sk, d.c_mktsegment
+      |ORDER BY customer_sk""".stripMargin
+
+  // ------------------------------------------------------------------ q78
+  /** Date dimension with surrogate key AND the −1 unknown member
+    * ([[DateDim.withUnknownMember]]): facts whose date is null (here
+    * every 11th order, synthetically) resolve to DateId −1 instead of
+    * falling out of the star — the reference's
+    * insert_unknown_into_date_table.sql semantics end-to-end. */
+  def q78DateUnknownMember(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val dim = DateDim.withUnknownMember(
+      SurrogateKeys.assign(
+        DateDim.fromObservedRange(o, "o_orderdate"), "date_id", Seq("full_date")))
+    val fact = o.select(
+      col("o_totalprice"),
+      when(col("o_orderkey") % 11 === 0, lit(null).cast("date"))
+        .otherwise(to_date(col("o_orderdate"))).as("full_date"))
+    SurrogateKeys.resolveFk(fact, dim, Seq("full_date"), "date_id", "date_id")
+      .join(broadcast(dim.select(col("date_id"), col("year"), col("season_name"))),
+        Seq("date_id"))
+      .groupBy(col("date_id"), col("year"), col("season_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        emit(sum(col("o_totalprice").cast("decimal(12,2)"))).as("revenue"))
+      .orderBy(col("date_id"))
+  }
+
+  val q78Oracle: String =
+    """WITH r AS (SELECT CAST(min(o_orderdate) AS DATE) AS mn, CAST(max(o_orderdate) AS DATE) AS mx FROM orders),
+      |cal AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS full_date FROM r),
+      |keyed AS (SELECT full_date, row_number() OVER (ORDER BY full_date) AS date_id,
+      |            year(full_date) AS year,
+      |            CASE WHEN (month(full_date)=3 AND dayofmonth(full_date)>=21) OR month(full_date) IN (4,5) OR (month(full_date)=6 AND dayofmonth(full_date)<22) THEN 'spring'
+      |                 WHEN (month(full_date)=6 AND dayofmonth(full_date)>=22) OR month(full_date) IN (7,8) OR (month(full_date)=9 AND dayofmonth(full_date)<23) THEN 'summer'
+      |                 WHEN (month(full_date)=9 AND dayofmonth(full_date)>=23) OR month(full_date) IN (10,11) OR (month(full_date)=12 AND dayofmonth(full_date)<22) THEN 'autumn'
+      |                 ELSE 'winter' END AS season_name
+      |          FROM cal
+      |          UNION ALL SELECT DATE '1900-01-01', -1, -1, 'unknown'),
+      |fact AS (SELECT o_totalprice,
+      |           CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE CAST(o_orderdate AS DATE) END AS full_date
+      |         FROM orders),
+      |resolved AS (SELECT f.o_totalprice, coalesce(k.date_id, -1) AS date_id
+      |             FROM fact f LEFT JOIN keyed k ON f.full_date = k.full_date)
+      |SELECT v.date_id, k.year, k.season_name, count(*) AS n_orders,
+      |  CAST(round(sum(CAST(v.o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS revenue
+      |FROM resolved v JOIN keyed k ON v.date_id = k.date_id
+      |GROUP BY v.date_id, k.year, k.season_name
+      |ORDER BY v.date_id""".stripMargin
 
   // ------------------------------------------------------------------ q60
   /** Pivoted dashboard: quantity by return flag × line status as a
