@@ -82,6 +82,121 @@ object PipelineQueries {
     col("query_id") === PlantB && col("neighbor_id") === PlantA &&
       col("rnk") === 1
 
+  // ---------------------------------------------------------------------
+  // Measured-recall self-checks.
+  //
+  // The planted pair proves the recall-1 path (identical inputs MUST
+  // collide); it says nothing about recall on merely-similar pairs. So
+  // each approximate query ALSO measures its recall against the exact
+  // answer on a small deterministic sub-block (ids < 60, or the full
+  // query set for top-k) computed inline — the sub-block truth is a
+  // few-thousand-comparison broadcast join, noise next to the main
+  // operator — and emits `measured_recall` plus `recall_ok` (measured ≥
+  // a per-query declared floor). Both the data and every hash seed are
+  // deterministic, so the measured value is a constant per scale factor:
+  // the floors are set from observed values at sf0.001/0.01/0.1 with
+  // margin, and a future change that degrades recall flips `recall_ok`
+  // to false — which PlantedPairSpec asserts on.
+  //
+  // Truth-set shape: the corpus's near-dup pairs have uniformly random
+  // id endpoints, so "all pairs inside a small id block" is empty (a
+  // vacuous truth). Instead truth is PROBE × CORPUS: every true partner
+  // (anywhere in the corpus) of the first `RecallProbeIds` docs — a
+  // broadcast(probes) ⨯ corpus pass, linear in the corpus like the
+  // brute-force top-k baseline, never quadratic.
+  // ---------------------------------------------------------------------
+  private val RecallProbeIds = 60L
+
+  /** Append planted_ok + measured_recall/recall_ok. The result is
+    * materialized once via a LAZY localCheckpoint (see
+    * [[withPlantedCheck]] for why lazy + checkpoint, not persist);
+    * `truthKeys` is the exact sub-block answer projected onto
+    * `keyCols`, also checkpointed (it is consumed by two 1-row
+    * aggregates). Recall of an empty truth set is defined as 1. */
+  private def withPlantedAndRecall(
+      raw: DataFrame,
+      cond: org.apache.spark.sql.Column,
+      truthKeys: DataFrame,
+      keyCols: Seq[String],
+      floor: Double): DataFrame = {
+    val o = raw.localCheckpoint(false)
+    val planted = o.agg(
+      coalesce(max(when(cond, true)), lit(false)).as("planted_ok"))
+    val t = truthKeys.localCheckpoint(false)
+    val recall = t
+      .join(o.select(keyCols.map(col): _*).dropDuplicates(keyCols),
+        keyCols, "left_semi")
+      .agg(count(lit(1)).as("_rc_m"))
+      .crossJoin(t.agg(count(lit(1)).as("_rc_n")))
+      .select(round(
+        when(col("_rc_n") === 0, lit(1.0))
+          .otherwise(col("_rc_m").cast("double") / col("_rc_n")), 6)
+        .as("measured_recall"))
+      .select(col("measured_recall"),
+        (col("measured_recall") >= floor).as("recall_ok"))
+    o.crossJoin(broadcast(planted)).crossJoin(broadcast(recall))
+  }
+
+  /** Canonicalize a probe⨯corpus exact-pair frame to the operators'
+    * (id_a, id_b) = (min, max) convention, deduped (both endpoints can
+    * be probes). */
+  private def asOrderedPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .select(least(col("pid"), col("cid")).as("id_a"),
+        greatest(col("pid"), col("cid")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+  /** Exact word-shingle Jaccard partners of the probe docs across the
+    * whole corpus — the truth set for the MinHash bander (which
+    * verifies candidates with the same exact Jaccard, so its only loss
+    * is banding misses). */
+  private def jaccardPairTruth(
+      s: SparkSession, dir: String, shingleK: Int, threshold: Double): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.tokensOf(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks"), shingleK).as("sh"))
+    val probes = sh.where(col("doc_id") < RecallProbeIds)
+      .select(col("doc_id").as("pid"), col("sh").as("psh"))
+    asOrderedPairs(
+      broadcast(probes)
+        .join(sh.select(col("doc_id").as("cid"), col("sh").as("csh")),
+          col("pid") =!= col("cid"))
+        .where(round(Dedup.jaccard(col("psh"), col("csh")), 6) >= threshold))
+  }
+
+  /** Exact SimHash hamming partners of the probe docs across the whole
+    * corpus. The quarter-pigeonhole blocking is lossless for
+    * maxHamming ≤ 3, so this truth certifies exactness (floor 1.0),
+    * not just approximation quality. */
+  private def simhashPairTruth(
+      s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
+    val sigs = Dedup.simHashSignatures(Tables.documents(s, dir), "doc_id", "text")
+    val probes = sigs.where(col("id") < RecallProbeIds)
+      .select(col("id").as("pid"), col("sig").as("psig"))
+    asOrderedPairs(
+      broadcast(probes)
+        .join(sigs.select(col("id").as("cid"), col("sig").as("csig")),
+          col("pid") =!= col("cid"))
+        .where(bit_count(col("psig").bitwiseXOR(col("csig"))) <= maxHamming))
+  }
+
+  /** Exact cosine partners ≥ threshold of the probe vectors across the
+    * whole corpus — truth for the OR-amplified LSH blocker. */
+  private def cosinePairTruth(
+      s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val base = Ann.withNorm(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("v")), "v")
+    val probes = base.where(col("id") < RecallProbeIds)
+      .select(col("id").as("pid"), col("v").as("pv"), col("self_dot").as("pd"))
+    asOrderedPairs(
+      broadcast(probes)
+        .join(base.select(col("id").as("cid"), col("v").as("cv"),
+          col("self_dot").as("cd")), col("pid") =!= col("cid"))
+        .where(Ann.dot(col("pv"), col("cv")) /
+          sqrt(col("pd") * col("cd")) >= threshold))
+  }
+
   // ------------------------------------------------------------------ q20
   def q20DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables.documents(s, dir), "doc_id", col("text"))
@@ -96,10 +211,12 @@ object PipelineQueries {
   def q21DedupMinHash(s: SparkSession, dir: String): DataFrame = {
     val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
       .unionByName(plantedDocs(s))
-    withPlantedCheck(
+    withPlantedAndRecall(
         Dedup.minHashDedup(corpus, "doc_id", "text",
           shingleK = 3, numPerm = 32, bands = 8, threshold = 0.4),
-        plantedPairCond)
+        plantedPairCond,
+        jaccardPairTruth(s, dir, shingleK = 3, threshold = 0.4),
+        Seq("id_a", "id_b"), floor = 0.7)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -107,9 +224,12 @@ object PipelineQueries {
   def q22DedupSimHash(s: SparkSession, dir: String): DataFrame = {
     val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
       .unionByName(plantedDocs(s))
-    withPlantedCheck(
+    withPlantedAndRecall(
         Dedup.simHashDedup(corpus, "doc_id", "text", maxHamming = 3),
-        plantedPairCond)
+        plantedPairCond,
+        simhashPairTruth(s, dir, maxHamming = 3),
+        // pigeonhole blocking is lossless at hamming <= 3 -> exactness floor
+        Seq("id_a", "id_b"), floor = 1.0)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -223,10 +343,13 @@ object PipelineQueries {
     val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
     val corpus = e.select(col("vec_id"), col("embedding"))
       .unionByName(plantedVecs(s, dim))
-    withPlantedCheck(
+    withPlantedAndRecall(
         Ann.nearDupPairsLsh(corpus, "vec_id", "embedding", dim,
-          numPlanes = 6, threshold = 0.4, numTables = 4, maxBucketSize = 10000),
-        plantedPairCond)
+          numPlanes = 6, threshold = 0.4, numTables = 4, maxBucketSize = 10000,
+          multiProbe = 1),
+        plantedPairCond,
+        cosinePairTruth(s, dir, threshold = 0.4),
+        Seq("id_a", "id_b"), floor = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -359,11 +482,18 @@ object PipelineQueries {
     val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
     val corpus = e.select(col("vec_id"), col("embedding"))
       .unionByName(plantedVecs(s, dim))
-    withPlantedCheck(
-        Ann.lshTopK(corpus.where(col("vec_id") < 8), corpus,
-          "vec_id", "embedding", dim = dim, numPlanes = 6, k = 10)
+    val queries = corpus.where(col("vec_id") < 8)
+    withPlantedAndRecall(
+        Ann.lshTopK(queries, corpus,
+          "vec_id", "embedding", dim = dim, numPlanes = 6, k = 10,
+          numTables = 4, multiProbe = 1)
           .withColumnRenamed("rank", "rnk"),
-        plantedTopKCond)
+        plantedTopKCond,
+        // truth: exact top-k for the same queries over the same corpus —
+        // one brute-force pass (q30's cost), measured recall@k
+        Ann.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), floor = 0.4)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -375,11 +505,15 @@ object PipelineQueries {
     val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
     val corpus = e.select(col("vec_id"), col("embedding"))
       .unionByName(plantedVecs(s, dim))
-    withPlantedCheck(
-        Ann.ivfTopK(corpus.where(col("vec_id") < 8), corpus,
-          "vec_id", "embedding", k = 10, numCentroids = 16, nProbe = 4)
+    val queries = corpus.where(col("vec_id") < 8)
+    withPlantedAndRecall(
+        Ann.ivfTopK(queries, corpus,
+          "vec_id", "embedding", k = 10, numCentroids = 16, nProbe = 6)
           .withColumnRenamed("rank", "rnk"),
-        plantedTopKCond)
+        plantedTopKCond,
+        Ann.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), floor = 0.5)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -396,11 +530,16 @@ object PipelineQueries {
     val corpus = e.select(col("vec_id"), col("embedding"))
       .unionByName(plantedVecs(s, dim))
     val m = if (dim % 8 == 0) 8 else if (dim % 4 == 0) 4 else 1
-    withPlantedCheck(
-        Ann.pqTopK(corpus.where(col("vec_id") < 8), corpus,
-          "vec_id", "embedding", dim = dim, k = 10, m = m, ksub = 16)
+    val queries = corpus.where(col("vec_id") < 8)
+    withPlantedAndRecall(
+        Ann.pqTopK(queries, corpus,
+          "vec_id", "embedding", dim = dim, k = 10, m = m, ksub = 16,
+          rerank = 50)
           .withColumnRenamed("rank", "rnk"),
-        plantedTopKCond)
+        plantedTopKCond,
+        Ann.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), floor = 0.3)
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -77,6 +77,40 @@ object Ann {
     * an uncapped hot bucket is quadratic no matter how many planes.
     * Identical vectors always share every table's bucket; recall < 1 by
     * design (no oracle). */
+  /** Per-id (tbl, bkt) probe entries: each point's own bucket in every
+    * table, plus — at `multiProbe = 1` — the `numPlanes` buckets at
+    * hamming distance 1 in the sign pattern (flip one plane bit). The
+    * standard multi-probe trick (Lv et al., VLDB'07): a near pair that
+    * disagrees on exactly one plane still collides, lifting per-table
+    * recall from p^planes to p^planes + planes·p^(planes−1)(1−p) for
+    * ~(planes+1)× probe volume — far cheaper at scale than dropping a
+    * plane, which doubles every bucket's population instead. Buckets
+    * are materialized once per table as an array attribute so each
+    * probe is an array access, not a re-projection of the vector. */
+  private def probeEntries(
+      base: DataFrame,
+      dim: Int,
+      numPlanes: Int,
+      numTables: Int,
+      multiProbe: Int): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= 1,
+      s"multiProbe must be 0 or 1, got $multiProbe")
+    val bucketed = base.withColumn("bks",
+      array((0 until numTables).map(t =>
+        lshBucket(col("v"), dim, numPlanes, table = t)): _*))
+    val entries = (0 until numTables).flatMap { t =>
+      val b = col("bks").getItem(t)
+      val probes =
+        if (multiProbe == 0) Seq(b)
+        else b +: (0 until numPlanes).map(p => b.bitwiseXOR(lit(1L << p)))
+      probes.map(x => struct(lit(t).as("tbl"), x.as("bkt")))
+    }
+    bucketed
+      .select((base.columns.map(col) :+ explode(array(entries: _*)).as("e")): _*)
+      .withColumn("tbl", col("e.tbl")).withColumn("bkt", col("e.bkt"))
+      .drop("e")
+  }
+
   def nearDupPairsLsh(
       df: DataFrame,
       idCol: String,
@@ -85,7 +119,8 @@ object Ann {
       numPlanes: Int,
       threshold: Double,
       numTables: Int = 4,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000,
+      multiProbe: Int = 0): DataFrame = {
     require(numTables >= 1, s"numTables must be >= 1, got $numTables")
     val base = withNorm(
       df.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
@@ -97,12 +132,26 @@ object Ann {
       .select(col("id"), col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
     val capped =
       graft.dedup.Dedup.capBuckets(entries, maxBucketSize, Seq("tbl", "bkt"))
-    val cands = capped.as("l")
-      .join(capped.as("r"),
-        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cands0 =
+      if (multiProbe == 0)
+        capped.as("l")
+          .join(capped.as("r"),
+            col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+              col("l.id") < col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      else {
+        // asymmetric probe⋈index join: a hamming-1 pair surfaces in both
+        // orders (each side probes the other's bucket), canonicalize
+        val probes = probeEntries(base.select(col("id"), col("v")),
+          dim, numPlanes, numTables, multiProbe)
+          .select(col("id").as("pid"), col("tbl"), col("bkt"))
+        probes
+          .join(capped.withColumnRenamed("id", "cid"), Seq("tbl", "bkt"))
+          .where(col("pid") =!= col("cid"))
+          .select(least(col("pid"), col("cid")).as("id_a"),
+            greatest(col("pid"), col("cid")).as("id_b"))
+      }
+    val cands = cands0.dropDuplicates("id_a", "id_b")
     cands
       .join(base.select(col("id").as("id_a"), col("v").as("va"),
         col("self_dot").as("da")), "id_a")
@@ -323,7 +372,8 @@ object Ann {
       k: Int,
       m: Int = 8,
       ksub: Int = 16,
-      sampleSize: Int = 2048): DataFrame = {
+      sampleSize: Int = 2048,
+      rerank: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val dsub = dim / m
     val cb = trainPqCodebook(corpus, idCol, vecCol, m, ksub, dsub, sampleSize)
@@ -344,11 +394,38 @@ object Ann {
       .where(col("adc_dist").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    scored
+    val shortK = if (rerank > 0) math.max(k, rerank) else k
+    val shortlist = scored
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .where(col("rank") <= shortK)
+    if (rerank <= 0)
+      shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("adc_dist"), 6).as("adc_dist"))
+    else {
+      // ADC-shortlist-then-exact-rerank (the standard IVFADC serving
+      // shape): fetch the original vectors for only |Q|·shortK
+      // shortlisted corpus rows (broadcast the shortlist into the
+      // corpus scan — the corpus never shuffles), score exactly,
+      // re-rank, cut to k. Output ranks by true cosine.
+      val cv = withNorm(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv")
+        .withColumnRenamed("self_dot", "c_dot")
+        .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
+          Seq("neighbor_id"))
+      val qv = withNorm(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
+        .withColumnRenamed("self_dot", "q_dot")
+      val exact = cv.join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos_sim",
+          dot(col("qv"), col("cv")) / sqrt(col("q_dot") * col("c_dot")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      exact
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+    }
   }
 
   /** Approximate top-k: queries only compete against corpus rows in the
@@ -361,18 +438,30 @@ object Ann {
       vecCol: String,
       dim: Int,
       numPlanes: Int,
-      k: Int): DataFrame = {
-    val q = withNorm(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
-      .withColumnRenamed("self_dot", "q_dot")
-      .withColumn("bucket", lshBucket(col("qv"), dim, numPlanes))
-    val c = withNorm(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv")
-      .withColumnRenamed("self_dot", "c_dot")
-      .withColumn("bucket", lshBucket(col("cv"), dim, numPlanes))
+      k: Int,
+      numTables: Int = 1,
+      multiProbe: Int = 0): DataFrame = {
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    // queries probe (their bucket + optional hamming-1 flips) in every
+    // table; the corpus indexes only its exact bucket per table — probe
+    // amplification costs (planes+1)×tables rows on the SMALL side only
+    val q = probeEntries(
+      withNorm(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("v")), "v"),
+      dim, numPlanes, numTables, multiProbe)
+      .select(col("query_id"), col("v").as("qv"),
+        col("self_dot").as("q_dot"), col("tbl"), col("bkt"))
+    val c = probeEntries(
+      withNorm(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")), "v"),
+      dim, numPlanes, numTables, multiProbe = 0)
+      .select(col("neighbor_id"), col("v").as("cv"),
+        col("self_dot").as("c_dot"), col("tbl"), col("bkt"))
     val scored = q
-      .join(c, Seq("bucket"))
+      .join(c, Seq("tbl", "bkt"))
       .where(col("query_id") =!= col("neighbor_id"))
+      // a pair can collide in several tables/probes — score each once
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn(
         "cos_sim",
         dot(col("qv"), col("cv")) / sqrt(col("q_dot") * col("c_dot")))

@@ -19,6 +19,14 @@ class PlantedPairSpec extends SparkSpec {
       assert(rows.nonEmpty, s"$name output empty despite planted pair")
       assert(rows.forall(_.getAs[Boolean]("planted_ok")),
         s"$name lost the planted pair (guaranteed-recall bug)")
+      // beyond the recall-1 planted pair: measured recall against the
+      // exact probe-block answer must clear the query's declared floor
+      // (deterministic data + seeds -> a constant per scale factor)
+      if (out.columns.contains("recall_ok")) {
+        val measured = rows.head.getAs[Double]("measured_recall")
+        assert(rows.forall(_.getAs[Boolean]("recall_ok")),
+          s"$name measured recall $measured fell below its declared floor")
+      }
     }
   }
 }
