@@ -91,6 +91,41 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"pivot should not run a distinct-values discovery scan:\n$plan")
   }
 
+  test("q69 aggregates daily totals BEFORE the moving-average window") {
+    // the RANGE frame must run over one row per (priority, day) — a
+    // Window directly over the raw orders scan shuffles and sorts the
+    // whole fact table instead of |priorities|×|days| rows. In the
+    // top-down plan print, every HashAggregate must sit BELOW the
+    // Window (the window consumes the aggregate's output).
+    val plan = finalPlan(SparkEntry.queries("q69_moving_avg")(spark, sfDir))
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, plan)
+    val aggIdxs = "HashAggregate".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(aggIdxs.nonEmpty, plan)
+    assert(aggIdxs.forall(_ > winIdx),
+      s"window runs over pre-aggregation rows (agg above window):\n$plan")
+  }
+
+  test("q65 joins on the salted key, not the bare join key") {
+    // the whole point of saltedEquiJoin: the join must key on
+    // (key, _salt) so a hot key spreads over `salts` reducers when the
+    // join shuffles (on this tiny dim AQE realizes it as a broadcast —
+    // the salt must still be in the join keys, ready for the shuffle
+    // case)
+    val plan = finalPlan(SparkEntry.queries("q65_skew_join")(spark, sfDir))
+    val saltedJoin = "Join \\[[^\\]]*_salt".r.findFirstIn(plan)
+    assert(saltedJoin.isDefined,
+      s"join not keyed on the salt — salting regressed to a plain join:\n$plan")
+  }
+
+  test("q77 surrogate assignment range-partitions, no global row_number window") {
+    val plan = finalPlan(SparkEntry.queries("q77_surrogate_star")(spark, sfDir))
+    assert(plan.contains("rangepartitioning"),
+      s"surrogate assignment lost its range repartition:\n$plan")
+    assert(!plan.contains("Window [row_number()"),
+      s"global single-partition row_number window crept in:\n$plan")
+  }
+
   test("q67 filtered search pushes the lang predicate to the documents scan") {
     val plan = finalPlan(SparkEntry.queries("q67_filtered_ann")(spark, sfDir))
     assert(plan.contains("EqualTo(lang,en)"),
