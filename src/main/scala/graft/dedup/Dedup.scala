@@ -522,8 +522,20 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 100000,
+      persistIntermediate: Boolean = true): DataFrame =
+    simHashDedupFromSigs(simHashSignatures(df, idCol, textCol),
+      maxHamming, maxBucketSize, persistIntermediate)
+
+  /** [[simHashDedup]] over PRE-COMPUTED signatures (`id`, `sig` — the
+    * [[simHashSignatures]] shape). Callers that also consume the
+    * signatures elsewhere (e.g. an inline exact-recall check) compute
+    * them once and share, instead of re-running the 64-bit-sum
+    * aggregation over the corpus. */
+  def simHashDedupFromSigs(
+      sigs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 100000,
       persistIntermediate: Boolean = true): DataFrame = {
-    val sigs = simHashSignatures(df, idCol, textCol)
     val blocked = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map { q =>

@@ -152,7 +152,7 @@ object PipelineQueries {
     * is banding misses). */
   private def jaccardPairTruth(
       s: SparkSession, dir: String, shingleK: Int, threshold: Double): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    val sh = docsSpread(s, dir)
       .select(col("doc_id"), Dedup.tokensOf(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks"), shingleK).as("sh"))
     val probes = sh.where(col("doc_id") < RecallProbeIds)
@@ -161,17 +161,21 @@ object PipelineQueries {
       broadcast(probes)
         .join(sh.select(col("doc_id").as("cid"), col("sh").as("csh")),
           col("pid") =!= col("cid"))
+        // size-ratio bound (J ≥ t ⇒ min/max set sizes ≥ t): prunes most
+        // of the probe⨯corpus product before the exact kernel runs
+        .where(least(size(col("psh")), size(col("csh"))).cast("double") /
+          greatest(size(col("psh")), size(col("csh"))) >= threshold)
         .where(round(Dedup.jaccard(col("psh"), col("csh")), 6) >= threshold))
   }
 
   /** Exact SimHash hamming partners of the probe docs across the whole
-    * corpus. The quarter-pigeonhole blocking is lossless for
-    * maxHamming ≤ 3, so this truth certifies exactness (floor 1.0),
-    * not just approximation quality. */
-  private def simhashPairTruth(
-      s: SparkSession, dir: String, maxHamming: Int): DataFrame = {
-    val sigs = Dedup.simHashSignatures(Tables.documents(s, dir), "doc_id", "text")
-    val probes = sigs.where(col("id") < RecallProbeIds)
+    * corpus, from the SAME signature frame the operator consumes (one
+    * 64-bit-sum aggregation, shared). The quarter-pigeonhole blocking
+    * is lossless for maxHamming ≤ 3, so this truth certifies exactness
+    * (floor 1.0), not just approximation quality. */
+  private def simhashPairTruthFromSigs(
+      sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val probes = sigs.where(col("id") >= 0 && col("id") < RecallProbeIds)
       .select(col("id").as("pid"), col("sig").as("psig"))
     asOrderedPairs(
       broadcast(probes)
@@ -185,7 +189,7 @@ object PipelineQueries {
   private def cosinePairTruth(
       s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val base = Ann.withNorm(
-      Tables.embeddings(s, dir)
+      embSpread(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("v")), "v")
     val probes = base.where(col("id") < RecallProbeIds)
       .select(col("id").as("pid"), col("v").as("pv"), col("self_dot").as("pd"))
@@ -224,10 +228,14 @@ object PipelineQueries {
   def q22DedupSimHash(s: SparkSession, dir: String): DataFrame = {
     val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
       .unionByName(plantedDocs(s))
+    // signatures aggregated ONCE, shared by the bander and the truth
+    // (lazy localCheckpoint: tiny frame, released on GC)
+    val sigs = Dedup.simHashSignatures(corpus, "doc_id", "text")
+      .localCheckpoint(false)
     withPlantedAndRecall(
-        Dedup.simHashDedup(corpus, "doc_id", "text", maxHamming = 3),
+        Dedup.simHashDedupFromSigs(sigs, maxHamming = 3),
         plantedPairCond,
-        simhashPairTruth(s, dir, maxHamming = 3),
+        simhashPairTruthFromSigs(sigs, maxHamming = 3),
         // pigeonhole blocking is lossless at hamming <= 3 -> exactness floor
         Seq("id_a", "id_b"), floor = 1.0)
       .orderBy(col("id_a"), col("id_b"))
