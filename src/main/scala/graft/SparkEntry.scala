@@ -48,6 +48,7 @@ object SparkEntry {
     "q76_funnel"                  -> (W.q76Funnel _),
     "q77_surrogate_star"          -> (W.q77SurrogateStar _),
     "q78_date_unknown_member"     -> (W.q78DateUnknownMember _),
+    "q79_asof_join"               -> (W.q79AsofJoin _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q76_funnel"                  -> W.q76Oracle,
     "q77_surrogate_star"          -> W.q77Oracle,
     "q78_date_unknown_member"     -> W.q78Oracle,
+    "q79_asof_join"               -> W.q79Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,

@@ -805,6 +805,41 @@ object WarehouseQueries {
       |GROUP BY v.date_id, k.year, k.season_name
       |ORDER BY v.date_id""".stripMargin
 
+  // ------------------------------------------------------------------ q79
+  /** As-of join over the event stream ([[graft.etl.AsofJoin]]): every
+    * event is annotated with the most recent PRECEDING purchase (time +
+    * value) of the same user — the trades⋈quotes point-in-time shape.
+    * Purchases are pre-deduped to one row per (user, μs) with `max_by`
+    * so the "latest" at a tied timestamp is well-defined on both
+    * engines. The oracle is DuckDB's native ASOF LEFT JOIN. */
+  def q79AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("us"))
+    val quotes = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("us").as("q_us"))
+      .agg(max_by(col("value"), col("event_id")).as("qv"))
+    graft.etl.AsofJoin.asofJoin(
+        e.select(col("event_id"), col("user_id"), col("us")),
+        quotes, keyCols = Seq("user_id"),
+        leftTsCol = "us", rightTsCol = "q_us",
+        payloadCols = Seq("qv"), asofTsName = "asof_us")
+      .select(col("event_id"), col("user_id"), col("us").as("event_us"),
+        col("asof_us"), round(col("qv"), 6).as("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q79Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events),
+      |q AS (SELECT user_id, us AS q_us, max_by(value, event_id) AS qv
+      |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, us)
+      |SELECT e.event_id, e.user_id, e.us AS event_us,
+      |  q.q_us AS asof_us, round(q.qv, 6) AS asof_value
+      |FROM e ASOF LEFT JOIN q
+      |  ON e.user_id = q.user_id AND e.us >= q.q_us
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------------ q60
   /** Pivoted dashboard: quantity by return flag × line status as a
     * wide table. The pivot value list is EXPLICIT — without it Spark
