@@ -49,6 +49,7 @@ object SparkEntry {
     "q77_surrogate_star"          -> (W.q77SurrogateStar _),
     "q78_date_unknown_member"     -> (W.q78DateUnknownMember _),
     "q79_asof_join"               -> (W.q79AsofJoin _),
+    "q80_interval_join"           -> (W.q80IntervalJoin _),
     "q20_dedup_exact"             -> (P.q20DedupExact _),
     "q21_dedup_minhash"           -> (P.q21DedupMinHash _),
     "q22_dedup_simhash"           -> (P.q22DedupSimHash _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "q77_surrogate_star"          -> W.q77Oracle,
     "q78_date_unknown_member"     -> W.q78Oracle,
     "q79_asof_join"               -> W.q79Oracle,
+    "q80_interval_join"           -> W.q80Oracle,
     "q20_dedup_exact"             -> P.q20Oracle,
     "q23_dedup_ngram_jaccard"     -> P.q23Oracle,
     "q24_dedup_embedding"         -> P.q24Oracle,

@@ -840,6 +840,39 @@ object WarehouseQueries {
       |  ON e.user_id = q.user_id AND e.us >= q.q_us
       |ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------------------ q80
+  /** Keyless interval⋈point join ([[graft.etl.RangeJoin]]): every ~97th
+    * order opens a 3-day promo window; count the events (ANY user —
+    * there is deliberately NO equi-key) falling inside each window.
+    * The binned join shuffles on day buckets instead of planning the
+    * quadratic BroadcastNestedLoopJoin the bare inequality predicate
+    * would get. */
+  def q80IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val windows = Tables.orders(s, dir)
+      .where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("window_id"),
+        unix_micros(to_timestamp(to_date(col("o_orderdate")))).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(3 * dayUs))
+    val pts = Tables.events(s, dir)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+    graft.etl.RangeJoin.intervalPointJoin(
+        windows, pts, "start_us", "end_us", "us", bucketWidth = dayUs)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
+  val q80Oracle: String =
+    """WITH w AS (SELECT o_orderkey AS window_id,
+      |    epoch_ns(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) // 1000 AS start_us
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |e AS (SELECT epoch_ns(ts) // 1000 AS us, value FROM events)
+      |SELECT w.window_id, count(*) AS n_events, round(sum(e.value), 6) AS sum_value
+      |FROM w JOIN e ON e.us >= w.start_us AND e.us < w.start_us + 259200000000
+      |GROUP BY w.window_id ORDER BY window_id""".stripMargin
+
   // ------------------------------------------------------------------ q60
   /** Pivoted dashboard: quantity by return flag × line status as a
     * wide table. The pivot value list is EXPLICIT — without it Spark
