@@ -46,11 +46,14 @@ object SurrogateKeys {
     // earlier partitions IS the global dense rank. A pid-partitioned
     // row_number window would re-shuffle the whole dim (range
     // partitioning doesn't satisfy hash-on-pid); this stays narrow.
-    val local = dim.repartitionByRange(ord: _*)
-      .sortWithinPartitions(ord: _*)
-      .withColumn("_sk_mid", monotonically_increasing_id())
-      .withColumn("_sk_pid", shiftright(col("_sk_mid"), 33))
-      .withColumn("_sk_local", col("_sk_mid").bitwiseAND((1L << 33) - 1))
+    // materialized ONCE (lazy localCheckpoint): the frame has two
+    // consumers (the offsets aggregate and the join below), and two
+    // separate SQL executions of the same subplan may be AQE-coalesced
+    // into DIFFERENT partition layouts — pids present in one evaluation
+    // but not the other would silently drop rows through the inner
+    // join (observed at sf0.1: 15k-row dim lost half its rows). The
+    // checkpoint pins one layout; blocks are GC-released with the frame.
+    val local = numberedLocal(dim, ord).localCheckpoint(false)
     val offsets = local.groupBy(col("_sk_pid")).agg(count(lit(1)).as("_sk_n"))
       .withColumn("_sk_offset",
         coalesce(sum(col("_sk_n")).over(
@@ -62,6 +65,19 @@ object SurrogateKeys {
         (col("_sk_local") + col("_sk_offset") + lit(1L) + lit(startOffset)).cast("long"))
       .drop("_sk_mid", "_sk_pid", "_sk_local", "_sk_offset")
   }
+
+  /** The pre-checkpoint numbering frame: range-partitioned on the order
+    * columns with (pid, position-in-partition) decoded from
+    * monotonically_increasing_id. Package-visible so plan tests can
+    * assert its shape (the checkpoint in [[assign]] truncates the
+    * visible plan to a Scan ExistingRDD). */
+  private[etl] def numberedLocal(
+      dim: DataFrame, ord: Seq[org.apache.spark.sql.Column]): DataFrame =
+    dim.repartitionByRange(ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("_sk_mid", monotonically_increasing_id())
+      .withColumn("_sk_pid", shiftright(col("_sk_mid"), 33))
+      .withColumn("_sk_local", col("_sk_mid").bitwiseAND((1L << 33) - 1))
 
   /** Extend an already-keyed dimension with incoming rows, preserving
     * every existing id (the IDENTITY property: ids never change once

@@ -118,10 +118,11 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"join not keyed on the salt — salting regressed to a plain join:\n$plan")
   }
 
-  test("q77 surrogate assignment range-partitions, no global row_number window") {
+  test("q77 surrogate assignment has no global row_number window") {
+    // the range-exchange shape of the numbering segment is asserted at
+    // unit level (SurrogateKeysSpec) — the checkpoint inside assign()
+    // truncates it from this query-level plan
     val plan = finalPlan(SparkEntry.queries("q77_surrogate_star")(spark, sfDir))
-    assert(plan.contains("rangepartitioning"),
-      s"surrogate assignment lost its range repartition:\n$plan")
     assert(!plan.contains("Window [row_number()"),
       s"global single-partition row_number window crept in:\n$plan")
   }

@@ -73,17 +73,37 @@ class SurrogateKeysSpec extends SparkSpec {
     assert(out.select("dim_fk").as[Long].head() === 1L)
   }
 
+  test("assign never loses or duplicates rows on a many-partition dim") {
+    // regression: the offsets aggregate and the numbering join consume
+    // the same subplan; before the single-materialization fix, AQE
+    // could coalesce the two evaluations into different pid layouts and
+    // the inner join silently dropped rows (seen at sf0.1)
+    val n = 50000
+    val dim = (0 until n).map(i => (f"k$i%06d", i)).toDF("k", "v")
+      .repartition(32)
+    val keyed = SurrogateKeys.assign(dim, "sk", Seq("k"))
+    val stats = keyed.agg(
+      count(lit(1)), countDistinct(col("sk")), min(col("sk")), max(col("sk")))
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats === ((n.toLong, n.toLong, 1L, n.toLong)),
+      s"ids must be a dense permutation of 1..$n, got $stats")
+  }
+
   test("assign plans one range exchange, no single-partition global window") {
     val dim = (0 until 1000).map(i => (f"k$i%04d", i)).toDF("k", "v")
       .repartition(8)
-    val plan = SurrogateKeys.assign(dim, "sk", Seq("k"))
+    // the numbering segment (pre-checkpoint) must be range-partitioned
+    // with narrow numbering — never a Window with an empty partition
+    // spec (single task at scale)
+    val inner = SurrogateKeys.numberedLocal(dim, Seq(col("k")))
       .queryExecution.executedPlan.toString
-    // the dim itself must be range-partitioned, never funneled through a
-    // Window with an empty partition spec (single task at scale)
-    assert(plan.contains("rangepartitioning"))
-    val windowFull = "Window [row_number()"
-    assert(!plan.contains(windowFull),
-      s"global row_number window found in plan:\n$plan")
+    assert(inner.contains("rangepartitioning"), inner)
+    assert(!inner.contains("Window"), s"window crept into numbering:\n$inner")
+    // and the assembled query must not re-introduce a global row_number
+    val outer = SurrogateKeys.assign(dim, "sk", Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!outer.contains("Window [row_number()"),
+      s"global row_number window found in plan:\n$outer")
   }
 
   test("DateDim.withUnknownMember appends the reference's -1 row") {
