@@ -9,6 +9,10 @@ object Verify {
     // subset for fast local iteration (driver always passes two)
     val (sfDir, outDir) = (args(0), args(1))
     val subset = args.drop(2).toSet
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise silently verify nothing")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

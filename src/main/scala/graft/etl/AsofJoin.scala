@@ -48,13 +48,26 @@ object AsofJoin {
       s"left already has a column named '$asofTsName'")
     Seq("_asof_t", "_asof_side", "_asof_pay", "_asof_m").foreach(h =>
       require(!left.columns.contains(h), s"left may not contain '$h'"))
+    // payload names surface beside the left columns — a collision would
+    // emit a frame with duplicate column names (AMBIGUOUS_REFERENCE on
+    // any downstream use); a payload named like the matched-ts column
+    // would shadow it inside the carry struct
+    payloadCols.foreach { p =>
+      require(!left.columns.contains(p),
+        s"payload column '$p' collides with a left column — alias one side")
+      require(p != asofTsName,
+        s"payload column '$p' collides with asofTsName")
+    }
     // sort order within a timestamp tie decides ≤ vs <: right-before-left
     // means an equal-time right row IS visible to the left row (≤);
     // strict flips it
     val (rightOrd, leftOrd) = if (strict) (1, 0) else (0, 1)
     val pay = struct(
       (col(rightTsCol).as(asofTsName) +: payloadCols.map(col)): _*)
-    val rightPrep = right.select(
+    // a NULL right timestamp can never be "the latest at-or-before":
+    // unfiltered it would sort first (asc NULLS FIRST) and its payload
+    // would leak onto left rows that have no real preceding match
+    val rightPrep = right.where(col(rightTsCol).isNotNull).select(
       (keyCols.map(col) :+
         col(rightTsCol).as("_asof_t") :+
         lit(rightOrd).as("_asof_side") :+

@@ -27,6 +27,25 @@ object RangeJoin {
     * ([`startCol`, `endCol`) half-open, LONG) — all rows of both sides
     * with `start <= pt < end`, no equi-key required.
     */
+  /** Floor division staying entirely in LONG arithmetic. `floor(a/b)`
+    * via Double is exact only below 2^53; above (nanosecond-epoch
+    * timestamps ~1.7e18) bucket ids drift off the true floor — pairs
+    * still meet (double rounding is monotone, so a point's bucket
+    * always falls inside its interval's covered range) but bucket
+    * POPULATIONS shift unpredictably versus the declared width, and the
+    * operator's contract is bare LONG. `a − pmod(a,b)` is an exact
+    * multiple of b, and integral `div` of an exact multiple IS the
+    * floor quotient (also for negative a, where truncating and
+    * flooring agree on multiples). */
+  private def floorDiv(a: org.apache.spark.sql.Column, b: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val num = a - pmod(a, lit(b))
+    GraftColumnBridge.column(new IntegralDivide(
+      GraftColumnBridge.expression(num),
+      GraftColumnBridge.expression(lit(b))))
+  }
+
   def intervalPointJoin(
       intervals: DataFrame,
       points: DataFrame,
@@ -42,9 +61,9 @@ object RangeJoin {
     val iv = intervals
       .where(start < end)
       .withColumn("_rj_bkt",
-        explode(sequence(floor(start / bucketWidth),
-          floor((end - 1) / bucketWidth))))
-    val pt = points.withColumn("_rj_bkt", floor(col(ptCol) / bucketWidth))
+        explode(sequence(floorDiv(start, bucketWidth),
+          floorDiv(end - 1, bucketWidth))))
+    val pt = points.withColumn("_rj_bkt", floorDiv(col(ptCol), bucketWidth))
     iv.join(pt, Seq("_rj_bkt"))
       .where(col(ptCol) >= start && col(ptCol) < end)
       .drop("_rj_bkt")

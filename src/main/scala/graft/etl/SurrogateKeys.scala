@@ -93,7 +93,21 @@ object SurrogateKeys {
       keyName: String,
       naturalKeyCols: Seq[String],
       orderCols: Seq[String]): DataFrame = {
-    val fresh = incoming
+    // collapse in-batch replays of the SAME natural key to one
+    // deterministic representative (min of the non-key columns as one
+    // struct — lexicographic, engine-stable): two copies surviving to
+    // assign() would get two different surrogate ids and every later
+    // FK join would fan out
+    val others = incoming.columns.filterNot(naturalKeyCols.contains).toSeq
+    val deduped =
+      if (others.isEmpty) incoming.distinct()
+      else incoming
+        .groupBy(naturalKeyCols.map(col): _*)
+        .agg(min(struct(others.map(col): _*)).as("_sk_rep"))
+        .select((naturalKeyCols.map(col) ++
+          others.map(o => col("_sk_rep").getField(o).as(o))): _*)
+        .select(incoming.columns.map(col): _*)
+    val fresh = deduped
       .join(existing.select(naturalKeyCols.map(col): _*), naturalKeyCols, "left_anti")
     val maxRow = existing.agg(coalesce(max(col(keyName)), lit(0L)).as("_sk_max"))
     val keyed = assign(fresh, keyName, orderCols)

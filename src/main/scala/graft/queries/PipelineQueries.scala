@@ -124,8 +124,8 @@ object PipelineQueries {
       coalesce(max(when(cond, true)), lit(false)).as("planted_ok"))
     val t = truthKeys.localCheckpoint(false)
     val recall = t
-      .join(o.select(keyCols.map(col): _*).dropDuplicates(keyCols),
-        keyCols, "left_semi")
+      // left_semi already ignores duplicate matches — no dedup pass
+      .join(o.select(keyCols.map(col): _*), keyCols, "left_semi")
       .agg(count(lit(1)).as("_rc_m"))
       .crossJoin(t.agg(count(lit(1)).as("_rc_n")))
       .select(round(

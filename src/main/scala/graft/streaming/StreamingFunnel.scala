@@ -81,10 +81,16 @@ object StreamingFunnel {
           }
           // completed funnels keep a tombstone (stepIdx == n) so a
           // replayed or late event cannot restart the funnel and
-          // double-emit; the TTL below reclaims it
-          state.update(st)
-          state.setTimeoutTimestamp(
-            math.max(st.frontierMs, state.getCurrentWatermarkMs()) + ttlMs)
+          // double-emit; the TTL below reclaims it. Keys that made NO
+          // progress write no state at all — otherwise every key ever
+          // seen (e.g. clicks from users who never viewed) would hold
+          // state + a 30-day timer, growing the store with
+          // distinct-keys-seen instead of funnel-active keys
+          if (st.stepIdx > 0 || state.exists) {
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.frontierMs, state.getCurrentWatermarkMs()) + ttlMs)
+          }
           out.result().iterator
         }
     }

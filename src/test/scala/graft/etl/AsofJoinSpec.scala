@@ -42,6 +42,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("a NULL right timestamp never matches (no payload leak)") {
+    val r2 = Seq((java.lang.Long.valueOf(1L), "u", null.asInstanceOf[java.lang.Long], 9.0))
+      .toDF("rid", "k", "qt", "qv").drop("rid")
+    val out = AsofJoin.asofJoin(left, r2, Seq("k"), "t", "qt", Seq("qv"))
+      .where($"event_id" === 1).select("asof_ts", "qv").collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1),
+      "null-ts right row leaked its payload onto an unmatched left row")
+  }
+
+  test("payload name colliding with a left column is rejected") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(left, right.withColumnRenamed("qv", "t"),
+        Seq("k"), "t", "qt", Seq("t"))
+    }
+  }
+
   test("left row count and columns are preserved exactly") {
     val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "qt", Seq("qv"))
     assert(out.count() === left.count())

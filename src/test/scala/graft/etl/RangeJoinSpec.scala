@@ -38,6 +38,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.toSet === w10)
   }
 
+  test("bucket ids are exact long floors beyond double precision (2^53)") {
+    // 1.7e18 ns-epoch scale: double ulp is 256, so a Double floor(a/w)
+    // drifts off the true floor — the long path must not
+    val base = 1700000000000000000L
+    val iv = Seq((1L, base - 500L, base)).toDF("iv_id", "s", "e")
+    val pts = Seq((10L, base - 1L), (11L, base)).toDF("pt_id", "p")
+    val got = RangeJoin.intervalPointJoin(iv, pts, "s", "e", "p", 1000L)
+      .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))  // base-1 in [base-500, base); base is not
+  }
+
   test("plans a shuffled equi-join on the bucket, not a nested loop") {
     val out = RangeJoin.intervalPointJoin(intervals, points, "s", "e", "p", 10L)
     out.count()

@@ -46,6 +46,18 @@ class SurrogateKeysSpec extends SparkSpec {
     assert(extended.count() === 4)
   }
 
+  test("extend collapses in-batch replays of one natural key to one id") {
+    val first = SurrogateKeys.assign(Seq(("a", 1)).toDF("k", "v"), "sk", Seq("k"))
+    // "b" arrives twice in ONE batch (replayed micro-batch): must yield
+    // ONE dim row with ONE surrogate id, deterministically the min rep
+    val out = SurrogateKeys.extend(
+      first, Seq(("b", 7), ("b", 2)).toDF("k", "v"), "sk", Seq("k"), Seq("k"))
+    assert(out.count() === 2)
+    val b = out.where(col("k") === "b").select("sk", "v")
+      .as[(Long, Int)].collect()
+    assert(b.toSeq === Seq((2L, 2)))
+  }
+
   test("extend from an empty existing dim starts at 1") {
     val empty = SurrogateKeys.assign(
       Seq.empty[(String, Int)].toDF("k", "v"), "sk", Seq("k"))
