@@ -84,6 +84,7 @@ object SparkEntry {
     "q63_substring_dup"           -> (P.q63SubstringDup _),
     "q64_incremental_dedup"       -> (P.q64IncrementalDedup _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
+    "q81_image_meta"              -> (P.q81ImageMeta _),
     "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
 
@@ -149,6 +150,7 @@ object SparkEntry {
     "q62_quantile_cutoff"         -> P.q62Oracle,
     "q63_substring_dup"           -> P.q63Oracle,
     "q64_incremental_dedup"       -> P.q64Oracle,
-    "q50_multimodal_meta"         -> P.q50Oracle
+    "q50_multimodal_meta"         -> P.q50Oracle,
+    "q81_image_meta"              -> P.q81Oracle
   )
 }

@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, JaccardSim, LshBucket, RollingHash, RollingWindows}
+import graft.expressions.{DotProduct, ImageMeta, JaccardSim, LshBucket, PngHeader, RollingHash, RollingWindows}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
@@ -55,5 +55,9 @@ object GraftExtensions {
         litInt(children(1), "lsh_bucket", "dim"),
         litInt(children(2), "lsh_bucket", "numPlanes"),
         if (children.length > 3) litInt(children(3), "lsh_bucket", "table")
-        else 0)))
+        else 0)),
+    ("image_meta", classOf[ImageMeta],
+      (children: Seq[Expression]) => ImageMeta(children.head)),
+    ("png_header", classOf[PngHeader],
+      (children: Seq[Expression]) => PngHeader(children(0), children(1))))
 }

@@ -1193,4 +1193,36 @@ object PipelineQueries {
       |  (octet_length(encode(text)) // 640) % 480 AS fake_height,
       |  octet_length(encode(text)) % 30 AS fake_frames
       |FROM documents ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------------------------------ q81
+  /** Image-header metadata extraction with REAL byte-level parsing
+    * ([[graft.expressions.ImageMeta]] — PNG/GIF/BMP/JPEG dimensions
+    * from the payload, no codec library). The sandbox has no image
+    * corpus, so payloads are BUILT on-cluster: a spec-conformant PNG
+    * header per document whose dimensions derive from doc_id
+    * ([[graft.expressions.PngHeader]], real CRC32); parsing them back
+    * certifies the build→parse round trip against the arithmetic
+    * oracle — unlike q50's declared stub, every byte here is real. */
+  def q81ImageMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{ImageMeta, PngHeader}
+    val payload = PngHeader.pngHeader(
+      (lit(100) + pmod(col("doc_id"), lit(1920))).cast("int"),
+      (lit(100) + pmod(col("doc_id") * 7, lit(1080))).cast("int"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .withColumn("meta", ImageMeta.imageMeta(col("payload")))
+      .select(col("doc_id"),
+        col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        length(col("payload")).as("byte_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q81Oracle: String =
+    """SELECT doc_id, 'png' AS format,
+      |  CAST(100 + doc_id % 1920 AS INTEGER) AS width,
+      |  CAST(100 + (doc_id * 7) % 1080 AS INTEGER) AS height,
+      |  CAST(33 AS INTEGER) AS byte_len
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
