@@ -85,6 +85,7 @@ object SparkEntry {
     "q64_incremental_dedup"       -> (P.q64IncrementalDedup _),
     "q50_multimodal_meta"         -> (P.q50MultimodalMeta _),
     "q81_image_meta"              -> (P.q81ImageMeta _),
+    "q82_audio_meta"              -> (P.q82AudioMeta _),
     "q51_multimodal_frame_dedup"  -> (P.q51MultimodalFrameDedup _)
   )
 
@@ -151,6 +152,7 @@ object SparkEntry {
     "q63_substring_dup"           -> P.q63Oracle,
     "q64_incremental_dedup"       -> P.q64Oracle,
     "q50_multimodal_meta"         -> P.q50Oracle,
-    "q81_image_meta"              -> P.q81Oracle
+    "q81_image_meta"              -> P.q81Oracle,
+    "q82_audio_meta"              -> P.q82Oracle
   )
 }

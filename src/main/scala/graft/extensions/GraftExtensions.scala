@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, ImageMeta, JaccardSim, LshBucket, PngHeader, RollingHash, RollingWindows}
+import graft.expressions.{AudioMeta, DotProduct, ImageMeta, JaccardSim, LshBucket, PngHeader, RollingHash, RollingWindows, WavHeader}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
@@ -59,5 +59,9 @@ object GraftExtensions {
     ("image_meta", classOf[ImageMeta],
       (children: Seq[Expression]) => ImageMeta(children.head)),
     ("png_header", classOf[PngHeader],
-      (children: Seq[Expression]) => PngHeader(children(0), children(1))))
+      (children: Seq[Expression]) => PngHeader(children(0), children(1))),
+    ("audio_meta", classOf[AudioMeta],
+      (children: Seq[Expression]) => AudioMeta(children.head)),
+    ("wav_header", classOf[WavHeader],
+      (children: Seq[Expression]) => WavHeader(children(0), children(1))))
 }

@@ -1225,4 +1225,44 @@ object PipelineQueries {
       |  CAST(100 + (doc_id * 7) % 1080 AS INTEGER) AS height,
       |  CAST(33 AS INTEGER) AS byte_len
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q82
+  /** Audio-container metadata ([[graft.expressions.AudioMeta]]): WAV
+    * headers built on-cluster per document (8/16/44.1 kHz rotation,
+    * sample count from doc length), parsed back with the RIFF chunk
+    * walker, rolled up to per-rate duration totals — the audio
+    * dataset-curation shape (duration budgeting per sampling rate),
+    * certified by an arithmetic oracle like q81. */
+  def q82AudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{AudioMeta, WavHeader}
+    val rate = when(pmod(col("doc_id"), lit(3)) === 0, 8000)
+      .when(pmod(col("doc_id"), lit(3)) === 1, 16000)
+      .otherwise(44100).cast("int")
+    val nSamples = (length(col("text")) * 100).cast("int")
+    val meta = AudioMeta.audioMeta(WavHeader.wavHeader(rate, nSamples))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), meta.as("m"))
+      .select(col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.n_samples").as("n_samples"))
+      .groupBy(col("sample_rate"), col("channels"), col("bits_per_sample"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).as("total_samples"),
+        round(sum(col("n_samples").cast("double") / col("sample_rate")), 4)
+          .as("total_seconds"))
+      .orderBy(col("sample_rate"))
+  }
+
+  val q82Oracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 8000
+      |         WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS sample_rate,
+      |    CAST(length(text) * 100 AS BIGINT) AS n_samples
+      |  FROM documents)
+      |SELECT sample_rate, 1 AS channels, 16 AS bits_per_sample,
+      |  count(*) AS n_clips,
+      |  CAST(sum(n_samples) AS BIGINT) AS total_samples,
+      |  round(sum(CAST(n_samples AS DOUBLE) / sample_rate), 4) AS total_seconds
+      |FROM m GROUP BY sample_rate ORDER BY sample_rate""".stripMargin
 }

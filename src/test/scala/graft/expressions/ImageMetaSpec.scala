@@ -89,4 +89,31 @@ class ImageMetaSpec extends SparkSpec {
       .as[(String, Int, Int)].head()
     assert(r === (("png", 12, 34)))
   }
+
+  test("audio: wav_header -> audio_meta round-trips; junk/truncation NULL") {
+    val built = WavHeader.build(16000, 480)
+    val got = Seq((1L, built), (2L, "RIFFxxxxJUNK".getBytes),
+        (3L, built.take(30)))
+      .toDF("id", "payload")
+      .withColumn("m", AudioMeta.audioMeta(col("payload")))
+      .select(col("id"), col("m.format"), col("m.sample_rate"),
+        col("m.channels"), col("m.bits_per_sample"), col("m.n_samples"))
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(1))
+    assert((got(0).getString(1), got(0).getInt(2), got(0).getInt(3),
+      got(0).getInt(4), got(0).getLong(5)) === (("wav", 16000, 1, 16, 480L)))
+    assert(got(1).isNullAt(1), "junk RIFF parsed")
+    assert(got(2).isNullAt(1), "truncated fmt chunk parsed")
+  }
+
+  test("audio: odd-sized chunk before data is word-aligned correctly") {
+    // RIFF/WAVE + a 3-byte LIST chunk (odd -> 1 pad byte) + fmt + data
+    val fmtAndData = WavHeader.build(8000, 10).drop(12) // fmt+data section
+    val odd = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val payload = WavHeader.build(8000, 10).take(12) ++ odd ++ fmtAndData
+    val m = Seq((1L, payload)).toDF("id", "payload")
+      .select(AudioMeta.audioMeta(col("payload")).as("m"))
+      .select("m.sample_rate", "m.n_samples").as[(Int, Long)].head()
+    assert(m === ((8000, 10L)))
+  }
 }
