@@ -88,6 +88,52 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
 
+  /** Bloom-prefiltered incremental dedup — identical results to
+    * [[dedupAgainstSnapshot]] (exact, oracle-checkable), but the
+    * anti-join only ever sees rows the snapshot's Bloom filter cannot
+    * rule out. At 100 TB the plain anti-join shuffles the ENTIRE batch
+    * on the fingerprint; with a daily-ingest hit rate of a few percent,
+    * the bloom proves ~97 % of rows new at the SCAN (narrow, codegen'd
+    * [[graft.expressions.BloomContains]]), so only the maybe-dup sliver
+    * shuffles. Spark's runtime row-level filters do this automatically
+    * for semi/inner joins but cannot for anti-joins (rows the bloom
+    * rejects must be KEPT), hence the explicit two-branch split here.
+    *
+    * The batch is scanned twice (once per branch) — deliberate: two
+    * narrow scans cost far less than one full-batch shuffle, and the
+    * branches stay independent stages. False positives re-confirm
+    * through the real anti-join, so the bloom only ever REDUCES work,
+    * never changes the answer. The filter itself is built distributed
+    * (`stat.bloomFilter` aggregates per-partition bitsets) and ships as
+    * a plan constant — ~1.2 GB per 10⁹ snapshot keys at 1 % fpp; beyond
+    * that, range-partition the snapshot and bloom per range.
+    *
+    * @param snapshotFps existing corpus fingerprints, column `fp`
+    * @param fpp target false-positive rate for the prefilter
+    * @param expectedItems snapshot cardinality hint; counted if <= 0 */
+  def bloomDedupAgainstSnapshot(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      snapshotFps: DataFrame,
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    import graft.expressions.BloomContains
+    val n =
+      if (expectedItems > 0L) expectedItems
+      else math.max(snapshotFps.count(), 1L)
+    val bloom = snapshotFps.stat.bloomFilter(col("fp"), n, fpp)
+    val fped = incoming
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val mightBeDup = BloomContains.contains(col("fp"), bloom)
+    val provablyNew = fped.where(!mightBeDup)
+    val confirmedNew = fped.where(mightBeDup)
+      .join(snapshotFps.select(col("fp")), Seq("fp"), "left_anti")
+    provablyNew.unionByName(confirmedNew)
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
+  }
+
   /** Latest-record-per-natural-key dedup (window row_number). */
   def latestPerKey(
       df: DataFrame,

@@ -1265,4 +1265,36 @@ object PipelineQueries {
       |  CAST(sum(n_samples) AS BIGINT) AS total_samples,
       |  round(sum(CAST(n_samples AS DOUBLE) / sample_rate), 4) AS total_seconds
       |FROM m GROUP BY sample_rate ORDER BY sample_rate""".stripMargin
+
+  // ------------------------------------------------------------------ q83
+  /** Bloom-prefiltered incremental dedup
+    * ([[Dedup.bloomDedupAgainstSnapshot]]): same semantics as q64 —
+    * an md5-selected ~60 % of the corpus plays the snapshot, the rest
+    * the batch — but the anti-join is gated by a snapshot Bloom filter
+    * so only maybe-dup rows shuffle. Exactness is the oracle's claim:
+    * false positives re-confirm through the real anti-join, so the
+    * bloom path must hash-match the plain anti-join formulation. */
+  def q83BloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+    val snapHash =
+      graft.curate.Curation.hashKey(col("doc_id"), "bloom").cast("double")
+    val snapshot = docs.where(snapHash < 0.6 * 4294967296.0)
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val incoming = docs.where(snapHash >= 0.6 * 4294967296.0)
+    Dedup.bloomDedupAgainstSnapshot(incoming, "doc_id", "text", snapshot)
+      .orderBy(col("fp"))
+  }
+
+  val q83Oracle: String =
+    """WITH f AS (SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'bloom'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      < 0.6 * 4294967296.0 AS is_old
+      |  FROM documents),
+      |new_docs AS (SELECT doc_id, fp FROM f WHERE NOT is_old),
+      |old_fps AS (SELECT DISTINCT fp FROM f WHERE is_old)
+      |SELECT n.fp, min(n.doc_id) AS keep_id, count(*) AS n_batch
+      |FROM new_docs n ANTI JOIN old_fps o ON n.fp = o.fp
+      |GROUP BY n.fp ORDER BY n.fp""".stripMargin
 }

@@ -132,4 +132,17 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("EqualTo(lang,en)"),
       s"lang filter not pushed to the parquet scan:\n$plan")
   }
+
+  test("q83 bloom prefilter gates the anti-join: one join, bloom on both branches") {
+    // the provably-new branch must reach the union through a bare
+    // filter (NOT bloom_contains) with NO join; only the maybe-dup
+    // branch may join. One anti-join total — a second join means the
+    // bloom split regressed to two full anti-joins.
+    val plan = finalPlan(SparkEntry.queries("q83_bloom_dedup")(spark, sfDir))
+    assert(countOf(plan, "bloom_contains") >= 2,
+      s"bloom_contains missing from the scan-side filters:\n$plan")
+    val antiJoins = countOf(plan, "LeftAnti")
+    assert(antiJoins == 1,
+      s"expected exactly 1 anti-join after the bloom split, got $antiJoins:\n$plan")
+  }
 }

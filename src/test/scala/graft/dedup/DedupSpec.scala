@@ -159,6 +159,27 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((10L, 2L), (13L, 1L)))
   }
 
+  test("bloomDedupAgainstSnapshot is value-identical to the plain anti-join") {
+    // a corpus with exact dups, batch-internal dups and fresh docs; the
+    // bloom path's false positives must re-confirm away so both
+    // formulations agree row-for-row
+    val corpus = (0L until 400L)
+      .map(i => (i, s"document body number ${i % 300}")) // 100 exact dups
+      .toDF("doc_id", "text")
+    val snapshot = corpus.where(col("doc_id") < 250)
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val incoming = corpus.where(col("doc_id") >= 250)
+    val plain = Dedup.dedupAgainstSnapshot(incoming, "doc_id", "text", snapshot)
+    val bloomed =
+      Dedup.bloomDedupAgainstSnapshot(incoming, "doc_id", "text", snapshot)
+    assert(bloomed.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ===
+      plain.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    assert(bloomed.count() === 50L) // ids 300-349 are genuinely new texts
+  }
+
   test("connectedComponents handles non-numeric (string) ids") {
     // Regression: the old sum-of-decimal convergence checksum nulled out
     // on string ids (cast to decimal → NULL → every round summed to 0),
