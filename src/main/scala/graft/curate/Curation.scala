@@ -53,6 +53,45 @@ object Curation {
       rateCol * HashSpace.toDouble)
   }
 
+  /** Exactly `min(k, |stratum|)` rows per stratum — the k smallest by
+    * (md5 hash, id): a deterministic FIXED-SIZE sample ("give me 10k
+    * eval docs per language"), where [[stratifiedSample]]'s rate form
+    * gives a binomially-varying count. Decided by value, so the same
+    * rows survive repartitioning, engine swaps and corpus growth (a
+    * kept row is only ever displaced by a new row hashing below it).
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY stratum
+    * ORDER BY hash)` funnels each stratum through ONE task — a 40 TB
+    * stratum would serialize. Instead rows first rank inside 256
+    * hash-prefix buckets (256-way parallel per stratum; bucket = first
+    * hex chars of the SAME md5 the order uses, so in-bucket rank is a
+    * suffix of the global order) and only each bucket's top-k — at most
+    * 256·k rows per stratum, metadata scale — enter the global
+    * per-stratum window that assigns the final `sample_rank`.
+    *
+    * Output adds `sample_rank` (1-based, dense within the stratum). */
+  def sampleFixedK(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keyed = df
+      .withColumn("_hk", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("_bkt", substring(col("_hk"), 1, 2))
+    val wBucket = Window.partitionBy(col(stratumCol), col("_bkt"))
+      .orderBy(col("_hk"), col(idCol))
+    val wGlobal = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_hk"), col(idCol))
+    keyed
+      .withColumn("_r", row_number().over(wBucket))
+      .where(col("_r") <= k)
+      .withColumn("sample_rank", row_number().over(wGlobal))
+      .where(col("sample_rank") <= k)
+      .drop("_hk", "_bkt", "_r")
+  }
+
   /** Select documents per stratum, in deterministic hash order, until a
     * token budget fills: the corpus-mixing primitive ("2B tokens of en,
     * 1B of de, ...").

@@ -361,6 +361,36 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------------------------ q85
+  /** SemDeDup-shaped semantic dedup ([[Ann.semanticDedupPairs]]):
+    * near-dup pairs blocked by a density-adaptive coarse quantizer (the
+    * ivf centroids) instead of q25's data-blind hyperplanes — dense
+    * embedding regions split into many small blocks, sparse regions
+    * stay whole. The planted identical pair must share a nearest
+    * centroid (recall-1 path); measured recall vs the same exact
+    * probe⨯corpus cosine truth as q25. */
+  def q85SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = embSpread(s, dir)
+    val (dim, n) = {
+      val r = e.agg(max(size(col("embedding"))).as("d"),
+        count(lit(1)).as("n")).head()
+      (r.getInt(0), r.getLong(1))
+    }
+    // IVF sizing rule: ~sqrt(n) lists keeps per-cluster population ≈
+    // sqrt(n), balancing blocking selectivity against boundary loss
+    val centroids = math.max(4, math.sqrt(n.toDouble).round.toInt)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedVecs(s, dim))
+    withPlantedAndRecall(
+        Ann.semanticDedupPairs(corpus, "vec_id", "embedding",
+          threshold = 0.4, numCentroids = centroids, assignProbe = 3,
+          maxClusterSize = 10000),
+        plantedPairCond,
+        cosinePairTruth(s, dir, threshold = 0.4),
+        Seq("id_a", "id_b"), floor = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------ q27
   /** Deterministic stratified mixture sampling ([[Curation]]): per-lang
     * keep rates decided by md5 of the doc id — reproducible by value on
@@ -1043,6 +1073,27 @@ object PipelineQueries {
       |  source, count(*) AS n_docs,
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM d GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
+  // ------------------------------------------------------------------ q84
+  /** Deterministic fixed-size stratified sample
+    * ([[graft.curate.Curation.sampleFixedK]]): exactly min(k, |stratum|)
+    * docs per source, the k smallest by (md5, id) — the "n eval docs
+    * per domain" primitive. Two-phase top-k inside (per-bucket rank
+    * then a ≤256·k-row global rank), value-identical to the oracle's
+    * single per-stratum window. */
+  def q84FixedKSample(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curation.sampleFixedK(
+        Tables.documents(s, dir), "doc_id", "source", k = 25)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+
+  val q84Oracle: String =
+    """WITH r AS (SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id::VARCHAR || 'graft'), doc_id) AS sample_rank
+      |  FROM documents)
+      |SELECT doc_id, source, sample_rank
+      |FROM r WHERE sample_rank <= 25 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ q73
   /** TF-IDF keyword extraction: per-document top-3 tokens by

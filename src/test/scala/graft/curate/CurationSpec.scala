@@ -43,6 +43,37 @@ class CurationSpec extends SparkSpec {
     assert(enKept > 0.25 && enKept < 0.75, enKept)
   }
 
+  test("sampleFixedK equals the naive single-window top-k and is exact-size") {
+    val got = Curation.sampleFixedK(docs, "id", "lang", k = 7)
+      .select("id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // naive reference: one global window per stratum
+    val w = Window.partitionBy($"lang").orderBy($"_hk", $"id")
+    val want = docs
+      .withColumn("_hk", md5(concat($"id".cast("string"), lit("graft"))))
+      .withColumn("sample_rank", row_number().over(w))
+      .where($"sample_rank" <= 7)
+      .select("id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === want)
+    // every stratum has > 7 rows, so each contributes exactly k
+    assert(got.size === 3 * 7)
+    // partition-layout independence
+    val re = Curation.sampleFixedK(docs.repartition(11), "id", "lang", k = 7)
+      .select("id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(re === got)
+  }
+
+  test("sampleFixedK clips to stratum size when k exceeds it") {
+    val tiny = Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("id", "lang")
+    val out = Curation.sampleFixedK(tiny, "id", "lang", k = 10)
+    assert(out.count() === 3)
+    val ranks = out.select("lang", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(ranks === Set(("en", 1), ("en", 2), ("de", 1)))
+  }
+
   test("tokenBudget equals the naive single-window prefix semantics") {
     val budgets = Map("en" -> 300L, "de" -> 150L) // zh unlisted -> dropped
     val got = Curation.tokenBudget(docs, "id", "lang", "toks", budgets)

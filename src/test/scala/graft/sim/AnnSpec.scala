@@ -94,6 +94,32 @@ class AnnSpec extends SparkSpec {
     assert(out.head.getAs[Long]("neighbor_id") === 4L)
   }
 
+  test("semanticDedupPairs: identical pair survives any centroid geometry") {
+    for (nc <- Seq(1, 2, 4)) {
+      val pairs = Ann.semanticDedupPairs(vecs, "vec_id", "embedding",
+          threshold = 0.9999, numCentroids = nc)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // identical vectors rank every centroid identically -> always blocked
+      // together; no duplicate pair rows despite multi-probe assignment
+      assert(pairs.toSet === Set((1L, 4L)), s"numCentroids=$nc")
+      assert(pairs.length === 1, s"numCentroids=$nc emitted duplicates")
+    }
+  }
+
+  test("semanticDedupPairs soft assignment recovers a boundary pair") {
+    // two tight groups plus a pair straddling them: hard assignment
+    // (probe=1) can split (10, 11); probe=2 must compare them
+    val straddle = Seq(
+      (10L, Seq(1.0f, 0.02f, 0f, 0f)), (11L, Seq(0.02f, 1.0f, 0f, 0f)),
+      (20L, Seq(1.0f, 0f, 0f, 0f)), (21L, Seq(0.98f, 0.01f, 0f, 0f)),
+      (30L, Seq(0f, 1.0f, 0f, 0f)), (31L, Seq(0.01f, 0.98f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.semanticDedupPairs(straddle, "vec_id", "embedding",
+        threshold = 0.0, numCentroids = 2, assignProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((10L, 11L)), s"boundary pair missed: $got")
+  }
+
   test("lshTopK agrees with brute force for the identical-vector top hit") {
     val out = Ann.lshTopK(
         vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding",
