@@ -46,4 +46,39 @@ object Profiler {
         max(col("v")).as("max_v"),
         sum(col("dv")).as("sum_v"))
   }
+
+  /** Sketch-tier cardinality profile: per-group distinct count via
+    * HyperLogLog++ (`approx_count_distinct`) — the 100 TB path, where
+    * an exact distinct shuffles every distinct value and the sketch
+    * shuffles a constant ~1.5/rsd² registers per group.
+    *
+    * `withExact = true` (audit tier) also computes the exact distinct
+    * and emits `rel_err` plus `approx_ok` (|approx − exact| / exact
+    * within 3·rsd — HLL++'s error is ~normal with σ ≈ rsd, so 3σ is a
+    * deterministic-data-safe bound). At scale run `withExact = false`:
+    * same schema, exact columns null, no distinct shuffle. */
+  def cardinalityProfile(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      rsd: Double = 0.05,
+      withExact: Boolean = true): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), got $rsd")
+    val approx = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+    if (!withExact)
+      approx
+        .withColumn("exact_distinct", lit(null).cast("long"))
+        .withColumn("rel_err", lit(null).cast("double"))
+        .withColumn("approx_ok", lit(null).cast("boolean"))
+    else
+      approx
+        .join(df.groupBy(col(groupCol))
+          .agg(countDistinct(col(valueCol)).as("exact_distinct")), groupCol)
+        .withColumn("rel_err",
+          abs(col("approx_distinct") - col("exact_distinct"))
+            .cast("double") / col("exact_distinct"))
+        .withColumn("approx_ok", col("rel_err") <= 3 * rsd)
+  }
 }

@@ -1,0 +1,83 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout for min/max skipping.
+  *
+  * A table range-partitioned and sorted on ONE column prunes scans only
+  * on that column's predicates; at 100 TB a second dimension's filter
+  * still reads every file. Interleaving the bits of two dimensions into
+  * one sort key (the Morton curve) keeps each output file's bounding
+  * box tight in BOTH dimensions, so parquet/Delta-style min/max file
+  * statistics prune on either predicate — the standard multi-dimension
+  * clustering trick (Delta Lake `OPTIMIZE ZORDER BY`, Databricks
+  * liquid clustering lineage).
+  *
+  * Everything here is pure integer column arithmetic (builtin shifts
+  * and masks — whole-stage codegen, no UDF) and engine-portable, so the
+  * layout a DuckDB/Trino re-implementation computes is bit-identical.
+  */
+object ZOrder {
+
+  /** Morton value of two non-negative ints: interleaves the low `bits`
+    * bits of `x` (even positions) and `y` (odd positions) into one
+    * long. Bit i of x lands at 2i via one mask + shift per bit:
+    * `(x & (1<<i)) << i`; bit i of y lands at 2i+1. 2·bits builtin ops
+    * total — a constant-folded codegen chain, not a HOF loop.
+    * Values are masked to `bits` (callers bucket/modulo first), so the
+    * result is always in [0, 4^bits). */
+  def zvalue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(xl.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(yl.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** The write path: range-partition into `numFiles` z-contiguous
+    * splits and sort inside each — one shuffle keyed on the z-value,
+    * then each written file carries tight min/max on BOTH source
+    * columns. Range boundaries come from Spark's sampling, so use
+    * [[fileStats]] (fixed-width z-prefix splits) when the file
+    * assignment itself must be deterministic/engine-portable. */
+  def layout(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("zval", zvalue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+  }
+
+  /** Per-file bounding boxes under a DETERMINISTIC z-prefix file
+    * assignment: file id = the top `fileBits` bits of the z-value
+    * (2^fileBits equal-width curve segments — the by-value analog of
+    * [[layout]]'s sampled ranges, reproducible on any engine). Returns
+    * one row per non-empty file with its row count and min/max of both
+    * dimensions — exactly the statistics a min/max-skipping scan
+    * consults, so the output IS the skipping story: a predicate prunes
+    * every file whose box misses it. One shuffle, keyed on file id. */
+  def fileStats(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      fileBits: Int): DataFrame = {
+    require(fileBits >= 1 && fileBits <= 2 * bits,
+      s"fileBits must be in [1, 2*bits], got $fileBits")
+    df.withColumn("zval", zvalue(col(xCol), col(yCol), bits))
+      .withColumn("file_id", shiftright(col("zval"), 2 * bits - fileBits))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+  }
+}

@@ -1095,6 +1095,23 @@ object PipelineQueries {
       |SELECT doc_id, source, sample_rank
       |FROM r WHERE sample_rank <= 25 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q87
+  /** Sketch-tier cardinality profile
+    * ([[graft.etl.Profiler.cardinalityProfile]]): distinct text
+    * fingerprints per source via HyperLogLog++ next to the exact audit
+    * count. The sketch value is engine-specific (no oracle); instead
+    * `approx_ok` bounds the sketch against the exact column in-query —
+    * false anywhere means HLL++ left its declared 3·rsd envelope. At
+    * 100 TB the exact tier switches off (`withExact = false`) and only
+    * constant-size registers shuffle. */
+  def q87SketchProfile(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Profiler.cardinalityProfile(
+        Tables.documents(s, dir)
+          .select(col("source"), md5(col("text")).as("fp")),
+        "source", "fp", rsd = 0.05)
+      .withColumn("rel_err", round(col("rel_err"), 6))
+      .orderBy(col("source"))
+
   // ------------------------------------------------------------------ q73
   /** TF-IDF keyword extraction: per-document top-3 tokens by
     * tf · ln(N/df) — term counts and document frequencies are two

@@ -917,4 +917,36 @@ object WarehouseQueries {
        |  CAST(round(sum(CAST($c AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_v
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ------------------------------------------------------------------ q86
+  /** Z-order layout statistics ([[graft.etl.ZOrder]]): lineitem keyed
+    * on (part, supplier) buckets, Morton-interleaved and split into 64
+    * equal-width curve segments — the per-file bounding boxes a
+    * min/max-skipping scan consults. `prunable_x32_47` marks files a
+    * predicate `x IN [32,47]` skips outright: under a 1-D sort only
+    * x-runs prune; under z-order most files prune on EITHER dimension.
+    * Pure integer arithmetic end-to-end — hash-exact vs the oracle. */
+  def q86ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(s, dir).select(
+      (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    graft.etl.ZOrder.fileStats(keyed, "x", "y", bits = 8, fileBits = 6)
+      .withColumn("prunable_x32_47",
+        col("x_max") < 32 || col("x_min") > 47)
+      .orderBy(col("file_id"))
+  }
+
+  /** The oracle re-derives the Morton value with the same 2·bits
+    * mask-and-shift terms, generated here so both engines share one
+    * definition. */
+  val q86Oracle: String = {
+    val terms = (0 until 8).flatMap { i =>
+      Seq(s"((x & ${1L << i}) << $i)", s"((y & ${1L << i}) << ${i + 1})")
+    }.mkString(" | ")
+    s"""WITH k AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+       |z AS (SELECT x, y, ($terms) AS zval FROM k)
+       |SELECT (zval >> 10) AS file_id, count(*) AS n_rows,
+       |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+       |  (max(x) < 32 OR min(x) > 47) AS prunable_x32_47
+       |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
 }

@@ -36,4 +36,39 @@ class ProfilerSpec extends SparkSpec {
     // one scan of the input: the local relation appears exactly once
     assert(plan.split("LocalRelation").length - 1 === 1, plan)
   }
+
+  test("cardinalityProfile: sketch stays inside its 3*rsd envelope") {
+    // 3 groups with known cardinalities 1000 / 500 / 1 (dup-heavy)
+    val rows = (1 to 2000).map(i => ("g1", s"v$i".take(64) + (i % 1000))) ++
+      (1 to 1000).map(i => ("g2", "w" + (i % 500))) ++
+      (1 to 100).map(_ => ("g3", "const"))
+    val df = rows.toDF("grp", "value")
+    val got = Profiler.cardinalityProfile(df, "grp", "value", rsd = 0.05)
+      .orderBy("grp").collect()
+    assert(got.length === 3)
+    for (r <- got) {
+      assert(r.getAs[Boolean]("approx_ok"),
+        s"sketch out of bounds: $r")
+    }
+    val exact = got.map(r => r.getAs[String]("grp") ->
+      r.getAs[Long]("exact_distinct")).toMap
+    assert(exact("g2") === 500L)
+    assert(exact("g3") === 1L)
+    assert(got.map(r => r.getAs[String]("grp") ->
+      r.getAs[Long]("n_rows")).toMap === Map("g1" -> 2000L, "g2" -> 1000L, "g3" -> 100L))
+  }
+
+  test("cardinalityProfile withExact=false plans no exact-distinct aggregate") {
+    val df = Seq(("g", "v")).toDF("grp", "value")
+    val sketchOnly = Profiler.cardinalityProfile(df, "grp", "value",
+      withExact = false)
+    assert(sketchOnly.columns.toSeq ===
+      Seq("grp", "n_rows", "approx_distinct", "exact_distinct", "rel_err", "approx_ok"))
+    // sketch-only tier is ONE aggregate: no exact-distinct branch joined in
+    val plan = sketchOnly.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // exact tier: one extra aggregate, same schema
+    val audit = Profiler.cardinalityProfile(df, "grp", "value")
+    assert(audit.columns.toSeq === sketchOnly.columns.toSeq)
+  }
 }

@@ -1,0 +1,72 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave, bit-by-bit. */
+  private def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zvalue matches the reference interleave on random points") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 12).toLong, rnd.nextInt(1 << 12).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", ZOrder.zvalue($"x", $"y", 12).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((x, y) <- pts)
+      assert(got((x, y)) === mortonRef(x, y, 12), s"($x, $y)")
+  }
+
+  test("zvalue corners: (0,0)=0, x-only fills even bits, y-only odd bits") {
+    val r = Seq((0L, 0L, 255L)).toDF("zero", "z2", "m")
+      .select(
+        ZOrder.zvalue($"zero", $"zero", 8),
+        ZOrder.zvalue($"m", $"zero", 8),     // x=11111111 -> 0101...01
+        ZOrder.zvalue($"zero", $"m", 8))     // y=11111111 -> 1010...10
+      .head()
+    assert(r.getLong(0) === 0L)
+    assert(r.getLong(1) === 0x5555L)
+    assert(r.getLong(2) === 0xAAAAL)
+  }
+
+  test("fileStats boxes are exhaustive, disjoint by file, and skip-effective") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(4000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = pts.toDF("x", "y")
+    val stats = ZOrder.fileStats(df, "x", "y", bits = 8, fileBits = 4).collect()
+    assert(stats.map(_.getAs[Long]("n_rows")).sum === 4000L)
+    // each file is one z-prefix: its box must be the prefix's quadrant,
+    // so with fileBits=4 every box spans at most 1/4 of each axis
+    for (r <- stats) {
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") < 256 / 4 * 2,
+        s"x box too wide: $r")
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") < 256 / 4 * 2,
+        s"y box too wide: $r")
+    }
+    // skipping: a narrow x predicate must prune most files on min/max
+    val lo = 32L; val hi = 47L
+    val pruned = stats.count(r =>
+      r.getAs[Long]("x_max") < lo || r.getAs[Long]("x_min") > hi)
+    assert(pruned.toDouble / stats.length >= 0.5,
+      s"only $pruned/${stats.length} files prunable")
+  }
+
+  test("layout yields z-sorted partitions covering all rows") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(1000)((rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+      .toDF("x", "y")
+    val laid = ZOrder.layout(df, "x", "y", bits = 6, numFiles = 8)
+    assert(laid.count() === 1000L)
+    // within every partition the zval sequence is non-decreasing
+    val perPart = laid.select($"zval")
+      .withColumn("pid", spark_partition_id())
+      .collect().groupBy(_.getAs[Int]("pid"))
+      .map { case (_, rows) => rows.map(_.getAs[Long]("zval")).toSeq }
+    for (zs <- perPart) assert(zs === zs.sorted)
+  }
+}
