@@ -80,16 +80,67 @@ object Curation {
     val keyed = df
       .withColumn("_hk", md5(concat(col(idCol).cast("string"), lit(salt))))
       .withColumn("_bkt", substring(col("_hk"), 1, 2))
+    twoPhaseTopK(keyed, stratumCol, Seq(col("_hk"), col(idCol)), k)
+      .drop("_hk")
+  }
+
+  /** Weighted fixed-size sample per stratum — priority sampling
+    * (Duffield–Lund–Thorup): each row's priority is w/u with u its
+    * [[hashKey]] fraction in (0, 1]; the k LARGEST priorities win, so
+    * inclusion probability rises with weight (min(1, w/τ) for the
+    * stratum's threshold τ) while staying deterministic by value.
+    *
+    * Oracle-checkable BY CONSTRUCTION: u = (hash+1)/2^32 divides an
+    * exactly-representable integer by a power of two (exact) and w/u is
+    * one correctly-rounded IEEE division — bit-identical on any IEEE-754
+    * engine. The classic exponential keys (u^(1/w)) need pow/ln, whose
+    * last-ulp varies by libm, so cross-engine rank flips are possible
+    * there; not here.
+    *
+    * Same two-phase top-k shape as [[sampleFixedK]] — no one-task
+    * stratum funnel. Rows with non-positive or null weight are dropped
+    * (they can never win a weighted draw). Output adds `sample_rank`
+    * (1 = highest priority). */
+  def sampleWeightedK(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val keyed = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_u",
+        (hashKey(col(idCol), salt) + 1L).cast("double") / HashSpace.toDouble)
+      .withColumn("_pri", col(weightCol).cast("double") / col("_u"))
+      .withColumn("_bkt",
+        substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 2))
+    twoPhaseTopK(keyed, stratumCol, Seq(col("_pri").desc, col(idCol)), k)
+      .drop("_u", "_pri")
+  }
+
+  /** Per-stratum top-k without a one-task stratum funnel: rank inside
+    * 256 hash-prefix buckets first (`_bkt`), keep each bucket's top-k
+    * (≤ 256·k survivors per stratum — metadata scale), then assign the
+    * final `sample_rank` with the global per-stratum window. Valid for
+    * any `order` because every global top-k row is also top-k in its
+    * own bucket. Consumes `_bkt`; drops `_bkt`/`_r`. */
+  private def twoPhaseTopK(
+      keyed: DataFrame,
+      stratumCol: String,
+      order: Seq[Column],
+      k: Int): DataFrame = {
     val wBucket = Window.partitionBy(col(stratumCol), col("_bkt"))
-      .orderBy(col("_hk"), col(idCol))
+      .orderBy(order: _*)
     val wGlobal = Window.partitionBy(col(stratumCol))
-      .orderBy(col("_hk"), col(idCol))
+      .orderBy(order: _*)
     keyed
       .withColumn("_r", row_number().over(wBucket))
       .where(col("_r") <= k)
       .withColumn("sample_rank", row_number().over(wGlobal))
       .where(col("sample_rank") <= k)
-      .drop("_hk", "_bkt", "_r")
+      .drop("_bkt", "_r")
   }
 
   /** Select documents per stratum, in deterministic hash order, until a

@@ -1095,6 +1095,37 @@ object PipelineQueries {
       |SELECT doc_id, source, sample_rank
       |FROM r WHERE sample_rank <= 25 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q88
+  /** Weighted fixed-size sample ([[graft.curate.Curation
+    * .sampleWeightedK]]): 20 docs per source, token-count-weighted
+    * priority draw — long documents win proportionally more often, the
+    * "sample by contribution, not by row" curation primitive. Priority
+    * arithmetic is exact-rounded IEEE only, so the draw hash-matches
+    * the oracle. */
+  def q88WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.curate.Curation.sampleWeightedK(
+        docs, "doc_id", "source", "n_tokens", k = 20)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q88Oracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens,
+      |    (CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft'), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+      |      / 4294967296.0) AS u
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY (CAST(n_tokens AS DOUBLE) / u) DESC, doc_id) AS sample_rank
+      |  FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, source, n_tokens, sample_rank
+      |FROM r WHERE sample_rank <= 20 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q87
   /** Sketch-tier cardinality profile
     * ([[graft.etl.Profiler.cardinalityProfile]]): distinct text

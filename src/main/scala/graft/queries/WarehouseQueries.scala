@@ -918,6 +918,35 @@ object WarehouseQueries {
        |FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // ------------------------------------------------------------------ q89
+  /** Incremental rollup maintenance ([[graft.etl.IncrementalAgg]]):
+    * the pre-watermark history builds a per-(status, year) snapshot;
+    * the post-watermark delta folds in WITHOUT rescanning history. The
+    * oracle recomputes the rollup from the full fact — a hash match IS
+    * the `merge(rollup(hist), delta) == rollup(all)` exactness
+    * invariant. Sums ride DECIMAL so addition order cannot drift. */
+  def q89IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val wm = lit("1999-01-01").cast("timestamp")
+    val keyed = Tables.orders(s, dir)
+      .withColumn("order_year", year(col("o_orderdate")))
+    val measures = Seq(
+      "total_price" -> col("o_totalprice").cast("decimal(14,2)"))
+    val keys = Seq("o_orderstatus", "order_year")
+    val snapshot = graft.etl.IncrementalAgg.rollup(
+      keyed.where(col("o_orderdate") < wm), keys, measures)
+    graft.etl.IncrementalAgg.mergeRollup(
+        snapshot, keyed.where(col("o_orderdate") >= wm), keys, measures)
+      .select(col("o_orderstatus"), col("order_year"), col("n_rows"),
+        emit(col("total_price")).as("total_price"))
+      .orderBy(col("o_orderstatus"), col("order_year"))
+  }
+
+  val q89Oracle: String =
+    """SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |  count(*) AS n_rows,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, order_year""".stripMargin
+
   // ------------------------------------------------------------------ q86
   /** Z-order layout statistics ([[graft.etl.ZOrder]]): lineitem keyed
     * on (part, supplier) buckets, Morton-interleaved and split into 64

@@ -65,6 +65,37 @@ class CurationSpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("sampleWeightedK equals the naive priority window and favors weight") {
+    val got = Curation.sampleWeightedK(docs, "id", "lang", "toks", k = 9)
+      .select("id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // naive reference: one global priority window per stratum
+    val u = (conv(substring(md5(concat($"id".cast("string"), lit("graft"))), 1, 8), 16, 10)
+      .cast("long") + 1L).cast("double") / 4294967296.0
+    val w = Window.partitionBy($"lang").orderBy($"_pri".desc, $"id")
+    val want = docs
+      .withColumn("_pri", $"toks".cast("double") / u)
+      .withColumn("sample_rank", row_number().over(w))
+      .where($"sample_rank" <= 9)
+      .select("id", "lang", "sample_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === want)
+    assert(got.size === 3 * 9)
+    // weighting bites: winners' mean weight exceeds the population mean
+    val winners = Curation.sampleWeightedK(docs, "id", "lang", "toks", k = 9)
+      .agg(avg($"toks")).head().getDouble(0)
+    val popMean = docs.agg(avg($"toks")).head().getDouble(0)
+    assert(winners > popMean, s"winners mean $winners <= population $popMean")
+  }
+
+  test("sampleWeightedK drops non-positive weights") {
+    val tiny = Seq((1L, "en", 5L), (2L, "en", 0L), (3L, "en", -4L))
+      .toDF("id", "lang", "toks")
+    val kept = Curation.sampleWeightedK(tiny, "id", "lang", "toks", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
   test("sampleFixedK clips to stratum size when k exceeds it") {
     val tiny = Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("id", "lang")
     val out = Curation.sampleFixedK(tiny, "id", "lang", k = 10)
