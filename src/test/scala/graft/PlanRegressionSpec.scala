@@ -133,6 +133,38 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"lang filter not pushed to the parquet scan:\n$plan")
   }
 
+  for (name <- Seq("q84_fixed_k_sample", "q88_weighted_sample")) {
+    test(s"$name top-k windows are two-phase: bucket rank precedes global rank") {
+      // every stratum-only window must consume the <=256*k survivors of a
+      // (stratum, _bkt) window — a stratum-only window over the raw input
+      // is the one-task funnel the two-phase shape exists to prevent
+      val plan = finalPlan(SparkEntry.queries(name)(spark, sfDir))
+      val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(winSpecs.exists(_.contains("_bkt")),
+        s"bucket-phase window missing:\n$plan")
+      val bktPos = plan.indexOf("_bkt")
+      val globalSpec = winSpecs.filterNot(_.contains("_bkt"))
+      assert(globalSpec.nonEmpty, s"global rank window missing:\n$plan")
+      // physical plans list downstream operators ABOVE upstream ones, so
+      // the global window must appear before (above) the bucket window
+      val globalPos = plan.indexOf("windowspecdefinition(" + globalSpec.head)
+      assert(globalPos >= 0 && globalPos < bktPos,
+        s"global window does not consume the bucket phase:\n$plan")
+    }
+  }
+
+  test("q89 merge shuffles rollup-sized partials, not the delta fact rows") {
+    // both aggregation legs must partial-aggregate before their exchange:
+    // every Exchange in the plan sits above a partial HashAggregate, so
+    // only per-key partials ever shuffle
+    val plan = finalPlan(SparkEntry.queries("q89_incremental_rollup")(spark, sfDir))
+    assert(countOf(plan, "HashAggregate") >= 4,
+      s"expected partial+final aggregates on both legs:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"merge must be union+agg, not a join:\n$plan")
+  }
+
   test("q83 bloom prefilter gates the anti-join: one join, bloom on both branches") {
     // the provably-new branch must reach the union through a bare
     // filter (NOT bloom_contains) with NO join; only the maybe-dup
