@@ -470,6 +470,50 @@ object PipelineQueries {
       |  CAST(st % 512 AS BIGINT) AS bin_offset
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q90
+  /** Packed-bin assembly: materialize [[q52SequencePack]]'s layout —
+    * each bin's documents concatenated in the packing order (hash, id),
+    * emitted as md5 so the artifact stays metadata-sized. The group key
+    * is (source, bin_id), so the shuffle is bin-local and per-group
+    * state is bounded by the context length (a bin holds ≤ ctxLen
+    * tokens of starts, plus at most one long straddler). Deterministic
+    * aggregation order via sort_array(collect_list(struct)) — no
+    * reliance on shuffle arrival order — keeps it hash-exact. */
+  def q90BinAssembly(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    val packed = graft.curate.Curation.packSequences(
+        docs, "doc_id", "source", "n_tokens", ctxLen = 512)
+      .withColumn("_hk",
+        md5(concat(col("doc_id").cast("string"), lit("graft"))))
+    packed
+      .groupBy(col("source"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("_hk"), col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "")).as("bin_md5"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  val q90Oracle: String =
+    """WITH t AS (SELECT doc_id, source, text,
+      |    len(regexp_extract_all(text, '[^ \t\n\r]+')) AS n_tokens,
+      |    md5(doc_id::VARCHAR || 'graft') AS hk
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, text, n_tokens, hk,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id)
+      |      - n_tokens AS st
+      |  FROM t)
+      |SELECT source, CAST(floor(st / 512) AS BIGINT) AS bin_id,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  md5(string_agg(text, '' ORDER BY hk, doc_id)) AS bin_md5
+      |FROM r GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin
+
   // ------------------------------------------------------------------ q29
   /** Dataset-card rollup: per (source, decision) doc counts and token
     * sums over the q46 filter verdicts — the summary a curated corpus
