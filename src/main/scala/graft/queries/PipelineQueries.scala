@@ -1409,6 +1409,49 @@ object PipelineQueries {
       |  round(sum(CAST(n_samples AS DOUBLE) / sample_rate), 4) AS total_seconds
       |FROM m GROUP BY sample_rate ORDER BY sample_rate""".stripMargin
 
+  // ------------------------------------------------------------------ q91
+  /** Video-container metadata ([[graft.expressions.VideoMeta]]):
+    * on-cluster-built ISO-BMFF payloads (ftyp + moov{mvhd, trak…})
+    * parsed back by the native box-tree walker — build→parse round
+    * trip, like q81 (PNG) and q82 (WAV). The rollup is the
+    * video-curation budgeting shape: clips and total seconds per
+    * (timescale, track count); the oracle re-derives the arithmetic
+    * the payload round-trips. */
+  def q91VideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{Mp4Header, VideoMeta}
+    val timescale = when(pmod(col("doc_id"), lit(3)) === 0, 600)
+      .when(pmod(col("doc_id"), lit(3)) === 1, 1000)
+      .otherwise(90000).cast("int")
+    val ticks = (length(col("text")) * 30).cast("int")
+    val tracks = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val meta = VideoMeta.videoMeta(
+      Mp4Header.mp4Header(timescale, ticks, tracks))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), meta.as("m"))
+      .select(col("m.brand").as("brand"),
+        col("m.timescale").as("timescale"),
+        col("m.duration_ticks").as("duration_ticks"),
+        col("m.n_tracks").as("n_tracks"))
+      .groupBy(col("brand"), col("timescale"), col("n_tracks"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("duration_ticks")).as("total_ticks"),
+        round(sum(col("duration_ticks").cast("double") / col("timescale")), 4)
+          .as("total_seconds"))
+      .orderBy(col("timescale"), col("n_tracks"))
+  }
+
+  val q91Oracle: String =
+    """WITH m AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 600
+      |         WHEN doc_id % 3 = 1 THEN 1000 ELSE 90000 END AS timescale,
+      |    CAST(length(text) * 30 AS BIGINT) AS duration_ticks,
+      |    CAST(doc_id % 2 + 1 AS INTEGER) AS n_tracks
+      |  FROM documents)
+      |SELECT 'isom' AS brand, timescale, n_tracks, count(*) AS n_videos,
+      |  CAST(sum(duration_ticks) AS BIGINT) AS total_ticks,
+      |  round(sum(CAST(duration_ticks AS DOUBLE) / timescale), 4) AS total_seconds
+      |FROM m GROUP BY timescale, n_tracks ORDER BY timescale, n_tracks""".stripMargin
+
   // ------------------------------------------------------------------ q83
   /** Bloom-prefiltered incremental dedup
     * ([[Dedup.bloomDedupAgainstSnapshot]]): same semantics as q64 —
