@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{AudioMeta, DotProduct, ImageMeta, JaccardSim, LshBucket, PngHeader, RollingHash, RollingWindows, WavHeader}
+import graft.expressions.{AudioMeta, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, PngHeader, RollingHash, RollingWindows, VideoMeta, WavHeader}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
@@ -63,5 +63,10 @@ object GraftExtensions {
     ("audio_meta", classOf[AudioMeta],
       (children: Seq[Expression]) => AudioMeta(children.head)),
     ("wav_header", classOf[WavHeader],
-      (children: Seq[Expression]) => WavHeader(children(0), children(1))))
+      (children: Seq[Expression]) => WavHeader(children(0), children(1))),
+    ("video_meta", classOf[VideoMeta],
+      (children: Seq[Expression]) => VideoMeta(children.head)),
+    ("mp4_header", classOf[Mp4Header],
+      (children: Seq[Expression]) => Mp4Header(
+        children(0), children(1), children(2))))
 }

@@ -62,6 +62,15 @@ class VideoMetaSpec extends SparkSpec {
     assert(got.toSeq === Seq(Some(("avc1", 48000, 1L << 32, 0))))
   }
 
+  test("SQL registration: video_meta(mp4_header(ts, dur, k)) round-trips") {
+    org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT video_meta(mp4_header(600, 3000, 2)) AS m")
+      .select("m.brand", "m.timescale", "m.duration_ticks", "m.n_tracks")
+      .as[(String, Int, Long, Int)].head()
+    assert(r === (("isom", 600, 3000L, 2)))
+  }
+
   test("kernel is codegen (no interpreted fallback in the projection)") {
     val df = Seq((1, Mp4Header.build(600, 600, 1))).toDF("id", "p")
       .select(VideoMeta.videoMeta(col("p")).as("m"))
