@@ -48,8 +48,15 @@ object IncrementalAgg {
     val partial = rollup(deltaFact, keys, measures)
     val merges = sum(col("n_rows")).as("n_rows") +:
       measures.map { case (n, _) => sum(col(n)).as(n) }
-    snapshot.unionByName(partial)
+    val merged = snapshot.unionByName(partial)
       .groupBy(keys.map(col): _*)
       .agg(merges.head, merges.tail: _*)
+    // pin the output to the single-rollup schema: sum() re-widens
+    // decimals, so without this cast every merge generation grows the
+    // precision until it hits the 38 cap — a snapshot store would drift
+    // schema version over version. Callers size the measure decimal for
+    // the GRAND total, as with any materialized aggregate.
+    merged.select(partial.schema.fields
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 }
