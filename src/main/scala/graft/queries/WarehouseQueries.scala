@@ -947,6 +947,43 @@ object WarehouseQueries {
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, order_year""".stripMargin
 
+  // ------------------------------------------------------------------ q92
+  /** CDC apply ([[graft.etl.Cdc]]): the events stream replayed as a
+    * Debezium-shaped op log — 'error' events play delete tombstones,
+    * everything else upserts — split at a watermark and applied in two
+    * stages (history → state, then the delta). The oracle is a
+    * single-pass latest-op-wins over the FULL log, so the hash match
+    * certifies the composition invariant cross-engine. One max_by
+    * aggregation per stage (map-side combinable); no window. */
+  def q92CdcApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Cdc
+    val ev = Tables.events(s, dir)
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"),
+        col("op"))
+    val wm = lit("2024-01-20").cast("timestamp")
+    val snap = Cdc.applyLog(ev.where(lit(false)),
+      ev.where(col("ts") < wm), "user_id", "ts", "event_id", "op")
+    val state = Cdc.applyLog(snap,
+      ev.where(col("ts") >= wm), "user_id", "ts", "event_id", "op")
+    Cdc.current(state, "op")
+      .select(col("user_id"), col("value").as("last_value"),
+        unix_micros(col("ts")).as("last_us"),
+        col("event_id").as("last_event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val q92Oracle: String =
+    """WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS us, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, value AS last_value, CAST(us AS BIGINT) AS last_us,
+      |  event_id AS last_event_id
+      |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------------ q86
   /** Z-order layout statistics ([[graft.etl.ZOrder]]): lineitem keyed
     * on (part, supplier) buckets, Morton-interleaved and split into 64
