@@ -84,4 +84,37 @@ object DateDim {
     fromBounds(df.agg(
       min(to_date(col(dateCol))).as("mn"),
       add_months(max(to_date(col(dateCol))), extendYears * 12).as("mx")))
+
+  /** Zero-fill a daily aggregate against a calendar spine: dashboards
+    * must chart 0 — not a missing point — for (group, day) combinations
+    * with no fact rows. The spine is `groups × [from, to]`
+    * (dashboard-scale by construction: |groups| · |days| rows, both
+    * sides of the cross product tiny next to the fact); the pre-
+    * aggregated `daily` frame left-joins it and `fillCols` coalesce
+    * to 0.
+    *
+    * `groups` is its own frame (typically `fact.select(g).distinct()`
+    * over FULL history) so a group silent in this slice still charts.
+    *
+    * @param daily pre-aggregated (groupCol, dateCol, measures…) —
+    *              aggregate BEFORE the spine join, never after: the
+    *              spine must meet |groups|·|days| rows, not the fact
+    */
+  def gapFillDaily(
+      daily: DataFrame,
+      groups: DataFrame,
+      groupCol: String,
+      dateCol: String,
+      from: Column,
+      to: Column,
+      fillCols: Seq[String]): DataFrame = {
+    val days = groups.sparkSession.range(1)
+      .select(explode(sequence(from.cast("date"), to.cast("date")))
+        .as(dateCol))
+    val spine = groups.select(col(groupCol)).distinct()
+      .crossJoin(broadcast(days))
+    spine
+      .join(daily, Seq(groupCol, dateCol), "left")
+      .na.fill(0, fillCols)
+  }
 }

@@ -947,6 +947,83 @@ object WarehouseQueries {
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, order_year""".stripMargin
 
+  // ------------------------------------------------------------------ q94
+  /** Calendar gap-fill ([[graft.etl.DateDim.gapFillDaily]]): daily
+    * order counts + revenue per status over a 6-week slice, zero-filled
+    * against the status × day spine so silent days chart 0 instead of
+    * vanishing. Aggregation happens BEFORE the spine join (the spine
+    * meets |groups|·|days| rows, never the fact); groups come from full
+    * history so a status absent in the slice still charts. */
+  def q94GapFill(s: SparkSession, dir: String): DataFrame = {
+    val from = lit("1996-02-01"); val to = lit("1996-03-15")
+    val orders = Tables.orders(s, dir)
+    val daily = orders
+      .where(col("o_orderdate") >= from.cast("timestamp") &&
+        col("o_orderdate") < lit("1996-03-16").cast("timestamp"))
+      .groupBy(col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).as("rev"))
+    graft.etl.DateDim.gapFillDaily(
+        daily, orders.select(col("o_orderstatus")),
+        "o_orderstatus", "day", from, to,
+        fillCols = Seq("n_orders", "rev"))
+      .select(col("o_orderstatus"), col("day"), col("n_orders"),
+        emit(col("rev")).as("revenue"))
+      .orderBy(col("o_orderstatus"), col("day"))
+  }
+
+  val q94Oracle: String =
+    """WITH days AS (SELECT CAST(t.d AS DATE) AS day
+      |    FROM generate_series(DATE '1996-02-01', DATE '1996-03-15',
+      |      INTERVAL 1 DAY) t(d)),
+      |st AS (SELECT DISTINCT o_orderstatus FROM orders),
+      |agg AS (SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day,
+      |    count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-03-16 00:00:00'
+      |  GROUP BY 1, 2)
+      |SELECT s.o_orderstatus, d.day,
+      |  coalesce(a.n_orders, 0) AS n_orders,
+      |  CAST(round(coalesce(a.rev, 0), 4) AS DOUBLE) AS revenue
+      |FROM st s CROSS JOIN days d
+      |LEFT JOIN agg a ON a.o_orderstatus = s.o_orderstatus AND a.day = d.day
+      |ORDER BY s.o_orderstatus, d.day""".stripMargin
+
+  // ------------------------------------------------------------------ q93
+  /** Data-quality expectations ([[graft.etl.Expectations]]): the
+    * pre-publish load gate — five declarative row predicates over the
+    * fact, checked in ONE scan + ONE aggregation (the per-constraint
+    * loop would re-scan the table five times). NULL predicate = a
+    * violation, so constraints need no isNotNull scaffolding. */
+  def q93Expectations(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Expectations.check(Tables.lineitem(s, dir), Seq(
+      "positive_quantity"   -> (col("l_quantity") > 0),
+      "discount_in_unit"    -> col("l_discount").between(0, 1),
+      "price_not_null"      -> col("l_extendedprice").isNotNull,
+      "tax_below_half"      -> (col("l_tax") < 0.5),
+      "flag_domain"         -> col("l_returnflag").isin("A", "N", "R")))
+      .orderBy(col("constraint_name"))
+
+  val q93Oracle: String = {
+    val preds = Seq(
+      "positive_quantity" -> "l_quantity > 0",
+      "discount_in_unit"  -> "l_discount BETWEEN 0 AND 1",
+      "price_not_null"    -> "l_extendedprice IS NOT NULL",
+      "tax_below_half"    -> "l_tax < 0.5",
+      "flag_domain"       -> "l_returnflag IN ('A', 'N', 'R')")
+    preds.map { case (n, p) =>
+      s"""SELECT '$n' AS constraint_name,
+         |  CAST(sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_violations,
+         |  count(*) AS n_rows,
+         |  (sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) = 0) AS pass
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY constraint_name")
+  }
+
   // ------------------------------------------------------------------ q92
   /** CDC apply ([[graft.etl.Cdc]]): the events stream replayed as a
     * Debezium-shaped op log — 'error' events play delete tombstones,

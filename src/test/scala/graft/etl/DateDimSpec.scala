@@ -62,4 +62,25 @@ class DateDimSpec extends SparkSpec {
     assert(n === extended.select("full_date").distinct().count())
     assert(n > 365 * 5)
   }
+
+  test("gapFillDaily zero-fills silent days and silent groups") {
+    val daily = Seq(
+      ("a", "2024-01-01", 3L, 30.0),
+      ("a", "2024-01-03", 1L, 10.0)) // a misses Jan 2; b has nothing
+      .toDF("g", "ds", "n", "v")
+      .select($"g", to_date($"ds").as("day"), $"n", $"v")
+    val groups = Seq("a", "b").toDF("g")
+    val got = DateDim.gapFillDaily(daily, groups, "g", "day",
+        lit("2024-01-01"), lit("2024-01-03"), fillCols = Seq("n", "v"))
+      .orderBy("g", "day")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("a", "2024-01-01", 3L, 30.0),
+      ("a", "2024-01-02", 0L, 0.0),
+      ("a", "2024-01-03", 1L, 10.0),
+      ("b", "2024-01-01", 0L, 0.0),
+      ("b", "2024-01-02", 0L, 0.0),
+      ("b", "2024-01-03", 0L, 0.0)))
+  }
 }
