@@ -947,6 +947,57 @@ object WarehouseQueries {
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 4) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, order_year""".stripMargin
 
+  // ------------------------------------------------------------------ q95
+  /** Share-of-total dashboard: each nation's revenue as a fraction of
+    * its REGION's total — the ratio-to-report window shape (one window
+    * sum over the pre-aggregated 25-row nation rollup; the naive
+    * self-join against a region-total subquery scans the fact twice).
+    * Aggregation first, window second: the window input is dim-sized,
+    * never the fact. The share divides DOUBLE casts of the exact
+    * decimal sums: decimal÷decimal result scales differ by engine, but
+    * a single IEEE division of identical doubles is correctly rounded
+    * everywhere — bit-identical, so the 6-decimal round hashes. */
+  def q95ShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    val byNation = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(StarSchema.revenue(col("l_extendedprice"), col("l_discount")))
+        .as("rev_exact"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    byNation
+      .withColumn("region_total", sum(col("rev_exact")).over(w))
+      .select(col("r_name"), col("n_name"),
+        emit(col("rev_exact")).as("revenue"),
+        round(col("rev_exact").cast("double") /
+          col("region_total").cast("double"), 6).as("region_share"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q95Oracle: String =
+    """WITH g AS (
+      |  SELECT r.r_name, n.n_name,
+      |    sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_exact
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, n.n_name)
+      |SELECT r_name, n_name,
+      |  CAST(round(rev_exact, 4) AS DOUBLE) AS revenue,
+      |  round(CAST(rev_exact AS DOUBLE)
+      |    / CAST(sum(rev_exact) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+      |    AS region_share
+      |FROM g ORDER BY r_name, n_name""".stripMargin
+
   // ------------------------------------------------------------------ q94
   /** Calendar gap-fill ([[graft.etl.DateDim.gapFillDaily]]): daily
     * order counts + revenue per status over a 6-week slice, zero-filled
