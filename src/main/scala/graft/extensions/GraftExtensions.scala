@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{AudioMeta, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, PngHeader, RollingHash, RollingWindows, VideoMeta, WavHeader}
+import graft.expressions.{AudioMeta, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
@@ -66,6 +66,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => WavHeader(children(0), children(1))),
     ("video_meta", classOf[VideoMeta],
       (children: Seq[Expression]) => VideoMeta(children.head)),
+    ("sq_encode", classOf[SqEncode],
+      (children: Seq[Expression]) => SqEncode(children.head)),
+    ("sq_dot", classOf[SqDot],
+      (children: Seq[Expression]) => SqDot(children(0), children(1))),
     ("mp4_header", classOf[Mp4Header],
       (children: Seq[Expression]) => Mp4Header(
         children(0), children(1), children(2))))

@@ -625,6 +625,32 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ------------------------------------------------------------------ q96
+  /** Scalar-quantized ANN ([[Ann.sqTopK]]): the SQ8 tier between
+    * brute-force floats (q30) and PQ codes (q66) — one byte per
+    * dimension + per-vector (min, step, exact norm), scored by a fused
+    * decode-and-dot codegen kernel, then an exact rerank of the
+    * shortlist. SQ8 distortion is tiny (the shortlist at 3× k almost
+    * always contains the true top-k), so the recall floor sits far
+    * above the PQ tier's. Identical planted vectors quantize
+    * identically → sq_sim = 1 = rank 1 (recall-1 path). */
+  def q96AnnSq(s: SparkSession, dir: String): DataFrame = {
+    val e = embSpread(s, dir)
+    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedVecs(s, dim))
+    val queries = corpus.where(col("vec_id") < 8)
+    withPlantedAndRecall(
+        Ann.sqTopK(queries, corpus, "vec_id", "embedding", k = 10,
+          rerank = 30)
+          .withColumnRenamed("rank", "rnk"),
+        plantedTopKCond,
+        Ann.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), floor = 0.9)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------------ q67
   /** Filtered vector search: top-k cosine neighbors among only the
     * corpus rows passing a metadata predicate (here: English documents

@@ -480,6 +480,67 @@ object Ann {
     }
   }
 
+  /** Scalar-quantized (SQ8) top-k — the middle compression tier
+    * between brute-force floats and [[pqTopK]]: the corpus rides as one
+    * byte per dimension plus per-vector (min, step, exact norm), a 4×
+    * shrink with far lower distortion than PQ. Scoring fuses
+    * decompression into one codegen'd byte pass
+    * ([[graft.expressions.SqOps.dot]]): approx cosine = sq_dot /
+    * sqrt(q_dot · exact c_dot); the exact norm keeps the denominator
+    * honest so only the dot carries quantization error. Shortlist +
+    * exact rerank as in pqTopK (only |Q|·shortK corpus vectors are
+    * ever hydrated; the corpus never shuffles). */
+  def sqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rerank: Int = 0): DataFrame = {
+    import graft.expressions.SqOps
+    val c = withNorm(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")), "v")
+      .select(col("neighbor_id"), SqOps.sqEncode(col("v")).as("enc"),
+        col("self_dot").as("c_dot"))
+      .where(col("enc").isNotNull)
+    val q = withNorm(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "qv")
+      .withColumnRenamed("self_dot", "q_dot")
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sq_sim",
+        SqOps.sqDot(col("qv"), col("enc")) / sqrt(col("q_dot") * col("c_dot")))
+      .where(col("sq_sim").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_sim").desc, col("neighbor_id").asc)
+    val shortK = if (rerank > 0) math.max(k, rerank) else k
+    val shortlist = scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= shortK)
+    if (rerank <= 0)
+      shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sq_sim"), 6).as("sq_sim"))
+    else {
+      val cv = withNorm(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv")
+        .withColumnRenamed("self_dot", "c_dot")
+        .join(broadcast(shortlist.select(col("query_id"), col("neighbor_id"))),
+          Seq("neighbor_id"))
+      val exact = cv.join(broadcast(q.withColumnRenamed("qv", "qv2")
+          .select(col("query_id"), col("qv2"), col("q_dot"))),
+        Seq("query_id"))
+        .withColumn("cos_sim",
+          dot(col("qv2"), col("cv")) / sqrt(col("q_dot") * col("c_dot")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      exact
+        .withColumn("rank", row_number().over(w2))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+    }
+  }
+
   /** Approximate top-k: queries only compete against corpus rows in the
     * same LSH bucket. The bucket is the shuffle/join key — per-bucket
     * work is local and the cross product never materializes. */
