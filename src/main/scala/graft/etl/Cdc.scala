@@ -43,13 +43,17 @@ object Cdc {
     val cols = log.columns
     require(cols.contains(opCol), s"log has no op column '$opCol'")
     val payload = cols.filterNot(_ == key)
-    state.select(cols.map(col): _*)
+    // backtick-quote every name-derived column reference (and use
+    // getField for the struct projection): a payload column whose name
+    // contains a dot would otherwise parse as a nested path
+    def qcol(n: String) = col(s"`$n`")
+    state.select(cols.map(qcol): _*)
       .unionByName(log)
-      .groupBy(col(key))
+      .groupBy(qcol(key))
       .agg(max_by(
-        struct(payload.map(col): _*),
-        struct(col(tsCol), col(tieCol))).as("_last"))
-      .select(col(key) +: payload.map(c => col(s"_last.$c").as(c)): _*)
+        struct(payload.map(qcol): _*),
+        struct(qcol(tsCol), qcol(tieCol))).as("_last"))
+      .select(qcol(key) +: payload.map(c => col("_last").getField(c).as(c)): _*)
   }
 
   /** The serving view: live rows only, op column dropped. */

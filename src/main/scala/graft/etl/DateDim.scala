@@ -108,9 +108,13 @@ object DateDim {
       from: Column,
       to: Column,
       fillCols: Seq[String]): DataFrame = {
+    // explicit +1 day step: sequence(start, stop) silently defaults to
+    // step -1 when start > stop, turning a swapped-argument bug into a
+    // plausible-looking reversed spine; with a positive step Spark
+    // raises instead
     val days = groups.sparkSession.range(1)
-      .select(explode(sequence(from.cast("date"), to.cast("date")))
-        .as(dateCol))
+      .select(explode(sequence(from.cast("date"), to.cast("date"),
+        expr("interval 1 day"))).as(dateCol))
     val spine = groups.select(col(groupCol)).distinct()
       .crossJoin(broadcast(days))
     spine

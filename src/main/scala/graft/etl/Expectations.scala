@@ -24,9 +24,17 @@ object Expectations {
     require(constraints.nonEmpty, "no constraints to check")
     constraints.foreach { case (n, _) =>
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"constraint name '$n' must match [A-Za-z_][A-Za-z0-9_]*") }
+        s"constraint name '$n' must match [A-Za-z_][A-Za-z0-9_]*")
+      require(n != "_n", "constraint name '_n' collides with the count alias")
+    }
+    require(constraints.map(_._1).distinct.size == constraints.size,
+      s"duplicate constraint names: ${constraints.map(_._1).mkString(", ")}")
+    // coalesce each sum: over an EMPTY input sum() is NULL, and a report
+    // of (n_violations = NULL, pass = NULL) reads as failure downstream —
+    // an empty table violates nothing
     val aggs = count(lit(1)).as("_n") +: constraints.map { case (n, c) =>
-      sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(n)
+      coalesce(sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(n)
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = constraints

@@ -76,9 +76,14 @@ object Profiler {
       approx
         .join(df.groupBy(col(groupCol))
           .agg(countDistinct(col(valueCol)).as("exact_distinct")), groupCol)
+        // an all-NULL group has exact = approx = 0; bare division would
+        // make rel_err 0/0 = NaN and falsely flag the sketch as out of
+        // bounds — agreement on zero is error 0
         .withColumn("rel_err",
-          abs(col("approx_distinct") - col("exact_distinct"))
-            .cast("double") / col("exact_distinct"))
+          when(col("exact_distinct") === 0,
+            when(col("approx_distinct") === 0, lit(0.0)))
+            .otherwise(abs(col("approx_distinct") - col("exact_distinct"))
+              .cast("double") / col("exact_distinct")))
         .withColumn("approx_ok", col("rel_err") <= 3 * rsd)
   }
 }

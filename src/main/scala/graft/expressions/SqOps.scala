@@ -121,10 +121,19 @@ case class SqDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // match on field TYPES only, not the full StructType: a parquet
+      // round-trip marks every field nullable, and an exact equality
+      // with encodedType (nullable = false) would reject a persisted
+      // SQ8 corpus — the primary use case — at analysis time
       case (ArrayType(FloatType | DoubleType, _), t: StructType)
-          if t == SqOps.encodedType => TypeCheckResult.TypeCheckSuccess
+          if t.fields.length == 3 &&
+            t.fields(0).dataType == FloatType &&
+            t.fields(1).dataType == FloatType &&
+            t.fields(2).dataType == BinaryType =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<float|double>, sq struct), got " +
+        s"$prettyName requires (array<float|double>, " +
+          s"struct<float, float, binary>), got " +
           s"(${l.catalogString}, ${r.catalogString})")
     }
 

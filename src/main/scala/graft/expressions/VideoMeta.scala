@@ -89,15 +89,22 @@ object VideoMeta {
           val csz = be32(b, j)
           if (csz < 8 || j + csz > end) return null
           if (tag(b, j + 4, "mvhd")) {
+            // every header read must sit inside the mvhd box's OWN
+            // declared size (csz <= end is already proven): checking
+            // against the moov end would let a short-declared mvhd
+            // silently decode its sibling's bytes, and the version
+            // byte itself needs a guard (csz = 8 passes the generic
+            // loop check but holds no payload at all)
+            if (csz < 9) return null
             val ver = u8(b, j + 8)
             if (ver == 0) {
               // reads through j+27 (timescale j+20..23, duration j+24..27)
-              if (j + 28 > end) return null
+              if (csz < 28) return null
               timescale = be32(b, j + 20).toInt
               duration = be32(b, j + 24)
             } else if (ver == 1) {
               // reads through j+39 (timescale j+28..31, duration j+32..39)
-              if (j + 40 > end) return null
+              if (csz < 40) return null
               timescale = be32(b, j + 28).toInt
               duration = be64(b, j + 32)
             } else return null
@@ -157,9 +164,13 @@ case class Mp4Header(first: Expression, second: Expression, third: Expression)
 
 object Mp4Header {
 
-  /** ftyp(16) + moov(8 + mvhd 108 + 8·nTracks). */
+  /** ftyp(16) + moov(8 + mvhd 108 + 8·nTracks). nTracks clamps to
+    * [0, 2^20]: 8·nTracks in Int arithmetic would overflow negative for
+    * absurd counts and NegativeArraySizeException out of the
+    * SQL-registered function — a million placeholder boxes (8 MB) is
+    * already far past any sane test payload. */
   def build(timescale: Int, durationTicks: Int, nTracks: Int): Array[Byte] = {
-    val k = math.max(0, nTracks)
+    val k = math.min(math.max(0, nTracks), 1 << 20)
     val moovSz = 8 + 108 + 8 * k
     val out = new Array[Byte](16 + moovSz)
     def w4(i: Int, t: String): Unit =

@@ -72,6 +72,14 @@ class CdcSpec extends SparkSpec {
     assert(kept === Set(1L, 3L)) // old live row stays, old tombstone goes
   }
 
+  test("payload column names containing dots survive the merge") {
+    val l = log(Seq((1L, "a", 10L, 0L, "U")))
+      .withColumnRenamed("v", "payload.amount")
+    val out = Cdc.applyLog(l.where(lit(false)), l, "k", "ts", "seq", "op")
+    assert(out.columns.contains("payload.amount"))
+    assert(out.select(col("`payload.amount`")).head().getString(0) === "a")
+  }
+
   test("apply is one map-side-combinable aggregation, not a window") {
     val snap = Cdc.applyLog(empty,
       log(Seq((1L, "a", 10L, 0L, "U"))), "k", "ts", "seq", "op")

@@ -83,4 +83,16 @@ class DateDimSpec extends SparkSpec {
       ("b", "2024-01-02", 0L, 0.0),
       ("b", "2024-01-03", 0L, 0.0)))
   }
+
+  test("gapFillDaily raises on a swapped from/to instead of a reversed spine") {
+    val daily = Seq(("a", "2024-01-01", 1L)).toDF("g", "ds", "n")
+      .select($"g", to_date($"ds").as("day"), $"n")
+    val groups = Seq("a").toDF("g")
+    val e = intercept[Exception] {
+      DateDim.gapFillDaily(daily, groups, "g", "day",
+        lit("2024-02-01"), lit("2024-01-01"), fillCols = Seq("n"))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("sequence"), e.getMessage)
+  }
 }

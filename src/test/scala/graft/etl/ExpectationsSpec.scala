@@ -35,6 +35,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(plan.split("LocalRelation").length - 1 === 1, plan)
   }
 
+  test("empty input reports zero violations and pass=true, not NULLs") {
+    val got = Expectations.check(df.where(lit(false)), constraints)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq.fill(3)((0L, 0L, true)))
+  }
+
+  test("colliding and duplicate constraint names are rejected") {
+    intercept[IllegalArgumentException] {
+      Expectations.check(df, Seq("_n" -> col("amount").isNotNull))
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.check(df, Seq(
+        "a" -> col("amount").isNotNull, "a" -> (col("amount") > 0)))
+    }
+  }
+
   test("enforce passes clean data through and throws on violations") {
     val clean = Seq((1.0, "A")).toDF("amount", "flag")
     assert(Expectations.enforce(clean, constraints).count() === 1L)

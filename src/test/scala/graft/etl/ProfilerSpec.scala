@@ -58,6 +58,17 @@ class ProfilerSpec extends SparkSpec {
       r.getAs[Long]("n_rows")).toMap === Map("g1" -> 2000L, "g2" -> 1000L, "g3" -> 100L))
   }
 
+  test("cardinalityProfile: an all-NULL group agrees at zero (no NaN flag)") {
+    val df = Seq(("g1", Some("v")), ("g2", None), ("g2", None))
+      .toDF("grp", "value")
+    val got = Profiler.cardinalityProfile(df, "grp", "value")
+      .orderBy("grp").collect()
+    val g2 = got(1)
+    assert(g2.getAs[Long]("exact_distinct") === 0L)
+    assert(g2.getAs[Double]("rel_err") === 0.0)
+    assert(g2.getAs[Boolean]("approx_ok"))
+  }
+
   test("cardinalityProfile withExact=false plans no exact-distinct aggregate") {
     val df = Seq(("g", "v")).toDF("grp", "value")
     val sketchOnly = Profiler.cardinalityProfile(df, "grp", "value",

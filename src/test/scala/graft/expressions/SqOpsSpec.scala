@@ -46,6 +46,18 @@ class SqOpsSpec extends SparkSpec {
     assert(empty.head().isNullAt(0))
   }
 
+  test("sq_dot accepts a parquet-persisted encoding (nullable-loosened struct)") {
+    val dir = java.nio.file.Files.createTempDirectory("sqstore").toString + "/t"
+    Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("q", "v")
+      .withColumn("enc", SqOps.sqEncode($"v"))
+      .write.parquet(dir)
+    // parquet marks every struct field nullable; the type check must
+    // match on field types, not exact StructType equality
+    val back = spark.read.parquet(dir)
+      .select(SqOps.sqDot($"q", $"enc").as("d")).head().getDouble(0)
+    assert(math.abs(back - (1 * 3 + 2 * 4)) < 0.05)
+  }
+
   test("SQL registration: sq_dot(q, sq_encode(v)) round-trips") {
     org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
     val d = spark.sql(

@@ -62,6 +62,39 @@ class VideoMetaSpec extends SparkSpec {
     assert(got.toSeq === Seq(Some(("avc1", 48000, 1L << 32, 0))))
   }
 
+  test("hostile box geometry: truncated or short-declared mvhd is NULL, not a crash") {
+    def be32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v >> 24).toByte; b(i + 1) = (v >> 16).toByte
+      b(i + 2) = (v >> 8).toByte; b(i + 3) = v.toByte
+    }
+    def w4(b: Array[Byte], i: Int, t: String): Unit =
+      (0 until 4).foreach(j => b(i + j) = t(j).toByte)
+    // 32-byte payload: ftyp(16) + moov(16) whose only child declares
+    // csz=8 'mvhd' — the version byte would sit at offset 32, one past
+    // the end of the array
+    val truncated = new Array[Byte](32)
+    be32(truncated, 0, 16); w4(truncated, 4, "ftyp")
+    w4(truncated, 8, "isom"); be32(truncated, 12, 0)
+    be32(truncated, 16, 16); w4(truncated, 20, "moov")
+    be32(truncated, 24, 8); w4(truncated, 28, "mvhd")
+    // short-declared mvhd (csz=12, version 0) followed by a trak box:
+    // timescale/duration would be decoded from the SIBLING's bytes
+    val shortDecl = new Array[Byte](16 + 8 + 12 + 8)
+    be32(shortDecl, 0, 16); w4(shortDecl, 4, "ftyp")
+    w4(shortDecl, 8, "isom"); be32(shortDecl, 12, 0)
+    be32(shortDecl, 16, 28); w4(shortDecl, 20, "moov")
+    be32(shortDecl, 24, 12); w4(shortDecl, 28, "mvhd"); be32(shortDecl, 32, 0)
+    be32(shortDecl, 36, 8); w4(shortDecl, 40, "trak")
+    assert(parse(Seq(truncated, shortDecl)).toSeq === Seq(None, None))
+  }
+
+  test("mp4_header clamps absurd track counts instead of overflowing") {
+    // 8 * 300M overflows Int without the clamp -> NegativeArraySizeException
+    val b = Mp4Header.build(600, 100, 300000000)
+    val got = parse(Seq(b))
+    assert(got.head.map(_._4) === Some(1 << 20))
+  }
+
   test("SQL registration: video_meta(mp4_header(ts, dur, k)) round-trips") {
     org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
     val r = spark.sql(
