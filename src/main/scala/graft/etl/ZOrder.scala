@@ -29,12 +29,26 @@ object ZOrder {
     * result is always in [0, 4^bits). */
   def zvalue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(xl.bitwiseAND(lit(1L << i)), i))
-        .bitwiseOR(shiftleft(yl.bitwiseAND(lit(1L << i)), i + 1))
+    zvalueN(Seq(x, y), bits)
+  }
+
+  /** N-dimensional Morton value: bit i of column j lands at position
+    * i·m + j (round-robin interleave across all m columns — for m = 2
+    * this is exactly [[zvalue]]). m·bits builtin mask-and-shift ops,
+    * all constant-folded into one codegen chain. m·bits ≤ 63 so the
+    * result fits a signed long. */
+  def zvalueN(cols: Seq[Column], bits: Int): Column = {
+    val m = cols.size
+    require(m >= 1, "zvalueN needs at least one column")
+    require(bits >= 1 && m * bits <= 63,
+      s"need bits >= 1 and cols*bits <= 63, got $m*$bits")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      val cl = c.cast("long")
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        // bit i sits at position i; target is i*m + j -> shift by
+        // i*(m-1) + j
+        a.bitwiseOR(shiftleft(cl.bitwiseAND(lit(1L << i)), i * (m - 1) + j))
+      }
     }
   }
 

@@ -22,6 +22,31 @@ class ZOrderSpec extends SparkSpec {
       assert(got((x, y)) === mortonRef(x, y, 12), s"($x, $y)")
   }
 
+  test("zvalueN: 3-D round-robin interleave matches the reference; 2-D delegates") {
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val m = vals.size
+      vals.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+        (0 until bits).foldLeft(acc) { (a, i) =>
+          a | (((v >> i) & 1L) << (i * m + j))
+        }
+      }
+    }
+    val rnd = new scala.util.Random(21)
+    val pts = Seq.fill(100)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong))
+    val got = pts.toDF("a", "b", "c")
+      .select($"a", $"b", $"c",
+        ZOrder.zvalueN(Seq($"a", $"b", $"c"), 8).as("z3"),
+        ZOrder.zvalueN(Seq($"a", $"b"), 8).as("z2"),
+        ZOrder.zvalue($"a", $"b", 8).as("z2d"))
+      .collect()
+    for (r <- got) {
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === ref(Seq(a, b, c), 8), s"3-D ($a,$b,$c)")
+      assert(r.getLong(4) === r.getLong(5), "2-D zvalue must equal zvalueN")
+    }
+  }
+
   test("zvalue corners: (0,0)=0, x-only fills even bits, y-only odd bits") {
     val r = Seq((0L, 0L, 255L)).toDF("zero", "z2", "m")
       .select(
