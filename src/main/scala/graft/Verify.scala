@@ -31,6 +31,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // sweep BOTH storage layers between queries — Dataset-cache
+      // entries AND RDD-level checkpoint blocks (invisible to
+      // clearCache) — so one query's residue can't squeeze the next
+      spark.sharedState.cacheManager.clearCache()
+      graft.util.Blocks.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

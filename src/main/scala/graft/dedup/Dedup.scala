@@ -304,12 +304,25 @@ object Dedup {
     * this typically converges in 2-3 rounds; `maxIter` bounds
     * adversarial chains.
     *
+    * Block lifecycle: every checkpoint is released deterministically
+    * ([[graft.util.Blocks]]) the moment it is superseded — the previous
+    * round's labels when the next round materializes, and the seeds,
+    * edges, and final labels once the RESULT is materialized. Without
+    * this the superseded blocks linger until GC and, in a long-lived
+    * JVM running many queries, squeeze the unified memory pool
+    * (measured: a full-suite run doubled its wall time from exactly
+    * this residue). The returned frame is itself an eager local
+    * checkpoint — already computed, cheap to re-consume, and the ONLY
+    * storage this operator leaves behind (one small (id, comp) row per
+    * node; the caller or harness owns its release).
+    *
     * @param pairs columns `id_a`, `id_b` (one row per undirected edge)
     * @return (`id`, `comp`) — component = min reachable id, one row per
     *         node that appears in `pairs`
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    import graft.util.Blocks
     // Both edge directions from ONE scan of `pairs` (an explode, not a
     // self-union — union would evaluate the upstream pair pipeline
     // twice before the persist materializes; measured 2× the whole
@@ -333,11 +346,11 @@ object Dedup {
     // the aggregate's estimated stats exceed the broadcast threshold
     // and both joins plan as sort-merge over the full edge table
     // (measured: q26 9.3s → 17.5s at sf0.1).
-    val seed = edges
+    val seedCp = Blocks.checkpoint(edges
       .groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("comp"))
-      .select(col("u").as("id"), col("comp"))
-      .localCheckpoint(true)
+      .select(col("u").as("id"), col("comp")))
+    val seed = seedCp.df
     // contract from the UNDIRECTED pair list (half the rows of `edges`)
     // and emit both directions of the surviving inter-star links after
     val contracted = edges.where(col("u") < col("v"))
@@ -353,11 +366,11 @@ object Dedup {
     // eagerly checkpointed for the same stats reason as `seed`: the
     // loop's per-round joins must see the label table's true (tiny)
     // size to broadcast it
-    var labels = contracted
+    var labelsCp = Blocks.checkpoint(contracted
       .groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("comp"))
-      .select(col("u").as("id"), col("comp"))
-      .localCheckpoint(true)
+      .select(col("u").as("id"), col("comp")))
+    var labels = labelsCp.df
     // Convergence = no label changed this round. The previous label
     // rides through the step as `_prev`, so the changed-row count is a
     // filter over the round's already-materialized checkpoint — no
@@ -378,14 +391,17 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
       // path halving: comp := min(comp, comp(comp))
-      val next = stepped.as("a")
+      val nextCp = Blocks.checkpoint(stepped.as("a")
         .join(stepped.select(col("id").as("comp"), col("comp").as("pcomp"))
           .as("b"), Seq("comp"), "left")
         .select(col("id"), col("_prev"),
-          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      done = next.where(col("comp") =!= col("_prev")).isEmpty
-      labels = next.select(col("id"), col("comp"))
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp")))
+      done = nextCp.df.where(col("comp") =!= col("_prev")).isEmpty
+      // the new round is materialized — the previous round's checkpoint
+      // blocks are dead weight from here on; free them NOW, not at GC
+      labelsCp.release()
+      labelsCp = nextCp
+      labels = nextCp.df.select(col("id"), col("comp"))
       iter += 1
     }
     if (!done && iter == maxIter)
@@ -394,14 +410,19 @@ object Dedup {
           "fixpoint; returned component labels may be UNCONVERGED. " +
           "Raise maxIter (rounds needed ~ log2 of the largest component " +
           "diameter after star contraction).")
-    // map every original node through its star root's final component
-    val out = seed
+    // map every original node through its star root's final component;
+    // materialize the RESULT eagerly so every intermediate block set —
+    // seeds, final-round labels, edge tables — can be freed before
+    // returning instead of lingering until GC
+    val outCp = Blocks.checkpoint(seed
       .join(labels.select(col("id").as("comp"), col("comp").as("final")),
         Seq("comp"), "left")
-      .select(col("id"), coalesce(col("final"), col("comp")).as("comp"))
+      .select(col("id"), coalesce(col("final"), col("comp")).as("comp")))
+    seedCp.release()
+    labelsCp.release()
     edges.unpersist()
     contracted.unpersist()
-    out
+    outCp.df
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,59 @@
+package graft.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Deterministic lifecycle control for checkpoint/persist block sets.
+  *
+  * `Dataset.localCheckpoint` materializes the frame into block-manager
+  * storage and truncates lineage, but offers NO release API: the blocks
+  * are freed only when the JVM garbage-collects the underlying RDD and
+  * the ContextCleaner notices. In a long-lived multi-tenant driver
+  * (exactly what a bench/verify harness is) superseded checkpoint blocks
+  * pile into the unified memory pool and squeeze every later query —
+  * measured: a full 82-query suite doubled its wall time purely from
+  * accumulated eager-checkpoint blocks of iterative operators.
+  *
+  * The fix is a handle: a checkpointed Dataset's logical plan IS a
+  * [[LogicalRDD]] wrapping the materialized RDD, so we can pull that RDD
+  * out and `unpersist` it the moment the frame is superseded. Releasing
+  * is only safe once nothing will re-evaluate the frame — a local
+  * checkpoint has no lineage to recompute from.
+  */
+object Blocks {
+
+  /** An eagerly local-checkpointed frame plus its release handle. */
+  final case class Checkpointed(df: DataFrame, rdd: Option[RDD[_]]) {
+    /** Free the checkpoint's storage blocks. The frame must not be
+      * evaluated again afterwards (no lineage survives a local
+      * checkpoint). Safe to call twice. */
+    def release(): Unit = rdd.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Eager local checkpoint with a deterministic-release handle.
+    * Identical plan semantics to `df.localCheckpoint(true)` — the
+    * resulting [[LogicalRDD]] carries the origin stats, so joins
+    * against the materialized frame still broadcast. */
+  def checkpoint(df: DataFrame): Checkpointed = {
+    val cp = df.localCheckpoint(eager = true)
+    Checkpointed(cp, handleOf(cp))
+  }
+
+  /** The materialized RDD behind a checkpointed frame, if the plan is
+    * the expected LogicalRDD shape (None on any other plan — callers
+    * degrade to GC-managed release, never fail). */
+  def handleOf(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.logical.collectFirst { case lr: LogicalRDD => lr.rdd }
+
+  /** Unpersist EVERY RDD-level block set registered with the context —
+    * Dataset-cache entries (`df.persist`) live in the cache manager and
+    * have their own `clearCache()`, but local-checkpoint blocks are
+    * RDD-level and survive it. A harness that runs many independent
+    * queries in one JVM calls this between queries so one query's
+    * checkpoint residue cannot tax the next. Only safe at a point where
+    * no live frame will be re-evaluated (checkpoints cannot recompute). */
+  def releaseAll(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+}
