@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the QA step a warehouse load runs
@@ -76,14 +76,20 @@ object Profiler {
       approx
         .join(df.groupBy(col(groupCol))
           .agg(countDistinct(col(valueCol)).as("exact_distinct")), groupCol)
-        // an all-NULL group has exact = approx = 0; bare division would
-        // make rel_err 0/0 = NaN and falsely flag the sketch as out of
-        // bounds — agreement on zero is error 0
         .withColumn("rel_err",
-          when(col("exact_distinct") === 0,
-            when(col("approx_distinct") === 0, lit(0.0)))
-            .otherwise(abs(col("approx_distinct") - col("exact_distinct"))
-              .cast("double") / col("exact_distinct")))
+          relErr(col("exact_distinct"), col("approx_distinct")))
         .withColumn("approx_ok", col("rel_err") <= 3 * rsd)
   }
+
+  /** Relative sketch error for the audit columns. An all-NULL group has
+    * exact = approx = 0; bare division would make rel_err 0/0 = NaN and
+    * falsely flag the sketch as out of bounds — agreement on zero is
+    * error 0. exact = 0 with approx > 0 (unreachable while both
+    * aggregates ignore NULLs, but the audit must FAIL, not abstain, if
+    * it ever happens) is infinite relative error, so `approx_ok` comes
+    * out false rather than NULL. */
+  private[graft] def relErr(exact: Column, approx: Column): Column =
+    when(exact === 0,
+      when(approx === 0, lit(0.0)).otherwise(lit(Double.PositiveInfinity)))
+      .otherwise(abs(approx - exact).cast("double") / exact)
 }

@@ -77,7 +77,14 @@ object ZOrder {
     * one row per non-empty file with its row count and min/max of both
     * dimensions — exactly the statistics a min/max-skipping scan
     * consults, so the output IS the skipping story: a predicate prunes
-    * every file whose box misses it. One shuffle, keyed on file id. */
+    * every file whose box misses it. One shuffle, keyed on file id.
+    *
+    * Domain guard: [[zvalue]] only samples the low `bits` bits, so a
+    * value outside [0, 2^bits) would silently alias into the wrong
+    * curve cell while the raw-value min/max inflates that file's
+    * bounding box — corrupted skipping with no error. Out-of-domain
+    * rows are therefore quarantined under a NULL `file_id` (their own
+    * visible stats row) instead of polluting a real file's box. */
   def fileStats(
       df: DataFrame,
       xCol: String,
@@ -86,8 +93,12 @@ object ZOrder {
       fileBits: Int): DataFrame = {
     require(fileBits >= 1 && fileBits <= 2 * bits,
       s"fileBits must be in [1, 2*bits], got $fileBits")
+    val cap = 1L << bits
+    val inDomain =
+      col(xCol) >= 0 && col(xCol) < cap && col(yCol) >= 0 && col(yCol) < cap
     df.withColumn("zval", zvalue(col(xCol), col(yCol), bits))
-      .withColumn("file_id", shiftright(col("zval"), 2 * bits - fileBits))
+      .withColumn("file_id",
+        when(inDomain, shiftright(col("zval"), 2 * bits - fileBits)))
       .groupBy(col("file_id"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -29,7 +29,11 @@ object SqOps {
     StructField("codes", BinaryType, nullable = false)))
 
   /** codeᵢ = round((vᵢ − min) / step) with step = (max − min)/255;
-    * a constant vector (max == min) encodes step 0, all codes 0. */
+    * a constant vector (max == min) encodes step 0, all codes 0.
+    * NULL when any element is NaN/Inf or the affine params overflow
+    * the float fields — the filter-don't-throw convention the other
+    * kernels follow (a NaN-bearing vector would otherwise encode to a
+    * quiet Inf vmin and poison every later sq_dot with Inf/NaN). */
   def encode(v: ArrayData, isFloat: Boolean): InternalRow = {
     val n = v.numElements()
     if (n == 0) return null
@@ -38,11 +42,14 @@ object SqOps {
     var i = 0
     while (i < n) {
       val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      if (!java.lang.Double.isFinite(x)) return null
       if (x < mn) mn = x
       if (x > mx) mx = x
       i += 1
     }
     val step = (mx - mn) / 255.0
+    if (!java.lang.Float.isFinite(mn.toFloat) ||
+        !java.lang.Float.isFinite(step.toFloat)) return null
     val out = new Array[Byte](n)
     if (step > 0) {
       i = 0

@@ -69,6 +69,21 @@ class ProfilerSpec extends SparkSpec {
     assert(g2.getAs[Boolean]("approx_ok"))
   }
 
+  test("cardinalityProfile: exact=0 with approx>0 fails the audit, not NULL") {
+    // unreachable through the public aggregate path (both sides ignore
+    // NULLs) — the shared audit expression is exercised directly to pin
+    // the fail-don't-abstain contract of the audit columns
+    import org.apache.spark.sql.functions._
+    val shaped = Seq(("g", 3L, 0L))
+      .toDF("grp", "approx_distinct", "exact_distinct")
+      .withColumn("rel_err",
+        Profiler.relErr(col("exact_distinct"), col("approx_distinct")))
+      .withColumn("approx_ok", col("rel_err") <= 3 * 0.05)
+      .head()
+    assert(shaped.getAs[Double]("rel_err").isPosInfinity)
+    assert(!shaped.getAs[Boolean]("approx_ok"))
+  }
+
   test("cardinalityProfile withExact=false plans no exact-distinct aggregate") {
     val df = Seq(("g", "v")).toDF("grp", "value")
     val sketchOnly = Profiler.cardinalityProfile(df, "grp", "value",

@@ -81,6 +81,22 @@ class ZOrderSpec extends SparkSpec {
       s"only $pruned/${stats.length} files prunable")
   }
 
+  test("fileStats quarantines out-of-domain rows under NULL file_id") {
+    // 300 and -5 are outside [0, 256): they must NOT alias into a real
+    // curve cell and inflate its bounding box
+    val df = Seq((3L, 4L), (300L, 4L), (-5L, 4L), (3L, 5L))
+      .toDF("x", "y")
+    val stats = ZOrder.fileStats(df, "x", "y", bits = 8, fileBits = 4)
+      .collect()
+    val (bad, good) = stats.partition(_.isNullAt(0))
+    assert(bad.length === 1 && bad.head.getAs[Long]("n_rows") === 2L)
+    assert(good.map(_.getAs[Long]("n_rows")).sum === 2L)
+    // the real file's box stays tight: only the in-domain points
+    for (r <- good) {
+      assert(r.getAs[Long]("x_min") >= 0L && r.getAs[Long]("x_max") < 256L)
+    }
+  }
+
   test("layout yields z-sorted partitions covering all rows") {
     val rnd = new scala.util.Random(11)
     val df = Seq.fill(1000)((rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))

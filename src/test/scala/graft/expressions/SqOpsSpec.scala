@@ -46,6 +46,21 @@ class SqOpsSpec extends SparkSpec {
     assert(empty.head().isNullAt(0))
   }
 
+  test("non-finite elements encode to NULL, not a poisoned Inf/NaN score") {
+    val df = Seq(
+      Seq(Float.NaN, Float.NaN),                  // all NaN
+      Seq(1.0f, Float.NaN, 3.0f),                 // NaN among finites
+      Seq(1.0f, Float.PositiveInfinity),          // Inf
+      Seq(1.0f, 2.0f)                             // control: finite
+    ).map(Tuple1(_)).toDF("v")
+      .select(SqOps.sqEncode($"v").as("enc"))
+      .collect()
+    assert(df(0).isNullAt(0))
+    assert(df(1).isNullAt(0))
+    assert(df(2).isNullAt(0))
+    assert(!df(3).isNullAt(0))
+  }
+
   test("sq_dot accepts a parquet-persisted encoding (nullable-loosened struct)") {
     val dir = java.nio.file.Files.createTempDirectory("sqstore").toString + "/t"
     Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("q", "v")
