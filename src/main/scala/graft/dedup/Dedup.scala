@@ -103,35 +103,121 @@ object Dedup {
     * narrow scans cost far less than one full-batch shuffle, and the
     * branches stay independent stages. False positives re-confirm
     * through the real anti-join, so the bloom only ever REDUCES work,
-    * never changes the answer. The filter itself is built distributed
-    * (`stat.bloomFilter` aggregates per-partition bitsets) and ships as
-    * a plan constant — ~1.2 GB per 10⁹ snapshot keys at 1 % fpp; beyond
-    * that, range-partition the snapshot and bloom per range.
+    * never changes the answer.
+    *
+    * Two filter tiers, selected by snapshot size (or forced via
+    * `ranges`):
+    *  - `ranges == 1`: one corpus-wide filter (`stat.bloomFilter`,
+    *    built distributed) ships as a plan constant — fine to ~10⁸
+    *    keys (~120 MB at 1 % fpp).
+    *  - `ranges > 1`: the snapshot is hash-partitioned on
+    *    `pmod(xxhash64(fp), ranges)` and ONE BOUNDED filter is built
+    *    per range in a single distributed pass ([[rangeBlooms]] — no
+    *    task, plan constant, or single array ever holds the corpus-wide
+    *    ~GB bitset). The probe is one CASE over the same range key, so
+    *    each row still pays exactly one bloom probe and each branch
+    *    references only its own range's filter.
+    * Auto-selection caps each filter at ~10⁸ keys. Exactness is
+    * identical in both tiers.
     *
     * @param snapshotFps existing corpus fingerprints, column `fp`
+    *                    (string or bigint)
     * @param fpp target false-positive rate for the prefilter
-    * @param expectedItems snapshot cardinality hint; counted if <= 0 */
+    * @param expectedItems snapshot cardinality hint; if <= 0 the
+    *                      snapshot is counted — a FULL extra pass over
+    *                      it, logged loudly because callers at scale
+    *                      should always pass the known cardinality
+    * @param ranges number of per-range filters; 0 = auto by size */
   def bloomDedupAgainstSnapshot(
       incoming: DataFrame,
       idCol: String,
       textCol: String,
       snapshotFps: DataFrame,
       fpp: Double = 0.01,
-      expectedItems: Long = -1L): DataFrame = {
+      expectedItems: Long = -1L,
+      ranges: Int = 0): DataFrame = {
     import graft.expressions.BloomContains
     val n =
       if (expectedItems > 0L) expectedItems
-      else math.max(snapshotFps.count(), 1L)
-    val bloom = snapshotFps.stat.bloomFilter(col("fp"), n, fpp)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "bloomDedupAgainstSnapshot: no expectedItems hint — counting " +
+            "the snapshot costs a full extra pass over it; pass the " +
+            "known cardinality at scale")
+        math.max(snapshotFps.count(), 1L)
+      }
+    val r =
+      if (ranges > 0) ranges
+      else math.max(1L, (n + MaxKeysPerBloom - 1) / MaxKeysPerBloom).toInt
     val fped = incoming
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val mightBeDup = BloomContains.contains(col("fp"), bloom)
+    val mightBeDup =
+      if (r <= 1)
+        BloomContains.contains(col("fp"),
+          snapshotFps.stat.bloomFilter(col("fp"), n, fpp))
+      else {
+        val blooms = rangeBlooms(snapshotFps, r, math.max(n / r, 1L), fpp)
+        val rng = pmod(xxhash64(col("fp")), lit(r.toLong))
+        // CASE on the range key: one probe per row, each branch a
+        // bounded per-range plan constant. A range with no filter
+        // (empty snapshot slice) falls through to false — provably new.
+        blooms match {
+          case Seq() => lit(false)
+          case (i0, bf0) +: rest =>
+            rest.foldLeft(
+                when(rng === i0, BloomContains.contains(col("fp"), bf0))) {
+                case (acc, (i, bf)) =>
+                  acc.when(rng === i, BloomContains.contains(col("fp"), bf))
+              }.otherwise(lit(false))
+        }
+      }
     val provablyNew = fped.where(!mightBeDup)
     val confirmedNew = fped.where(mightBeDup)
       .join(snapshotFps.select(col("fp")), Seq("fp"), "left_anti")
     provablyNew.unionByName(confirmedNew)
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
+  }
+
+  /** Auto-tier threshold: keys per Bloom filter before
+    * [[bloomDedupAgainstSnapshot]] switches to per-range filters
+    * (~120 MB of bitset at 1 % fpp). */
+  private[graft] val MaxKeysPerBloom = 100L * 1000 * 1000
+
+  /** One Bloom filter per fingerprint range, built in a SINGLE
+    * distributed pass: each fingerprint shuffles (8–32 bytes) to its
+    * range's partition — the identity HashPartitioner on the pmod key
+    * makes partition == range — and each task folds ONLY its own
+    * range's filter, so the per-task allocation is bounded by the range
+    * size, never the corpus. The driver holds the R bounded filters
+    * transiently while the probe expression is assembled. Key semantics
+    * match [[graft.expressions.BloomContains]]: strings hash by their
+    * UTF-8 bytes, longs natively. (RDD-level on purpose: per-partition
+    * imperative filter construction has no Dataset equivalent.) */
+  private[graft] def rangeBlooms(
+      snapshotFps: DataFrame,
+      ranges: Int,
+      perRangeItems: Long,
+      fpp: Double): Seq[(Int, org.apache.spark.util.sketch.BloomFilter)] = {
+    val isString = snapshotFps.schema("fp").dataType ==
+      org.apache.spark.sql.types.StringType
+    snapshotFps
+      .select(col("fp"),
+        pmod(xxhash64(col("fp")), lit(ranges.toLong)).cast("int").as("rng"))
+      .rdd.map(row => (row.getInt(1), row.get(0)))
+      .partitionBy(new org.apache.spark.HashPartitioner(ranges))
+      .mapPartitionsWithIndex { (pid, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(perRangeItems, 1L), fpp)
+        var any = false
+        it.foreach { case (_, fp) =>
+          if (isString) bf.putBinary(fp.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          else bf.putLong(fp.asInstanceOf[Long])
+          any = true
+        }
+        if (any) Iterator.single(pid -> bf) else Iterator.empty
+      }.collect().toSeq
   }
 
   /** Latest-record-per-natural-key dedup (window row_number). */

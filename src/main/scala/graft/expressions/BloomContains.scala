@@ -23,10 +23,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * negatives are not: `false` here is a PROOF of absence. Accepts
   * string keys (hashed as their UTF-8 bytes — identical to
   * `BloomFilter.putString`) and long keys. The filter is a codegen
-  * reference object deserialized once per executor, ~1.2 GB per 10⁹
-  * keys at 1% fpp — metadata-scale relative to the corpus it guards;
-  * beyond that, range-partition the snapshot and build per-range
-  * filters.
+  * reference object deserialized once per executor — each instance
+  * should stay bounded (~10⁸ keys ≈ 120 MB at 1% fpp); past that,
+  * [[graft.dedup.Dedup.bloomDedupAgainstSnapshot]] builds PER-RANGE
+  * filters and dispatches on the range key, so every BloomContains in
+  * the plan stays metadata-scale.
   */
 case class BloomContains(child: Expression, filterBytes: Array[Byte])
     extends UnaryExpression {

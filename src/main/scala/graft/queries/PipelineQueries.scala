@@ -1485,7 +1485,10 @@ object PipelineQueries {
     * the batch — but the anti-join is gated by a snapshot Bloom filter
     * so only maybe-dup rows shuffle. Exactness is the oracle's claim:
     * false positives re-confirm through the real anti-join, so the
-    * bloom path must hash-match the plain anti-join formulation. */
+    * bloom path must hash-match the plain anti-join formulation.
+    * `ranges = 4` forces the partitioned-filter tier (per-range bounded
+    * blooms, CASE-dispatched probe — the 10⁹⁺-key scale path), so the
+    * gate proves THAT tier exact, not just the single-filter one. */
   def q83BloomDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = docsSpread(s, dir)
     val snapHash =
@@ -1494,7 +1497,11 @@ object PipelineQueries {
       .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
       .distinct()
     val incoming = docs.where(snapHash >= 0.6 * 4294967296.0)
-    Dedup.bloomDedupAgainstSnapshot(incoming, "doc_id", "text", snapshot)
+    // expectedItems: callers pass the known snapshot cardinality so
+    // sizing never costs an extra counting pass (generous overestimates
+    // only widen the filters, cheaply)
+    Dedup.bloomDedupAgainstSnapshot(incoming, "doc_id", "text", snapshot,
+        expectedItems = 1L << 20, ranges = 4)
       .orderBy(col("fp"))
   }
 

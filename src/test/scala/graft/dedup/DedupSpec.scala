@@ -180,6 +180,59 @@ class DedupSpec extends SparkSpec {
     assert(bloomed.count() === 50L) // ids 300-349 are genuinely new texts
   }
 
+  test("partitioned bloom tier (ranges=4) is value-identical and plans per-range filters") {
+    // parquet-backed input: over a LocalRelation Catalyst pushes the
+    // probe filter below the scan and constant-folds it away at plan
+    // time — the real operator runs over file scans, where the
+    // per-range probes must stay in the physical plan
+    val dir = java.nio.file.Files.createTempDirectory("bloomtier").toString
+    (0L until 400L)
+      .map(i => (i, s"document body number ${i % 300}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val snapshot = corpus.where(col("doc_id") < 250)
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val incoming = corpus.where(col("doc_id") >= 250)
+    val plain = Dedup.dedupAgainstSnapshot(incoming, "doc_id", "text", snapshot)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val tiered = Dedup.bloomDedupAgainstSnapshot(
+      incoming, "doc_id", "text", snapshot,
+      expectedItems = 1000L, ranges = 4)
+    assert(tiered.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq === plain)
+    // the probe must dispatch to one BOUNDED filter per range — 4
+    // bloom_contains branches in each of the two scan filters
+    val plan = tiered.queryExecution.executedPlan.toString
+    val probes = "bloom_contains".r.findAllIn(plan).length
+    assert(probes >= 4, s"expected >= 4 per-range bloom probes, got $probes:\n$plan")
+  }
+
+  test("rangeBlooms long path: every key lands in its own range's filter") {
+    // the fp contract allows string OR long keys; the per-range build
+    // must put longs natively (not via toString) for BloomContains'
+    // mightContainLong probe to find them
+    val fps = (0L until 100L).map(_ * 7919L)
+    val snapshot = fps.toDF("fp")
+    val blooms = Dedup.rangeBlooms(snapshot, 4, 50L, 0.01).toMap
+    val rngOf = snapshot.select(col("fp"),
+        pmod(xxhash64(col("fp")), lit(4L)).cast("int").as("rng"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(blooms.nonEmpty && blooms.size <= 4)
+    for ((fp, rng) <- rngOf) {
+      assert(blooms(rng).mightContainLong(fp), s"fp $fp missing from range $rng")
+      // and it landed ONLY in its own range (no cross-range pollution):
+      // a 7919-multiple absent from all OTHER ranges' filters with
+      // overwhelming probability at 1% fpp
+    }
+    val crossHits = rngOf.count { case (fp, rng) =>
+      blooms.exists { case (r2, bf) => r2 != rng && bf.mightContainLong(fp) }
+    }
+    assert(crossHits <= 5, s"$crossHits keys appear in foreign ranges")
+  }
+
   test("connectedComponents handles non-numeric (string) ids") {
     // Regression: the old sum-of-decimal convergence checksum nulled out
     // on string ids (cast to decimal → NULL → every round summed to 0),
