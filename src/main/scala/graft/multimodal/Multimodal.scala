@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One multimodal record: an opaque binary payload plus typed metadata.
@@ -8,47 +8,25 @@ import org.apache.spark.sql.functions._
   * only narrow metadata is materialized relationally. */
 case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
-/** Extracted (stub) media features. */
-case class MediaMeta(
-    media_id: Long,
-    kind: String,
-    byte_len: Long,
-    fake_width: Long,
-    fake_height: Long,
-    fake_frames: Long)
-
 /** One sampled frame of a media payload. */
 case class MediaFrame(
     media_id: Long,
     frame_index: Int,
     frame_payload: Array[Byte])
 
-/** Multimodal-column plumbing: schema, partition-wise batch decode, and
-  * feature extraction signatures.
+/** Multimodal-column plumbing: container sniffing, header parsing,
+  * partition-wise batch decode, and frame-level dedup.
   *
-  * The actual decoders (image/audio libs) are NOT available in this
-  * container, so [[stubDecode]] is a clearly-marked deterministic fake —
-  * the Spark-side plumbing (binary columns, typed Dataset encoders,
-  * mapPartitions batch shape, partition sizing) is real and tested. In
-  * production, swap `stubDecode` for a JNI/FFI decoder invoked once per
-  * partition so per-batch library init amortizes — exactly the shape
-  * `mapPartitions` provides.
+  * Header metadata is extracted by REAL byte-level parsers
+  * ([[graft.expressions.ImageMeta]] PNG/GIF/BMP/JPEG,
+  * [[graft.expressions.AudioMeta]] RIFF/WAVE,
+  * [[graft.expressions.VideoMeta]] ISO-BMFF) — codegen'd Catalyst
+  * expressions, no codec library. Full payload DECODE (pixel/sample
+  * data) would need image/audio libs this container lacks; [[batchMap]]
+  * is the per-partition entry point where a production deployment
+  * plugs a JNI/FFI decoder so per-batch library init amortizes.
   */
 object Multimodal {
-
-  /** STUB: deterministic fake decode. Replace with a real decoder.
-    * Derives pretend dimensions from the payload length only, so the
-    * values are reproducible by the SQL oracle. */
-  def stubDecode(r: MediaRecord): MediaMeta = {
-    val len = r.payload.length.toLong
-    MediaMeta(
-      media_id = r.media_id,
-      kind = r.kind,
-      byte_len = len,
-      fake_width = len % 640,
-      fake_height = (len / 640) % 480,
-      fake_frames = len % 30)
-  }
 
   /** Wrap a text table as binary media records (the test corpus has no
     * real media; payload = UTF-8 bytes of the text column). */
@@ -66,18 +44,51 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Batch feature extraction: one decoder instantiation per partition,
-    * records streamed through it — the pattern a real image/audio decoder
-    * needs. Output is a typed Dataset with a narrow relational schema. */
-  def extractMeta(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
-    val spark = records.sparkSession
-    import spark.implicits._
-    batchMap(records)(stubDecode)
+  /** Container-sniffed metadata extraction: magic-byte prefix checks
+    * dispatch each payload to the REAL parser for its container —
+    * PNG/GIF/BMP/JPEG dimensions ([[graft.expressions.ImageMeta]]),
+    * RIFF/WAVE audio params ([[graft.expressions.AudioMeta]]),
+    * ISO-BMFF movie headers ([[graft.expressions.VideoMeta]]). A
+    * payload matching no known magic, or failing its parser's
+    * structural validation, lands in the explicit `unknown`-container
+    * branch carrying byte-length-only metadata (NULL parser fields) —
+    * quarantined visibly, never faked. Pure column expressions
+    * end-to-end: the sniff is a handful of binary prefix equality
+    * checks and every parser is a codegen'd Catalyst expression, so
+    * extraction stays inside whole-stage codegen — no UDF, no shuffle,
+    * trivially scan-parallel at any corpus size. */
+  def extractMeta(records: Dataset[MediaRecord]): DataFrame = {
+    import graft.expressions.{AudioMeta, ImageMeta, VideoMeta}
+    val p = col("payload")
+    def magic(off: Int, s: String): Column =
+      substring(p, off, s.length) === lit(s.getBytes("ISO-8859-1"))
+    val isImage = magic(1, "\u0089PNG") || magic(1, "GIF8") ||
+      magic(1, "BM") || magic(1, "\u00FF\u00D8")
+    val isWave = magic(1, "RIFF") && magic(9, "WAVE")
+    val isBmff = magic(5, "ftyp")
+    val img = when(isImage, ImageMeta.imageMeta(p))
+    val aud = when(isWave, AudioMeta.audioMeta(p))
+    val vid = when(isBmff, VideoMeta.videoMeta(p))
+    records.toDF().select(
+      col("media_id"), col("kind"),
+      length(p).cast("long").as("byte_len"),
+      coalesce(
+        img.getField("format"), aud.getField("format"),
+        vid.getField("brand"), lit("unknown")).as("container"),
+      img.getField("width").as("width"),
+      img.getField("height").as("height"),
+      aud.getField("sample_rate").as("sample_rate"),
+      aud.getField("channels").as("channels"),
+      aud.getField("bits_per_sample").as("bits_per_sample"),
+      aud.getField("n_samples").as("n_samples"),
+      vid.getField("timescale").as("timescale"),
+      vid.getField("duration_ticks").as("duration_ticks"),
+      vid.getField("n_tracks").as("n_tracks"))
   }
 
   /** The general per-partition batch shape with a pluggable kernel: the
-    * production entry point where `stubDecode`-style fakes are swapped
-    * for a real JNI/FFI decoder. The kernel factory runs ONCE per
+    * production entry point for full payload decoding, where a JNI/FFI
+    * decoder replaces the kernel. The kernel factory runs ONCE per
     * partition (amortizing decoder/library init), then records stream
     * through the returned function. */
   def batchMap[T: org.apache.spark.sql.Encoder](
@@ -137,6 +148,33 @@ object Multimodal {
         col("l.fh") === col("r.fh") && col("l.media_id") < col("r.media_id"))
       .groupBy(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Exact (stride = 1) shared-frame partners of a PROBE subset
+    * against the whole corpus — the truth set for measuring
+    * [[sharedFramePairs]]' sampling recall. Only probe-side frames
+    * seed the join, so the cost is the inverted-index lookup of the
+    * probes' frames — linear in corpus frame count, never all-pairs.
+    * `countDistinct` on the frame hash collapses direction duplicates
+    * when both endpoints are probes. */
+  def probeSharedFrameTruth(
+      records: Dataset[MediaRecord],
+      probePred: Column,
+      frameBytes: Int = 64,
+      maxFrameDf: Int = 100000,
+      minShared: Int = 1): DataFrame = {
+    val frames = sampleFrames(records, 1, frameBytes).toDF()
+      .select(col("media_id"), md5(col("frame_payload")).as("fh"))
+      .distinct()
+    val capped = graft.dedup.Dedup.capBuckets(frames, maxFrameDf, Seq("fh"))
+    capped.where(probePred).as("l")
+      .join(capped.as("r"),
+        col("l.fh") === col("r.fh") && col("l.media_id") =!= col("r.media_id"))
+      .groupBy(
+        least(col("l.media_id"), col("r.media_id")).as("id_a"),
+        greatest(col("l.media_id"), col("r.media_id")).as("id_b"))
+      .agg(countDistinct(col("l.fh")).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaRecord, Multimodal}
 import graft.sim.Ann
 import graft.sources.Tables
 import graft.text.TextAnalysis
@@ -970,17 +970,26 @@ object PipelineQueries {
   /** Cross-media shared-frame near-dup ([[Multimodal.sharedFramePairs]]):
     * frame-hash inverted index over sampled payload frames. Exact for
     * the sampling parameters but not SQL-expressible here (no BLOB
-    * windowing in the oracle engine) → rows-only with a planted
-    * identical media pair: identical payloads share every frame, so the
-    * (−2, −1) pair must surface. */
+    * windowing in the oracle engine) → rows + a planted identical media
+    * pair (identical payloads share every frame, so the (−2, −1) pair
+    * must surface) + measured recall: truth = the exact UNSAMPLED
+    * (stride 1) shared-frame partners of the probe block
+    * ([[Multimodal.probeSharedFrameTruth]] — probe frames against the
+    * corpus index, linear cost), so `measured_recall` quantifies
+    * exactly what the stride-2 sampling loses. Floor from observed
+    * recall at sf0.001/0.01/0.1 with margin. */
   def q51MultimodalFrameDedup(s: SparkSession, dir: String): DataFrame = {
     val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
       .unionByName(plantedDocs(s))
     val recs = Multimodal.asMediaRecords(corpus, "doc_id", "text", "textbytes")
-    withPlantedCheck(
+    val truth = Multimodal.probeSharedFrameTruth(recs,
+        col("media_id") < RecallProbeIds, frameBytes = 64, minShared = 1)
+      .select(col("id_a"), col("id_b"))
+    withPlantedAndRecall(
         Multimodal.sharedFramePairs(recs, stride = 2, frameBytes = 64,
           minShared = 1),
-        plantedPairCond)
+        plantedPairCond,
+        truth, Seq("id_a", "id_b"), floor = 0.9)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1348,19 +1357,55 @@ object PipelineQueries {
        |HAVING count(*) >= 5 ORDER BY doc_freq DESC, gram""".stripMargin
 
   // ------------------------------------------------------------------ q50
-  def q50MultimodalMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractMeta(
-        Multimodal.asMediaRecords(
-          Tables.documents(s, dir), "doc_id", "text", "text/plain"))
-      .toDF()
-      .orderBy(col("media_id"))
+  /** Container-sniffed metadata over a MIXED media corpus
+    * ([[Multimodal.extractMeta]]): per doc_id the payload is a
+    * spec-conformant PNG header, RIFF/WAVE header, ISO-BMFF box tree,
+    * or raw text bytes — the magic-byte dispatch must route each to its
+    * REAL parser (q81/q82/q91's kernels) and quarantine the text rows
+    * in the explicit `unknown` branch. The `~` prefix on the text
+    * branch keeps the oracle deterministic: corpus text could
+    * legitimately begin with an ASCII container magic (`BM`, `GIF8`,
+    * `RIFF`), which would dispatch differently than a fixed oracle
+    * CASE predicts. All payloads are built on-cluster with
+    * doc_id-derived parameters, so the oracle re-derives every parsed
+    * field arithmetically. */
+  def q50MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{Mp4Header, PngHeader, WavHeader}
+    val spark = s
+    import spark.implicits._
+    val m = pmod(col("doc_id"), lit(4))
+    val payload = when(m === 0, PngHeader.pngHeader(
+        (lit(100) + pmod(col("doc_id"), lit(1920))).cast("int"),
+        (lit(100) + pmod(col("doc_id") * 7, lit(1080))).cast("int")))
+      .when(m === 1, WavHeader.wavHeader(
+        lit(16000).cast("int"), (length(col("text")) * 100).cast("int")))
+      .when(m === 2, Mp4Header.mp4Header(
+        lit(600).cast("int"), (length(col("text")) * 30).cast("int"),
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int")))
+      .otherwise(encode(concat(lit("~"), col("text")), "UTF-8"))
+    val recs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("media_id"),
+        lit("mixed").as("kind"), payload.as("payload"))
+      .as[MediaRecord]
+    Multimodal.extractMeta(recs).orderBy(col("media_id"))
+  }
 
   val q50Oracle: String =
-    """SELECT doc_id AS media_id, 'text/plain' AS kind,
-      |  octet_length(encode(text)) AS byte_len,
-      |  octet_length(encode(text)) % 640 AS fake_width,
-      |  (octet_length(encode(text)) // 640) % 480 AS fake_height,
-      |  octet_length(encode(text)) % 30 AS fake_frames
+    """SELECT doc_id AS media_id, 'mixed' AS kind,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 44
+      |       WHEN 2 THEN 132 + 8 * (doc_id % 2 + 1)
+      |       ELSE octet_length(encode(text)) + 1 END AS BIGINT) AS byte_len,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |       WHEN 2 THEN 'isom' ELSE 'unknown' END AS container,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 100 + doc_id % 1920 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 100 + (doc_id * 7) % 1080 END AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 16000 END AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 END AS INTEGER) AS channels,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN 16 END AS INTEGER) AS bits_per_sample,
+      |  CAST(CASE WHEN doc_id % 4 = 1 THEN length(text) * 100 END AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN 600 END AS INTEGER) AS timescale,
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN length(text) * 30 END AS BIGINT) AS duration_ticks,
+      |  CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 2 + 1 END AS INTEGER) AS n_tracks
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ------------------------------------------------------------------ q81

@@ -13,12 +13,45 @@ class MultimodalSpec extends SparkSpec {
     ).toDS()
   }
 
-  test("extractMeta derives deterministic metadata from payload bytes") {
-    val m = Multimodal.extractMeta(records).collect().map(r => r.media_id -> r).toMap
-    assert(m(1L).byte_len === 640L)
-    assert(m(1L).fake_width === 0L)  // 640 % 640
-    assert(m(1L).fake_height === 1L) // (640/640) % 480
-    assert(m(3L).byte_len === 0L)
+  test("extractMeta dispatches on magic bytes to the real container parsers") {
+    import graft.expressions.{Mp4Header, PngHeader, WavHeader}
+    val mixed = Seq(
+      MediaRecord(1L, "x", PngHeader.build(640, 480)),
+      MediaRecord(2L, "x", WavHeader.build(16000, 100)),
+      MediaRecord(3L, "x", Mp4Header.build(600, 3000, 2)),
+      MediaRecord(4L, "x", "plain old text".getBytes("UTF-8")),
+      MediaRecord(5L, "x", Array.empty[Byte])
+    ).toDS()
+    val m = Multimodal.extractMeta(mixed).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(m(1L).getAs[String]("container") === "png")
+    assert(m(1L).getAs[Int]("width") === 640)
+    assert(m(1L).getAs[Int]("height") === 480)
+    assert(m(2L).getAs[String]("container") === "wav")
+    assert(m(2L).getAs[Int]("sample_rate") === 16000)
+    assert(m(2L).getAs[Int]("channels") === 1)
+    assert(m(2L).getAs[Long]("n_samples") === 100L)
+    assert(m(3L).getAs[String]("container") === "isom")
+    assert(m(3L).getAs[Int]("timescale") === 600)
+    assert(m(3L).getAs[Long]("duration_ticks") === 3000L)
+    assert(m(3L).getAs[Int]("n_tracks") === 2)
+    // unknown containers are quarantined explicitly, never faked
+    assert(m(4L).getAs[String]("container") === "unknown")
+    assert(m(4L).isNullAt(m(4L).fieldIndex("width")))
+    assert(m(4L).getAs[Long]("byte_len") === 14L)
+    assert(m(5L).getAs[String]("container") === "unknown")
+    assert(m(5L).getAs[Long]("byte_len") === 0L)
+  }
+
+  test("extractMeta quarantines a lying magic (bad body) as unknown") {
+    // RIFF....WAVE prefix but a truncated/garbage chunk list: the
+    // parser's structural validation must NULL out, landing the row in
+    // the unknown branch rather than emitting garbage params
+    val bad = "RIFFxxxxWAVE".getBytes("ISO-8859-1")
+    val m = Multimodal.extractMeta(
+      Seq(MediaRecord(9L, "x", bad)).toDS()).head()
+    assert(m.getAs[String]("container") === "unknown")
+    assert(m.isNullAt(m.fieldIndex("sample_rate")))
   }
 
   test("sampleFrames emits every stride-th fixed-size window") {
