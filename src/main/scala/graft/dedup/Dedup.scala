@@ -402,11 +402,26 @@ object Dedup {
     * storage this operator leaves behind (one small (id, comp) row per
     * node; the caller or harness owns its release).
     *
+    * Tiering: after star contraction the surviving inter-star graph is
+    * usually a tiny fraction of the input (near-cliques collapse to
+    * stars). When it is at most `driverTierMaxEdges` undirected edges,
+    * the fixpoint is finished by a driver-side union-find over the
+    * collected (bounded, metadata-scale) edge list instead of the
+    * distributed loop — identical labels, none of the loop's per-round
+    * fixed cost or round-count variance. Larger contracted graphs (or
+    * a non-Comparable id type) take the distributed loop unchanged.
+    *
     * @param pairs columns `id_a`, `id_b` (one row per undirected edge)
+    * @param maxIter round bound for the distributed fixpoint tier
+    * @param driverTierMaxEdges max undirected CONTRACTED edges finished
+    *        driver-side; 0 forces the distributed loop (used by tests)
     * @return (`id`, `comp`) — component = min reachable id, one row per
     *         node that appears in `pairs`
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      driverTierMaxEdges: Int = 200000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import graft.util.Blocks
     // Both edge directions from ONE scan of `pairs` (an explode, not a
@@ -449,53 +464,118 @@ object Dedup {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eagerly checkpointed for the same stats reason as `seed`: the
-    // loop's per-round joins must see the label table's true (tiny)
-    // size to broadcast it
-    var labelsCp = Blocks.checkpoint(contracted
-      .groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("comp"))
-      .select(col("u").as("id"), col("comp")))
-    var labels = labelsCp.df
-    // Convergence = no label changed this round. The previous label
-    // rides through the step as `_prev`, so the changed-row count is a
-    // filter over the round's already-materialized checkpoint — no
-    // extra join, and (unlike a value checksum) correct for ANY
-    // orderable id type: a sum-based check silently degrades for
-    // string/UUID ids, where the numeric cast nulls out and every
-    // round checksums to 0.
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      // min over neighbours' labels
-      val nbr = contracted
-        .join(labels.select(col("id").as("v"), col("comp")), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val stepped = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"), col("comp").as("_prev"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("comp"))
-      // path halving: comp := min(comp, comp(comp))
-      val nextCp = Blocks.checkpoint(stepped.as("a")
-        .join(stepped.select(col("id").as("comp"), col("comp").as("pcomp"))
-          .as("b"), Seq("comp"), "left")
-        .select(col("id"), col("_prev"),
-          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp")))
-      done = nextCp.df.where(col("comp") =!= col("_prev")).isEmpty
-      // the new round is materialized — the previous round's checkpoint
-      // blocks are dead weight from here on; free them NOW, not at GC
-      labelsCp.release()
-      labelsCp = nextCp
-      labels = nextCp.df.select(col("id"), col("comp"))
-      iter += 1
+    // Tier decision: count the contracted graph (this also materializes
+    // the persist, which the first loop round would pay anyway). Star
+    // contraction collapses near-clique dedup graphs by orders of
+    // magnitude, so the surviving inter-star links are very often
+    // metadata-scale even when the input pair list is huge — and a
+    // driver-side union-find over a bounded edge list beats 2+
+    // distributed rounds of per-round scheduling + checkpoint cost
+    // (measured at sf0.1: the loop is ~3-4 s of almost pure fixed cost
+    // for a few hundred surviving edges) AND removes the round-count
+    // variance. The loop tier remains the scale path: at 100 TB a
+    // contracted graph can still exceed any driver bound.
+    val nContracted = contracted.count() // directed rows = 2× edges
+    // The distributed fixpoint loop — labels = min reachable id over the
+    // contracted graph. Scale tier, and fallback if the driver tier
+    // cannot compare this id type.
+    def iterativeLabels(): (DataFrame, Option[Blocks.Checkpointed]) = {
+      // eagerly checkpointed for the same stats reason as `seed`: the
+      // loop's per-round joins must see the label table's true (tiny)
+      // size to broadcast it
+      var labelsCp = Blocks.checkpoint(contracted
+        .groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("comp"))
+        .select(col("u").as("id"), col("comp")))
+      var labels = labelsCp.df
+      // Convergence = no label changed this round. The previous label
+      // rides through the step as `_prev`, so the changed-row count is a
+      // filter over the round's already-materialized checkpoint — no
+      // extra join, and (unlike a value checksum) correct for ANY
+      // orderable id type: a sum-based check silently degrades for
+      // string/UUID ids, where the numeric cast nulls out and every
+      // round checksums to 0.
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        // min over neighbours' labels
+        val nbr = contracted
+          .join(labels.select(col("id").as("v"), col("comp")), "v")
+          .groupBy(col("u").as("id"))
+          .agg(min(col("comp")).as("nbr_comp"))
+        val stepped = labels.join(nbr, Seq("id"), "left")
+          .select(col("id"), col("comp").as("_prev"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+              .as("comp"))
+        // path halving: comp := min(comp, comp(comp))
+        val nextCp = Blocks.checkpoint(stepped.as("a")
+          .join(stepped.select(col("id").as("comp"), col("comp").as("pcomp"))
+            .as("b"), Seq("comp"), "left")
+          .select(col("id"), col("_prev"),
+            least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp")))
+        done = nextCp.df.where(col("comp") =!= col("_prev")).isEmpty
+        // the new round is materialized — the previous round's checkpoint
+        // blocks are dead weight from here on; free them NOW, not at GC
+        labelsCp.release()
+        labelsCp = nextCp
+        labels = nextCp.df.select(col("id"), col("comp"))
+        iter += 1
+      }
+      if (!done && iter == maxIter)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents exhausted maxIter=$maxIter before the " +
+            "fixpoint; returned component labels may be UNCONVERGED. " +
+            "Raise maxIter (rounds needed ~ log2 of the largest component " +
+            "diameter after star contraction).")
+      (labels, Some(labelsCp))
     }
-    if (!done && iter == maxIter)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents exhausted maxIter=$maxIter before the " +
-          "fixpoint; returned component labels may be UNCONVERGED. " +
-          "Raise maxIter (rounds needed ~ log2 of the largest component " +
-          "diameter after star contraction).")
+    // Driver union-find over the bounded contracted edge list. Exact
+    // same labels as the fixpoint (component = min id, Comparable order
+    // matches Spark's ordering for all atomic external types: boxed
+    // numerics, String, BigDecimal, java.sql date/time). Returns None
+    // for a non-Comparable id type (e.g. binary) → caller falls back.
+    def driverLabels(): Option[(DataFrame, Option[Blocks.Checkpointed])] = {
+      val undirected = contracted.where(col("u") < col("v")).collect()
+      if (undirected.nonEmpty && (!undirected(0).get(0).isInstanceOf[Comparable[_]]
+          || !undirected(0).get(1).isInstanceOf[Comparable[_]])) return None
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        if (!parent.containsKey(x)) { parent.put(x, x); x }
+        else {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+      }
+      undirected.foreach { row =>
+        val ra = find(row.get(0)); val rb = find(row.get(1))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val minOf = new java.util.HashMap[Any, Any]()
+      val nodes: Array[AnyRef] = parent.keySet().toArray
+      nodes.foreach { n =>
+        val r = find(n)
+        val cur = minOf.get(r)
+        if (cur == null || lt(n, cur)) minOf.put(r, n)
+      }
+      val idType = contracted.schema("u").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("comp", idType)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(nodes.map(n =>
+          org.apache.spark.sql.Row(n, minOf.get(find(n)))): _*)
+      // LocalRelation: exact size known → the final mapping join
+      // broadcasts it, same plan shape as the loop tier's checkpoint
+      Some((contracted.sparkSession.createDataFrame(rows, schema), None))
+    }
+    val (labels, labelsCpOpt) =
+      (if (nContracted <= 2L * driverTierMaxEdges) driverLabels() else None)
+        .getOrElse(iterativeLabels())
     // map every original node through its star root's final component;
     // materialize the RESULT eagerly so every intermediate block set —
     // seeds, final-round labels, edge tables — can be freed before
@@ -505,7 +585,7 @@ object Dedup {
         Seq("comp"), "left")
       .select(col("id"), coalesce(col("final"), col("comp")).as("comp")))
     seedCp.release()
-    labelsCp.release()
+    labelsCpOpt.foreach(_.release())
     edges.unpersist()
     contracted.unpersist()
     outCp.df

@@ -122,9 +122,16 @@ class DedupSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = parent.keys.map(x => x -> find(x)).toMap
+      // default path takes the driver union-find tier (contracted graph
+      // is tiny); driverTierMaxEdges = 0 forces the distributed fixpoint
+      // loop — both must agree with the reference exactly
       val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(got === want, s"seed $seed")
+      assert(got === want, s"seed $seed (driver tier)")
+      val gotLoop = Dedup.connectedComponents(
+          pairs.toDF("id_a", "id_b"), driverTierMaxEdges = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotLoop === want, s"seed $seed (loop tier)")
     }
   }
 
@@ -241,11 +248,13 @@ class DedupSpec extends SparkSpec {
     // lexicographic order == numeric order for the min-label assertions.
     val pairs = ((1 until 12).map(i => (f"n$i%02d", f"n${i + 1}%02d")) ++
       Seq(("zz1", "zz2"), ("zz2", "zz3"))).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs)
-      .collect().map(r => (r.getString(0), r.getString(1))).toMap
-    assert((1 to 12).forall(i => comp(f"n$i%02d") === "n01"))
-    assert(Seq("zz1", "zz2", "zz3").forall(comp(_) === "zz1"))
-    assert(comp.size === 15)
+    for (tierMax <- Seq(200000, 0)) { // driver union-find tier, then loop tier
+      val comp = Dedup.connectedComponents(pairs, driverTierMaxEdges = tierMax)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert((1 to 12).forall(i => comp(f"n$i%02d") === "n01"), s"tier $tierMax")
+      assert(Seq("zz1", "zz2", "zz3").forall(comp(_) === "zz1"), s"tier $tierMax")
+      assert(comp.size === 15)
+    }
   }
 
   test("connectedComponents converges on a long chain within maxIter") {
