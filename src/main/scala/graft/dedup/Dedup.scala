@@ -280,19 +280,32 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     graft.expressions.JaccardSim.jaccardSim(a, b)
 
-  /** EXACT all-pairs Jaccard similarity join via prefix filtering (the
-    * AllPairs/PPJoin family): under a global token order (rarest-first by
-    * per-block document frequency), two sets with J ≥ t MUST share a
-    * token within their first `n − ⌈t·n⌉ + 1` tokens — so candidates are
-    * generated by joining only on prefix tokens, with a size-ratio
-    * filter (`min ≥ t·max`), then verified exactly. Lossless: returns
-    * precisely the pairs an all-pairs scan would.
+  /** EXACT all-pairs Jaccard similarity join — tier dispatcher.
     *
-    * Scale shape: the expensive joins key on (block, token) where every
-    * token is in the RARE half of its document's vocabulary, so no hot
-    * key explodes; the per-doc prefix window partitions by doc id. At
-    * 100 TB nothing here touches a full cross product — candidate volume
-    * is Σ_token C(prefix-df, 2), dominated by rare tokens.
+    * Both tiers return precisely the pairs an all-pairs scan would
+    * (`id_a < id_b`, `jaccard_sim` rounded to 6 places, threshold
+    * applied on the rounded value); they differ only in HOW the pair
+    * space is pruned, and the right pruning depends on the token
+    * universe:
+    *
+    *  - `"prefix"` — AllPairs/PPJoin prefix filtering
+    *    ([[jaccardJoinPrefix]]). Wins when tokens are drawn from a
+    *    LARGE vocabulary (word shingles): every document has genuinely
+    *    rare tokens, so the candidate volume Σ_t C(prefix-df t, 2)
+    *    stays near-linear in the corpus.
+    *  - `"bitmap"` — dictionary-coded popcount kernel
+    *    ([[jaccardJoinBitmap]]). Wins when the per-block vocabulary is
+    *    SMALL (char 3-grams: a few thousand distinct shingles), where
+    *    prefix filtering degrades with corpus growth — every token's
+    *    df scales with the corpus, "rare" stops existing, and the
+    *    candidate set approaches all-pairs (measured at 10× sf0.1:
+    *    68 % of all same-block pairs survived the prefix+positional
+    *    filters, and the candidate dedup shuffle dominated the query).
+    *
+    * `"auto"` (the default) probes the largest per-block vocabulary
+    * with one `approx_count_distinct` pass over the token table and
+    * picks bitmap iff it fits `bitmapVocabLimit` bits (default 2¹⁶ =
+    * 8 KB per document bitmap).
     *
     * @param docs columns: `id`, `blk` (block/language — only same-block
     *             pairs compared), `sh` (distinct-element token array)
@@ -300,7 +313,11 @@ object Dedup {
   def jaccardJoin(
       docs: DataFrame,
       threshold: Double,
-      persistIntermediate: Boolean = true): DataFrame = {
+      persistIntermediate: Boolean = true,
+      tier: String = "auto",
+      bitmapVocabLimit: Int = 1 << 16): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardJoin: threshold must be in (0, 1], got $threshold")
     import org.apache.spark.storage.StorageLevel
     def maybePersist(df: DataFrame): DataFrame =
       if (persistIntermediate) df.persist(StorageLevel.MEMORY_AND_DISK) else df
@@ -309,14 +326,66 @@ object Dedup {
     // re-evaluates it single-threaded at the scan (measured: 14s/branch
     // on the test corpus). Empty docs are harmless anyway: explode()
     // drops them from the token table, so they can never be candidates.
-    // The shingle table feeds four consumers (token index, df counts,
-    // and both verify sides) and the static plan cannot reuse exchanges
-    // across them — without a persist the source is re-scanned and the
-    // shingle expressions re-evaluated per consumer (measured 12 scans).
-    // MEMORY_AND_DISK so huge corpora spill instead of OOM; pass
-    // persistIntermediate=false to opt out.
+    // The shingle table feeds several consumers in either tier and the
+    // static plan cannot reuse exchanges across them — without a persist
+    // the source is re-scanned and the shingle expressions re-evaluated
+    // per consumer (measured 12 scans). MEMORY_AND_DISK so huge corpora
+    // spill instead of OOM; pass persistIntermediate=false to opt out.
     val withN = maybePersist(docs.select(col("id"), col("blk"), col("sh"))
       .withColumn("n", size(col("sh"))))
+    val useBitmap = tier match {
+      case "bitmap" => true
+      case "prefix" => false
+      case "auto" =>
+        val vocabMax = withN
+          .select(col("blk"), explode(col("sh")).as("t"))
+          .groupBy(col("blk"))
+          .agg(approx_count_distinct(col("t")).as("v"))
+          .agg(coalesce(max(col("v")), lit(0L)))
+          .head().getLong(0)
+        vocabMax <= bitmapVocabLimit
+      case other => throw new IllegalArgumentException(
+        s"jaccardJoin: tier must be auto|prefix|bitmap, got $other")
+    }
+    if (useBitmap) jaccardJoinBitmapFrom(withN, threshold, maybePersist)
+    else jaccardJoinPrefixFrom(withN, threshold, maybePersist)
+  }
+
+  /** The prefix-filtering tier of [[jaccardJoin]], forced (large-vocab
+    * regime — word shingles). */
+  def jaccardJoinPrefix(
+      docs: DataFrame,
+      threshold: Double,
+      persistIntermediate: Boolean = true): DataFrame =
+    jaccardJoin(docs, threshold, persistIntermediate, tier = "prefix")
+
+  /** The dictionary-bitmap tier of [[jaccardJoin]], forced (small-vocab
+    * regime — char n-grams). */
+  def jaccardJoinBitmap(
+      docs: DataFrame,
+      threshold: Double,
+      persistIntermediate: Boolean = true): DataFrame =
+    jaccardJoin(docs, threshold, persistIntermediate, tier = "bitmap")
+
+  /** AllPairs/PPJoin prefix filtering: under a global token order
+    * (rarest-first by per-block document frequency), two sets with
+    * J ≥ t MUST share a token within their first `n − ⌈t·n⌉ + 1`
+    * tokens — so candidates are generated by joining only on prefix
+    * tokens, with a size-ratio filter (`min ≥ t·max`), then verified
+    * exactly. Lossless: returns precisely the pairs an all-pairs scan
+    * would.
+    *
+    * Scale shape: the expensive joins key on (block, token) where every
+    * token is in the RARE half of its document's vocabulary, so no hot
+    * key explodes; the per-doc prefix window partitions by doc id.
+    * Candidate volume is Σ_token C(prefix-df, 2) — near-linear while
+    * rare tokens exist (large vocabularies), degrading toward
+    * all-pairs as the corpus outgrows the vocabulary (small ones —
+    * that regime belongs to the bitmap tier). */
+  private def jaccardJoinPrefixFrom(
+      withN: DataFrame,
+      threshold: Double,
+      maybePersist: DataFrame => DataFrame): DataFrame = {
     val toks = withN.select(col("id"), col("blk"), col("n"),
       explode(col("sh")).as("t"))
     val dfreq = toks.groupBy(col("blk"), col("t"))
@@ -365,6 +434,106 @@ object Dedup {
       .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))
+  }
+
+  /** Dictionary-bitmap tier: per-block dense token dictionary →
+    * `ceil(vocab/8)`-byte bitmap per document → exact Jaccard as one
+    * fused popcount pass ([[graft.expressions.BitmapOps]]). No
+    * candidate generation at all — the pair space is covered by a
+    * length-bucketed chunk grid and every surviving pair is scored
+    * directly, so the O(candidates) shuffle + array-carrying verify
+    * joins of the prefix tier disappear.
+    *
+    * Pair-space shape: documents are bucketed by ⌊log_{1/t}(n)⌋ — a
+    * pair with J ≥ t has a size ratio ≥ t, so it spans at most ADJACENT
+    * buckets — and each bucket splits into `s` hash-salted chunks for
+    * parallelism. Chunk-pair tasks are enumerated by a self-join of the
+    * (tiny) chunk-stats frame with a min/max-length compatibility
+    * screen; both document sides replicate to their chunk-pair tasks
+    * via broadcast joins against that pair list, then meet in ONE
+    * shuffle keyed on (blk, chunkA, chunkB). Each unordered document
+    * pair lands in exactly one task (diagonal tasks order by id), so
+    * the output needs no dropDuplicates.
+    *
+    * Scale shape: per-doc shuffle amplification is ~3·s bitmap copies
+    * (s ≈ √(maxBlockDocs/64), capped at 64) — e.g. 10⁶ docs/block at
+    * the 8 KB bitmap ceiling is ≤ 64 copies × 8 KB ≈ 0.5 MB per doc,
+    * spread over thousands of chunk-pair tasks. The popcount work is
+    * genuinely quadratic in docs-per-block — that is what EXACT
+    * demands once the vocabulary saturates — but at ~tens of ns per
+    * pair it extends the exact tier's practical reach far past the
+    * point where the prefix tier's candidate shuffle drowns; past
+    * THAT, the honest answer is the MinHash/SimHash tiers, not a
+    * slower exact plan. The per-block dictionary window is bounded by
+    * the tier precondition (vocab ≤ 2¹⁶ rows per block), and the
+    * chunk-stats self-join is metadata-scale. */
+  private def jaccardJoinBitmapFrom(
+      withN: DataFrame,
+      threshold: Double,
+      maybePersist: DataFrame => DataFrame,
+      saltCap: Int = 64): DataFrame = {
+    import graft.expressions.BitmapOps
+    val toks = withN.select(col("id"), col("blk"), col("n"),
+      explode(col("sh")).as("t"))
+    // per-block dense dictionary; the window partition is bounded by
+    // the vocab limit, so one task per block is constant-sized work
+    val dict = toks.select(col("blk"), col("t")).distinct()
+      .withColumn("tid",
+        (row_number().over(Window.partitionBy(col("blk")).orderBy(col("t")))
+          - 1).cast("int"))
+    val nbits = dict.groupBy(col("blk"))
+      .agg((max(col("tid")) + 1).cast("int").as("nbits"))
+    val encoded = toks.join(dict, Seq("blk", "t"))
+      .groupBy(col("id"), col("blk"), col("n"))
+      .agg(collect_list(col("tid")).as("tids"))
+      .join(broadcast(nbits), Seq("blk"))
+      .select(col("id"), col("blk"), col("n"),
+        BitmapOps.bitmapFromIds(col("tids"), col("nbits")).as("bm"))
+    val maxDocs = withN.groupBy(col("blk")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
+    val s = math.max(1L, math.min(saltCap.toLong,
+      math.ceil(math.sqrt(maxDocs / 64.0)).toLong))
+    // length bucket: J >= t forces n-ratio >= t, so a qualifying pair
+    // spans at most adjacent buckets of width log(1/t); t = 1 means
+    // identical sizes, so the size itself is the bucket
+    val nbCol =
+      if (threshold >= 1.0) col("n").cast("long")
+      else floor(log(col("n").cast("double")) / math.log(1.0 / threshold))
+        .cast("long")
+    val chunked = maybePersist(encoded
+      .withColumn("cid", nbCol * s + pmod(xxhash64(col("id")), lit(s))))
+    val stats = chunked.groupBy(col("blk"), col("cid"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"))
+    // unordered chunk pairs, each exactly once: cidA <= cidB, bucket
+    // distance <= 1, and the pair's length ranges must overlap under t
+    val pairsC = broadcast(stats.select(
+        col("blk"), col("cid").as("ca"), col("mn").as("mna"), col("mx").as("mxa"))
+      .join(stats.select(
+          col("blk"), col("cid").as("cb"), col("mn").as("mnb"), col("mx").as("mxb")),
+        Seq("blk"))
+      .where(col("ca") <= col("cb") &&
+        (floor(col("cb") / s) - floor(col("ca") / s)).between(0, 1) &&
+        col("mxa") >= col("mnb") * threshold &&
+        col("mxb") >= col("mna") * threshold)
+      .select(col("blk"), col("ca"), col("cb")))
+    val lhs = chunked
+      .select(col("blk"), col("cid").as("ca"), col("id").as("id_l"),
+        col("n").as("n_l"), col("bm").as("bm_l"))
+      .join(pairsC, Seq("blk", "ca"))
+    val rhs = chunked
+      .select(col("blk"), col("cid").as("cb"), col("id").as("id_r"),
+        col("n").as("n_r"), col("bm").as("bm_r"))
+      .join(pairsC, Seq("blk", "cb"))
+    lhs.join(rhs, Seq("blk", "ca", "cb"))
+      .where(col("ca") < col("cb") || col("id_l") < col("id_r"))
+      .where(least(col("n_l"), col("n_r")) >=
+        greatest(col("n_l"), col("n_r")) * threshold)
+      .withColumn("jaccard_sim",
+        round(BitmapOps.bitmapJaccard(col("bm_l"), col("bm_r")), 6))
+      .where(col("jaccard_sim") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        col("jaccard_sim"))
   }
 
   /** Connected components over an undirected pair list — the step every

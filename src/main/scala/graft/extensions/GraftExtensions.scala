@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{AudioMeta, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader}
+import graft.expressions.{AudioMeta, BitmapFromIds, BitmapJaccard, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
@@ -72,5 +72,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => SqDot(children(0), children(1))),
     ("mp4_header", classOf[Mp4Header],
       (children: Seq[Expression]) => Mp4Header(
-        children(0), children(1), children(2))))
+        children(0), children(1), children(2))),
+    ("bitmap_from_ids", classOf[BitmapFromIds],
+      (children: Seq[Expression]) => BitmapFromIds(children(0), children(1))),
+    ("bitmap_jaccard", classOf[BitmapJaccard],
+      (children: Seq[Expression]) => BitmapJaccard(children(0), children(1))))
 }

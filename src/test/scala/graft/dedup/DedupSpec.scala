@@ -73,7 +73,7 @@ class DedupSpec extends SparkSpec {
       val toks = (0 until len).map(_ => s"w${rng.nextInt(40)}").distinct
       (i, if (i % 2 == 0) "en" else "de", toks)
     }
-    for (t <- Seq(0.5, 0.7)) {
+    for (t <- Seq(0.5, 0.7); tier <- Seq("prefix", "bitmap", "auto")) {
       val expected = (for {
         a <- corpus; b <- corpus
         if a._1 < b._1 && a._2 == b._2
@@ -83,10 +83,34 @@ class DedupSpec extends SparkSpec {
       } yield (a._1, b._1)).toSet
       val got = Dedup.jaccardJoin(
           corpus.toDF("id", "blk", "sh"), threshold = t,
-          persistIntermediate = false)
+          persistIntermediate = false, tier = tier)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got === expected, s"threshold $t")
+      assert(got === expected, s"threshold $t tier $tier")
     }
+  }
+
+  test("jaccardJoin tiers agree row-for-row including similarity values") {
+    // char-3-gram shape (small vocab) — the regime the bitmap tier owns;
+    // includes exact dups (J = 1), near-dups, and multi-block isolation
+    val rng = new scala.util.Random(7)
+    val base = (1L to 40L).map { i =>
+      val len = 20 + rng.nextInt(60)
+      val text = (0 until len).map(_ => "abcdef".charAt(rng.nextInt(6))).mkString
+      (i, if (i % 3 == 0) "de" else "en", text)
+    }
+    val corpus = (base ++ Seq(
+      (101L, "en", base.head._3),           // exact dup of doc 1
+      (102L, "en", base.head._3 + "xyz")))  // near-dup of doc 1
+      .toDF("id", "blk", "text")
+      .select(col("id"), col("blk"),
+        Dedup.charShingles(col("text"), 3).as("sh"))
+    def run(tier: String) = Dedup.jaccardJoin(
+        corpus, threshold = 0.5, persistIntermediate = false, tier = tier)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = run("prefix")
+    val bitmap = run("bitmap")
+    assert(prefix.exists(_._3 == 1.0), "corpus must contain an exact-dup pair")
+    assert(bitmap === prefix)
   }
 
   test("connectedComponents: chains collapse, clusters stay separate") {
