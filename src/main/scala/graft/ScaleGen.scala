@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus scale-up generator for scale spot-checks: replicates the
@@ -30,7 +30,17 @@ import org.apache.spark.sql.functions._
   * Ids are remapped as `id + replica * 10_000_000` (source ids are far
   * below that), keeping replica membership recoverable for audits.
   *
-  * Usage: `runMain graft.ScaleGen <srcDir> <outDir> [factor=10]`
+  * With `tables=all` the warehouse side scales too, the way a real
+  * warehouse grows: FACTS replicate N× with consistently remapped keys
+  * (orders/lineitem share the orderkey offset so the star joins hold;
+  * customers and event users replicate with the facts), while the
+  * slowly-growing DIMENSIONS (part, supplier, region, nation) copy
+  * verbatim — 10× facts against fixed dims is exactly the broadcast-
+  * join shape the operators must keep at scale. `events.ts` stays the
+  * raw INT64 nanos long ([[graft.sources.Tables.events]] converts on
+  * read either way).
+  *
+  * Usage: `runMain graft.ScaleGen <srcDir> <outDir> [factor=10] [tables=docs|all]`
   */
 object ScaleGen {
   // 10 fixed vowel permutations; index 0 is the identity (verbatim copy)
@@ -81,6 +91,28 @@ object ScaleGen {
     embs.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
 
+    if (args.length > 3 && args(3) == "all") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val off = col("rep").cast("long") * 10000000L
+      def scaled(table: String)(remap: DataFrame => DataFrame): Unit =
+        remap(spark.read.parquet(s"$src/$table.parquet")
+            .crossJoin(broadcast(reps)))
+          .drop("rep").repartition(32)
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      scaled("orders")(df => df
+        .withColumn("o_orderkey", col("o_orderkey") + off)
+        .withColumn("o_custkey", col("o_custkey") + off))
+      scaled("lineitem")(df => df
+        .withColumn("l_orderkey", col("l_orderkey") + off))
+      scaled("customer")(df => df
+        .withColumn("c_custkey", col("c_custkey") + off))
+      scaled("events")(df => df
+        .withColumn("event_id", col("event_id") + off)
+        .withColumn("user_id", col("user_id") + off))
+      for (dim <- Seq("region", "nation", "supplier", "part"))
+        spark.read.parquet(s"$src/$dim.parquet")
+          .write.mode("overwrite").parquet(s"$out/$dim.parquet")
+    }
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
     println(s"""{"out":"$out","factor":$factor,"documents":$nd,"embeddings":$ne}""")
