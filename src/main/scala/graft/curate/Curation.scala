@@ -53,6 +53,65 @@ object Curation {
       rateCol * HashSpace.toDouble)
   }
 
+  /** Per-stratum sampling plan for [[mixtureSample]]: one metadata-scale
+    * row per TARGETED stratum with the available token mass, the token
+    * target `budget · w_s` (weights normalized over `targets`), the
+    * resulting keep rate `min(1, target/avail)`, and the DEFICIT of an
+    * undersupplied stratum (target − avail, else 0). Undersupplied
+    * strata cap at rate 1 and the deficit is REPORTED, not silently
+    * redistributed — redistribution changes the mixture, which is the
+    * caller's policy decision, not the sampler's. */
+  def mixtureRates(
+      df: DataFrame,
+      stratumCol: String,
+      tokenCol: String,
+      targets: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    require(targets.nonEmpty, "mixtureRates: targets must be non-empty")
+    require(targets.values.forall(w => w >= 0 && !w.isNaN),
+      "mixtureRates: weights must be >= 0")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val wSum = targets.values.sum
+    require(wSum > 0, "mixtureRates: at least one weight must be > 0")
+    val wCol = targets.foldLeft(lit(null).cast("double")) { case (acc, (s, w)) =>
+      when(col(stratumCol) === s, lit(w / wSum)).otherwise(acc)
+    }
+    df.where(col(stratumCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).as("avail_tokens"))
+      .withColumn("target_tokens", lit(tokenBudget.toDouble) * wCol)
+      .withColumn("sample_rate",
+        least(lit(1.0), col("target_tokens") / col("avail_tokens")))
+      .withColumn("deficit_tokens",
+        greatest(lit(0.0), col("target_tokens") - col("avail_tokens")))
+  }
+
+  /** Domain-mixture rebalancing under a token budget — the "data
+    * mixture" stage of a pretraining recipe: given target mixture
+    * weights per stratum (source/domain/language) and a total token
+    * budget, subsample each stratum at `min(1, budget·w_s / avail_s)`
+    * so the SELECTED corpus approaches the target mixture. Selection is
+    * the same by-value md5 Bernoulli as [[stratifiedSample]] — one
+    * tiny per-stratum aggregate (broadcast back), then one narrow
+    * filter over the corpus; no shuffle of the data itself, stable
+    * under repartitioning and engine swaps. Strata absent from
+    * `targets` are dropped (weight 0). Output keeps the input columns
+    * plus the stratum's `sample_rate`. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokenCol: String,
+      targets: Map[String, Double],
+      tokenBudget: Long,
+      salt: String = "graft"): DataFrame = {
+    val rates = mixtureRates(df, stratumCol, tokenCol, targets, tokenBudget)
+      .select(col(stratumCol), col("sample_rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(hashKey(col(idCol), salt).cast("double") <
+        col("sample_rate") * HashSpace.toDouble)
+  }
+
   /** Exactly `min(k, |stratum|)` rows per stratum — the k smallest by
     * (md5 hash, id): a deterministic FIXED-SIZE sample ("give me 10k
     * eval docs per language"), where [[stratifiedSample]]'s rate form

@@ -1205,6 +1205,43 @@ object PipelineQueries {
       |SELECT doc_id, source, n_tokens, sample_rank
       |FROM r WHERE sample_rank <= 20 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q97
+  /** Domain-mixture rebalancing under a token budget
+    * ([[graft.curate.Curation.mixtureSample]]): target weights 0.5 /
+    * 0.25 / 0.125 / 0.125 over four sources with a 4000-token budget —
+    * each stratum subsamples at `min(1, budget·w / avail)` toward the
+    * target mix, by-value md5 Bernoulli, one tiny stats aggregate plus
+    * one narrow filter. At the sf0.01 gate src0 is UNDERSUPPLIED
+    * (target 2000 > avail), exercising the rate-1 cap branch (deficit
+    * reported by `mixtureRates`, never silently redistributed). */
+  def q97MixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.curate.Curation.mixtureSample(
+        docs, "doc_id", "source", "n_tokens",
+        targets = Map("src0" -> 0.5, "src1" -> 0.25,
+          "src2" -> 0.125, "src3" -> 0.125),
+        tokenBudget = 4000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("sample_rate"), 6).as("sample_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q97Oracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) AS hk
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |a AS (SELECT source, sum(n_tokens) AS avail FROM t GROUP BY source),
+      |r AS (SELECT t.doc_id, t.source, t.n_tokens, t.hk,
+      |    least(1.0, (4000.0 * CASE t.source WHEN 'src0' THEN 0.5
+      |      WHEN 'src1' THEN 0.25 ELSE 0.125 END) / CAST(a.avail AS DOUBLE)) AS rate
+      |  FROM t JOIN a ON t.source = a.source)
+      |SELECT doc_id, source, n_tokens, round(rate, 6) AS sample_rate
+      |FROM r WHERE hk < rate * 4294967296.0
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q87
   /** Sketch-tier cardinality profile
     * ([[graft.etl.Profiler.cardinalityProfile]]): distinct text

@@ -43,6 +43,52 @@ class CurationSpec extends SparkSpec {
     assert(enKept > 0.25 && enKept < 0.75, enKept)
   }
 
+  test("mixtureRates: targets normalize, caps report deficit, absent strata drop") {
+    // en: 134 docs, de: 134, zh: 132 (toks 5..21 cycling) — exact masses
+    val avail = docs.groupBy("lang").agg(sum("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights normalize 4:1 → 0.8/0.2; budget 2·avail(de) makes the de
+    // target 1.6·avail (capped, deficit) while en subsamples at ~0.4
+    val budget = avail("de") * 2
+    val out = Curation.mixtureRates(docs, "lang", "toks",
+        Map("de" -> 4.0, "en" -> 1.0), budget)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(!out.contains("zh"), "untargeted stratum must be absent")
+    val (deAvail, deTarget, deRate, deDeficit) = out("de")
+    assert(deAvail === avail("de"))
+    assert(deTarget === budget * 0.8)
+    assert(deRate === 1.0, "undersupplied stratum caps at 1")
+    assert(deDeficit === budget * 0.8 - avail("de"))
+    val (_, _, enRate, enDeficit) = out("en")
+    assert(enRate === (budget * 0.2) / avail("en") && enRate < 1.0)
+    assert(enDeficit === 0.0)
+  }
+
+  test("mixtureSample: capped stratum keeps every row; sampling is by-value") {
+    val avail = docs.groupBy("lang").agg(sum("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = avail("de") * 2
+    val targets = Map("de" -> 4.0, "en" -> 1.0)
+    val out = Curation.mixtureSample(docs, "id", "lang", "toks",
+      targets, budget)
+    val kept = out.select("id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "de") === docs.where($"lang" === "de").count(),
+      "rate-1 stratum keeps all rows")
+    assert(!kept.exists(_._2 == "zh"))
+    // partition-independent: identical selection after repartition
+    val again = Curation.mixtureSample(docs.repartition(13), "id", "lang",
+        "toks", targets, budget)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.map(_._1).toSet)
+    // en keeps roughly rate · |en| (uniform md5, loose bound)
+    val enRate = (budget * 0.2) / avail("en")
+    val enKept = kept.count(_._2 == "en").toDouble /
+      docs.where($"lang" === "en").count()
+    assert(math.abs(enKept - enRate) < 0.25, s"enKept $enKept vs rate $enRate")
+  }
+
   test("sampleFixedK equals the naive single-window top-k and is exact-size") {
     val got = Curation.sampleFixedK(docs, "id", "lang", k = 7)
       .select("id", "lang", "sample_rank").collect()
