@@ -34,10 +34,18 @@ import org.apache.spark.sql.functions.{col, expr, xxhash64}
   * the whole suite without one.
   *
   * BENCH_SELF.json additionally records, per query: `gc_ms` (sum of
-  * JVM GC-pause deltas inside the query's timed runs) and
+  * JVM GC-pause deltas inside the query's timed runs),
   * `storage_residue_bytes` (max block-manager bytes the query left
-  * behind before the sweep) — so a suite-pressure dispute is
-  * diagnosable from the artifact.
+  * behind before the sweep), `jit_ms` (sum of HotSpot JIT
+  * compilation-time deltas inside the timed runs — the compiler thread
+  * competes with executor threads for cores, so a large value on a
+  * high-spread query marks JIT churn, not the query), `codegen_compiled`
+  * (count of NEW Janino compilations inside the timed runs — nonzero
+  * after the warm-up pass means the codegen cache missed, i.e. the plan
+  * is not stable across passes), and `task_max_ms` (largest single task
+  * duration across the query's timed runs — a lone outlier task with a
+  * quiet JIT/GC row is host stall, a proportional one is skew) — so a
+  * suite-pressure dispute is diagnosable from the artifact.
   *
   * Optional args name a subset of queries to run (default: all).
   */
@@ -54,6 +62,15 @@ object Bench {
       // transforms) are tiny by bytes; stop AQE from coalescing them
       // onto one core
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // The Janino class cache defaults to 100 entries (STATIC conf —
+      // must be set before the session exists). The 83-query suite
+      // cycles far more generated classes than that, so every pass
+      // recompiled every query (BENCH_SELF showed 20-40 fresh
+      // compilations per query in TIMED passes, each dragging HotSpot
+      // JIT time with it — the round-7 "suite spread" signature).
+      // 4096 entries ≈ a few hundred MB of class metadata, well inside
+      // the reserved code-cache/metaspace headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -90,12 +107,42 @@ object Bench {
     val samples = names.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
     val gcMs = scala.collection.mutable.Map(names.map(_ -> 0L): _*)
     val residue = scala.collection.mutable.Map(names.map(_ -> 0L): _*)
+    val jitMs = scala.collection.mutable.Map(names.map(_ -> 0L): _*)
+    val codegenN = scala.collection.mutable.Map(names.map(_ -> 0L): _*)
+    val taskMaxMs = scala.collection.mutable.Map(names.map(_ -> 0L): _*)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // HotSpot JIT compile clock (cumulative ms across all compiler
+    // threads) and Janino codegen-compilation count — both cumulative,
+    // sampled as deltas around each timed run.
+    val jitBean = ManagementFactory.getCompilationMXBean
+    def jitMillis(): Long =
+      if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else 0L
+    def codegenCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    // Max single-task wall time, from the listener bus. Local mode
+    // completes all tasks before collect() returns; the tiny bus lag is
+    // absorbed by reading the max AFTER the post-query sweep below.
+    val liveTaskMax = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = if (e.taskInfo != null) e.taskInfo.duration else 0L
+          var cur = liveTaskMax.get()
+          while (d > cur && !liveTaskMax.compareAndSet(cur, d))
+            cur = liveTaskMax.get()
+        }
+      })
     // pass 0 is the warm-up pass: executed identically, discarded
     for (pass <- 0 to runs) {
       probes += hostProbe()
       for (name <- names) {
         val gc0 = gcMillis()
+        val jit0 = jitMillis()
+        val cg0 = codegenCount()
+        liveTaskMax.set(0L)
         val t0 = System.nanoTime()
         val ok =
           try { consume(selected(name)(spark, sfDir)); true }
@@ -104,7 +151,11 @@ object Bench {
             false
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (pass > 0) gcMs(name) += gcMillis() - gc0
+        if (pass > 0) {
+          gcMs(name) += gcMillis() - gc0
+          jitMs(name) += jitMillis() - jit0
+          codegenN(name) += codegenCount() - cg0
+        }
         // what this run left in the block manager (cache + checkpoint
         // blocks) — the suite-pressure signal — then sweep BOTH layers
         residue(name) = math.max(residue(name),
@@ -116,20 +167,24 @@ object Bench {
         // purpose — a concurrent cycle steals executor cores inside the
         // NEXT query's timed region
         System.gc()
+        // read AFTER the sweep + gc so the listener bus has drained
+        if (pass > 0)
+          taskMaxMs(name) = math.max(taskMaxMs(name), liveTaskMax.get())
         if (ok && pass > 0) samples(name) += sec
       }
     }
     // a query is "failed" only if NO timed pass succeeded — a transient
     // single-pass failure still reports the median of its good passes
+    case class QStat(name: String, median: Double, spread: Double,
+        min: Double, ok: Boolean)
     val results = names.map { name =>
       val times = samples(name).toSeq
-      if (times.isEmpty)
-        (name, -1.0, -1.0, -1.0, false, residue(name), gcMs(name))
+      if (times.isEmpty) QStat(name, -1.0, -1.0, -1.0, ok = false)
       else {
         val sorted = times.sorted
         val median = sorted(sorted.size / 2)
         val spread = if (median > 0) (sorted.last - sorted.head) / median else 0.0
-        (name, median, spread, sorted.head, true, residue(name), gcMs(name))
+        QStat(name, median, spread, sorted.head, ok = true)
       }
     }
     // The driver captures a bounded TAIL of stdout: the round-4 line
@@ -138,19 +193,19 @@ object Bench {
     // stdout line COMPACT (3-decimal medians, failures as a list, one
     // spread summary) so it always parses, and write the full-precision
     // per-query detail to BENCH_SELF.json for regression diffs.
-    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map(r => "\"" + r.name + "\":" + f"${r.median}%.3f")
       .mkString("{", ",", "}")
-    val total = results.filter(_._5).map(_._2).sum
-    val minTotal = results.filter(_._5).map(_._4).sum
-    val nFail = results.count(!_._5)
-    val failedList = results.filter(!_._5).map("\"" + _._1 + "\"")
+    val total = results.filter(_.ok).map(_.median).sum
+    val minTotal = results.filter(_.ok).map(_.min).sum
+    val nFail = results.count(!_.ok)
+    val failedList = results.filter(!_.ok).map("\"" + _.name + "\"")
       .mkString("[", ",", "]")
-    val (spreadMaxQ, spreadMax) = results.map(r => (r._1, r._3))
+    val (spreadMaxQ, spreadMax) = results.map(r => (r.name, r.spread))
       .maxBy(_._2)
     val probesJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$nFail,"failed_queries":$failedList,"spread_max":${f"$spreadMax%.3f"},"spread_max_q":"$spreadMaxQ","min_total":${f"$minTotal%.3f"},"host_probe_sec":$probesJson,"sf":"$sfDir"}""")
-    val detail = results.map { case (k, v, s, mn, ok, res, gc) =>
-      s""""$k":{"median_sec":$v,"min_sec":$mn,"spread":${f"$s%.3f"},"ok":$ok,"storage_residue_bytes":$res,"gc_ms":$gc}"""
+    val detail = results.map { r =>
+      s""""${r.name}":{"median_sec":${r.median},"min_sec":${r.min},"spread":${f"${r.spread}%.3f"},"ok":${r.ok},"storage_residue_bytes":${residue(r.name)},"gc_ms":${gcMs(r.name)},"jit_ms":${jitMs(r.name)},"codegen_compiled":${codegenN(r.name)},"task_max_ms":${taskMaxMs(r.name)}}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"),

@@ -185,7 +185,7 @@ object Curation {
     * final `sample_rank` with the global per-stratum window. Valid for
     * any `order` because every global top-k row is also top-k in its
     * own bucket. Consumes `_bkt`; drops `_bkt`/`_r`. */
-  private def twoPhaseTopK(
+  private[graft] def twoPhaseTopK(
       keyed: DataFrame,
       stratumCol: String,
       order: Seq[Column],

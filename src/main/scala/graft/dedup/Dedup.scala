@@ -105,20 +105,28 @@ object Dedup {
     * through the real anti-join, so the bloom only ever REDUCES work,
     * never changes the answer.
     *
-    * Two filter tiers, selected by snapshot size (or forced via
-    * `ranges`):
+    * THREE filter tiers, selected by snapshot size (or forced via
+    * `ranges` / `ladderMaxRanges`):
     *  - `ranges == 1`: one corpus-wide filter (`stat.bloomFilter`,
     *    built distributed) ships as a plan constant — fine to ~10⁸
     *    keys (~120 MB at 1 % fpp).
-    *  - `ranges > 1`: the snapshot is hash-partitioned on
-    *    `pmod(xxhash64(fp), ranges)` and ONE BOUNDED filter is built
-    *    per range in a single distributed pass ([[rangeBlooms]] — no
-    *    task, plan constant, or single array ever holds the corpus-wide
-    *    ~GB bitset). The probe is one CASE over the same range key, so
-    *    each row still pays exactly one bloom probe and each branch
-    *    references only its own range's filter.
+    *  - `1 < ranges <= ladderMaxRanges`: the snapshot is
+    *    hash-partitioned on `pmod(xxhash64(fp), ranges)` and ONE
+    *    BOUNDED filter is built per range in a single distributed pass
+    *    ([[rangeBlooms]]). The probe is one CASE over the same range
+    *    key — each row pays exactly one probe, but every executor still
+    *    receives EVERY range's bits as plan constants, so this tier is
+    *    capped: past ~16 ranges (~2 GB of plan at 1 % fpp) the ladder
+    *    itself becomes the scale-killer.
+    *  - `ranges > ladderMaxRanges`: executor-LOCAL probing
+    *    ([[probeRangeLocal]]): the batch co-partitions with the filters
+    *    on the same range key and each task zips with exactly ITS
+    *    range's filter. No plan constant, no broadcast, no task ever
+    *    holds more than one range's bits — the 10¹¹-key path. Costs one
+    *    narrow (id, fp) shuffle of the batch, which is what buys the
+    *    locality.
     * Auto-selection caps each filter at ~10⁸ keys. Exactness is
-    * identical in both tiers.
+    * identical in all three tiers.
     *
     * @param snapshotFps existing corpus fingerprints, column `fp`
     *                    (string or bigint)
@@ -127,7 +135,10 @@ object Dedup {
     *                      snapshot is counted — a FULL extra pass over
     *                      it, logged loudly because callers at scale
     *                      should always pass the known cardinality
-    * @param ranges number of per-range filters; 0 = auto by size */
+    * @param ranges number of per-range filters; 0 = auto by size
+    * @param ladderMaxRanges largest range count still dispatched via
+    *                        the plan-constant CASE ladder; above it the
+    *                        executor-local tier takes over */
   def bloomDedupAgainstSnapshot(
       incoming: DataFrame,
       idCol: String,
@@ -135,7 +146,8 @@ object Dedup {
       snapshotFps: DataFrame,
       fpp: Double = 0.01,
       expectedItems: Long = -1L,
-      ranges: Int = 0): DataFrame = {
+      ranges: Int = 0,
+      ladderMaxRanges: Int = LadderMaxRanges): DataFrame = {
     import graft.expressions.BloomContains
     val n =
       if (expectedItems > 0L) expectedItems
@@ -151,17 +163,18 @@ object Dedup {
       else math.max(1L, (n + MaxKeysPerBloom - 1) / MaxKeysPerBloom).toInt
     val fped = incoming
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val mightBeDup =
+    val probed: DataFrame =
       if (r <= 1)
-        BloomContains.contains(col("fp"),
-          snapshotFps.stat.bloomFilter(col("fp"), n, fpp))
-      else {
+        fped.withColumn("might_dup",
+          BloomContains.contains(col("fp"),
+            snapshotFps.stat.bloomFilter(col("fp"), n, fpp)))
+      else if (r <= ladderMaxRanges) {
         val blooms = rangeBlooms(snapshotFps, r, math.max(n / r, 1L), fpp)
         val rng = pmod(xxhash64(col("fp")), lit(r.toLong))
         // CASE on the range key: one probe per row, each branch a
         // bounded per-range plan constant. A range with no filter
         // (empty snapshot slice) falls through to false — provably new.
-        blooms match {
+        val ladder = blooms match {
           case Seq() => lit(false)
           case (i0, bf0) +: rest =>
             rest.foldLeft(
@@ -170,9 +183,10 @@ object Dedup {
                   acc.when(rng === i, BloomContains.contains(col("fp"), bf))
               }.otherwise(lit(false))
         }
-      }
-    val provablyNew = fped.where(!mightBeDup)
-    val confirmedNew = fped.where(mightBeDup)
+        fped.withColumn("might_dup", ladder)
+      } else probeRangeLocal(fped, snapshotFps, r, math.max(n / r, 1L), fpp)
+    val provablyNew = probed.where(!col("might_dup")).drop("might_dup")
+    val confirmedNew = probed.where(col("might_dup")).drop("might_dup")
       .join(snapshotFps.select(col("fp")), Seq("fp"), "left_anti")
     provablyNew.unionByName(confirmedNew)
       .groupBy(col("fp"))
@@ -184,21 +198,30 @@ object Dedup {
     * (~120 MB of bitset at 1 % fpp). */
   private[graft] val MaxKeysPerBloom = 100L * 1000 * 1000
 
+  /** Largest per-range filter count the plan-constant CASE ladder may
+    * carry before [[bloomDedupAgainstSnapshot]] switches to the
+    * executor-local tier. 16 ranges × ~120 MB ≈ 2 GB of plan constants
+    * — already generous; past it the ladder's serialized plan, not the
+    * data, is the bottleneck. */
+  private[graft] val LadderMaxRanges = 16
+
   /** One Bloom filter per fingerprint range, built in a SINGLE
-    * distributed pass: each fingerprint shuffles (8–32 bytes) to its
-    * range's partition — the identity HashPartitioner on the pmod key
-    * makes partition == range — and each task folds ONLY its own
-    * range's filter, so the per-task allocation is bounded by the range
-    * size, never the corpus. The driver holds the R bounded filters
-    * transiently while the probe expression is assembled. Key semantics
-    * match [[graft.expressions.BloomContains]]: strings hash by their
-    * UTF-8 bytes, longs natively. (RDD-level on purpose: per-partition
+    * distributed pass and LEFT DISTRIBUTED: each fingerprint shuffles
+    * (8–32 bytes) to its range's partition — the identity
+    * HashPartitioner on the pmod key makes partition == range — and
+    * each task folds ONLY its own range's filter, so the per-task
+    * allocation is bounded by the range size, never the corpus. The
+    * returned RDD has exactly `ranges` partitions holding zero or one
+    * `(range, filter)` each. Key semantics match
+    * [[graft.expressions.BloomContains]]: strings hash by their UTF-8
+    * bytes, longs natively. (RDD-level on purpose: per-partition
     * imperative filter construction has no Dataset equivalent.) */
-  private[graft] def rangeBlooms(
+  private[graft] def rangeBloomsRdd(
       snapshotFps: DataFrame,
       ranges: Int,
       perRangeItems: Long,
-      fpp: Double): Seq[(Int, org.apache.spark.util.sketch.BloomFilter)] = {
+      fpp: Double): org.apache.spark.rdd.RDD[
+        (Int, org.apache.spark.util.sketch.BloomFilter)] = {
     val isString = snapshotFps.schema("fp").dataType ==
       org.apache.spark.sql.types.StringType
     snapshotFps
@@ -217,7 +240,78 @@ object Dedup {
           any = true
         }
         if (any) Iterator.single(pid -> bf) else Iterator.empty
-      }.collect().toSeq
+      }
+  }
+
+  /** Driver-collected form of [[rangeBloomsRdd]] for the CASE-ladder
+    * tier: the driver holds the R bounded filters transiently while the
+    * probe expression is assembled. */
+  private[graft] def rangeBlooms(
+      snapshotFps: DataFrame,
+      ranges: Int,
+      perRangeItems: Long,
+      fpp: Double): Seq[(Int, org.apache.spark.util.sketch.BloomFilter)] =
+    rangeBloomsRdd(snapshotFps, ranges, perRangeItems, fpp).collect().toSeq
+
+  /** Executor-local range-bloom probe: annotates `fped` (columns
+    * `(id, fp)`) with a `might_dup` boolean WITHOUT any filter ever
+    * reaching the driver, the plan, or a foreign executor. Both sides
+    * co-partition on `pmod(xxhash64(fp), ranges)` with the identity
+    * HashPartitioner (partition == range — the exact scheme
+    * [[rangeBloomsRdd]] builds with), then `zipPartitions` hands each
+    * task ITS range's filter and ITS range's batch rows and nothing
+    * else. At 10¹¹ snapshot keys (~1000 ranges, ~12 GB of filters
+    * total) every task still holds ≤ 120 MB — the property the
+    * plan-constant ladder cannot offer.
+    *
+    * The filter RDD is persisted (deserialized, memory-then-disk) so
+    * the fold over the snapshot runs once even though the downstream
+    * plan references the probe from two branches; Spark's
+    * ContextCleaner unpersists it when the result's lineage is
+    * collected. The batch pays one narrow (id, fp) shuffle; its shuffle
+    * files are reused across the two branch traversals (stage skip), so
+    * the scan-twice cost of the constant tiers becomes shuffle-once,
+    * zip-twice here.
+    *
+    * Null fingerprints (null input text) route to partition 0 with a
+    * `might_dup = false` verdict — provably new, matching the ladder's
+    * CASE-falls-through-to-false semantics. */
+  private[graft] def probeRangeLocal(
+      fped: DataFrame,
+      snapshotFps: DataFrame,
+      ranges: Int,
+      perRangeItems: Long,
+      fpp: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    val spark = fped.sparkSession
+    val isString = snapshotFps.schema("fp").dataType == StringType
+    val blooms = rangeBloomsRdd(snapshotFps, ranges, perRangeItems, fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = fped.withColumn("rng",
+      pmod(xxhash64(col("fp")), lit(ranges.toLong)).cast("int"))
+    val rngIdx = keyed.schema.fieldIndex("rng")
+    val fpIdx = keyed.schema.fieldIndex("fp")
+    val batch = keyed.rdd
+      .map(row => (if (row.isNullAt(rngIdx)) 0 else row.getInt(rngIdx), row))
+      .partitionBy(new org.apache.spark.HashPartitioner(ranges))
+    val probedRdd = blooms.zipPartitions(batch) { (bfIt, rowIt) =>
+      val bf = if (bfIt.hasNext) bfIt.next()._2 else null
+      // The executor-local guarantee, enforced at run time: a task sees
+      // at most the single filter of its own range.
+      require(!bfIt.hasNext,
+        "probeRangeLocal: more than one range filter in a single task")
+      rowIt.map { case (_, row) =>
+        val hit = bf != null && !row.isNullAt(fpIdx) && {
+          if (isString) bf.mightContainBinary(row.getString(fpIdx)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          else bf.mightContainLong(row.getLong(fpIdx))
+        }
+        Row.fromSeq(row.toSeq.dropRight(1) :+ hit)
+      }
+    }
+    spark.createDataFrame(probedRdd,
+      fped.schema.add("might_dup", BooleanType, nullable = false))
   }
 
   /** Latest-record-per-natural-key dedup (window row_number). */

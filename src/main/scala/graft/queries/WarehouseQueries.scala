@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.{Cleaning, DateDim, Scd, StarSchema, SurrogateKeys}
+import graft.curate.Curation
 import graft.dedup.Dedup
 import graft.sources.Tables
 
@@ -263,7 +264,6 @@ object WarehouseQueries {
 
   // ------------------------------------------------------------------ q11
   def q11DashboardTopN(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
@@ -274,10 +274,20 @@ object WarehouseQueries {
       .groupBy(col("n_name"), col("l_partkey"))
       .agg(sum(StarSchema.revenue(col("l_extendedprice"), col("l_discount")))
         .as("rev_exact"))
-    val w = Window.partitionBy(col("n_name"))
-      .orderBy(col("rev_exact").desc, col("l_partkey").asc)
-    grouped.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 5)
+    // Two-phase top-k ([[graft.curate.Curation.twoPhaseTopK]] — the
+    // q84/q88 shape): rank first inside 256 hash-prefix buckets of
+    // l_partkey (256-way parallel PER NATION), then let the per-nation
+    // window rank only each bucket's top-5 — at most 256·5 survivors
+    // per nation. A plain rank window partitioned by n_name alone caps
+    // the stage at |nations| tasks (25 here); with a dim-scale part
+    // universe that 25-task window is the slowest stage on any real
+    // cluster. Any bucketing preserves top-k: a global top-5 row is
+    // top-5 within its own bucket, so phase 1 never drops a winner.
+    val keyed = grouped.withColumn("_bkt",
+      substring(md5(col("l_partkey").cast("string")), 1, 2))
+    Curation.twoPhaseTopK(keyed, "n_name",
+        Seq(col("rev_exact").desc, col("l_partkey").asc), 5)
+      .withColumnRenamed("sample_rank", "rnk")
       .select(col("n_name"), col("rnk"), col("l_partkey"),
         emit(col("rev_exact")).as("revenue"))
       .orderBy(col("n_name"), col("rnk"))

@@ -57,14 +57,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; read the nanos as Long and convert to a
-    * microsecond timestamp. `DIV` (integer division) keeps full precision
-    * — a double division would corrupt epoch-nano values (~2^60). */
+  /** events.parquet's `ts` encoding has varied across test-data
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects outright — read the nanos as Long, `DIV 1000`, convert;
+    * integer division because a double division would corrupt
+    * epoch-nano values ~2^60) or plain TIMESTAMP(MICROS) (arrives as
+    * TIMESTAMP_NTZ — cast to the session-zoned type so downstream
+    * date/window functions see the exact same TimestampType either
+    * way; the session zone is pinned UTC, so the cast is wall-clock
+    * neutral). Dispatch on the loaded type, not the generation. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -133,7 +133,8 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"lang filter not pushed to the parquet scan:\n$plan")
   }
 
-  for (name <- Seq("q84_fixed_k_sample", "q88_weighted_sample")) {
+  for (name <- Seq("q84_fixed_k_sample", "q88_weighted_sample",
+      "q11_dashboard_topn")) {
     test(s"$name top-k windows are two-phase: bucket rank precedes global rank") {
       // every stratum-only window must consume the <=256*k survivors of a
       // (stratum, _bkt) window — a stratum-only window over the raw input

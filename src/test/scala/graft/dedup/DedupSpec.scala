@@ -264,6 +264,52 @@ class DedupSpec extends SparkSpec {
     assert(crossHits <= 5, s"$crossHits keys appear in foreign ranges")
   }
 
+  test("executor-local bloom tier is value-identical and ships no plan-constant filters") {
+    // ranges=4 with ladderMaxRanges=1 forces the zipPartitions tier —
+    // the 10^11-key path where no task, plan constant, or driver array
+    // ever holds more than its own range's filter
+    val dir = java.nio.file.Files.createTempDirectory("bloomlocal").toString
+    (0L until 400L)
+      .map(i => (i, s"document body number ${i % 300}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val snapshot = corpus.where(col("doc_id") < 250)
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val incoming = corpus.where(col("doc_id") >= 250)
+    val plain = Dedup.dedupAgainstSnapshot(incoming, "doc_id", "text", snapshot)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val local = Dedup.bloomDedupAgainstSnapshot(
+      incoming, "doc_id", "text", snapshot,
+      expectedItems = 1000L, ranges = 4, ladderMaxRanges = 1)
+    assert(local.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq === plain)
+    // the defining property vs the CASE ladder: NO filter is a plan
+    // constant — probing happens executor-side inside zipPartitions
+    // (the one-filter-per-task guarantee is require()d in the task)
+    val plan = local.queryExecution.executedPlan.toString
+    assert(!plan.contains("bloom_contains"),
+      s"executor-local tier must not ship filters as plan constants:\n$plan")
+  }
+
+  test("executor-local bloom tier: null-text rows route to range 0 as provably new") {
+    // fingerprint(null text) = null; the ladder's CASE falls through to
+    // false and the local tier must agree — null-fp rows are kept
+    val incoming = Seq(
+      (1L, "fresh doc"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val snapshot = Seq("other doc").toDF("text")
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val out = Dedup.bloomDedupAgainstSnapshot(incoming, "doc_id", "text",
+      snapshot, expectedItems = 10L, ranges = 4, ladderMaxRanges = 1)
+    assert(out.count() === 2) // the fresh doc + the null-fp group
+    val nullGrp = out.where(col("fp").isNull).collect()
+    assert(nullGrp.length === 1)
+    assert(nullGrp(0).getLong(1) === 2L && nullGrp(0).getLong(2) === 2L)
+  }
+
   test("connectedComponents handles non-numeric (string) ids") {
     // Regression: the old sum-of-decimal convergence checksum nulled out
     // on string ids (cast to decimal → NULL → every round summed to 0),
