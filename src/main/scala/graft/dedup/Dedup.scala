@@ -125,7 +125,17 @@ object Dedup {
     *    holds more than one range's bits — the 10¹¹-key path. Costs one
     *    narrow (id, fp) shuffle of the batch, which is what buys the
     *    locality.
-    * Auto-selection caps each filter at ~10⁸ keys. Exactness is
+    * AUTO-selection (`ranges = 0`) is measured, not guessed
+    * (`graft.BloomBench`, BENCH_NOTES tier table): the local tier beat
+    * both plan-constant tiers at EVERY measured snapshot size ≥ 2·10⁵
+    * keys (1.9× at 2·10⁵, 6.2× at 4·10⁶, 5.0× at 2·10⁷ — constant
+    * tiers pay the filter bits in every task binary of both probe
+    * branches AND re-fingerprint the batch per branch; the local tier
+    * shuffles the slim (id, fp) projection once and reuses it), so
+    * auto dispatches local above [[LocalTierMinKeys]] with
+    * parallelism-wide ranges (each filter still ≤ ~10⁸ keys), and the
+    * single tiny plan constant below it. The CASE ladder remains for
+    * explicitly forced `1 < ranges <= ladderMaxRanges`. Exactness is
     * identical in all three tiers.
     *
     * @param snapshotFps existing corpus fingerprints, column `fp`
@@ -158,9 +168,17 @@ object Dedup {
             "known cardinality at scale")
         math.max(snapshotFps.count(), 1L)
       }
+    val auto = ranges <= 0
     val r =
-      if (ranges > 0) ranges
-      else math.max(1L, (n + MaxKeysPerBloom - 1) / MaxKeysPerBloom).toInt
+      if (!auto) ranges
+      else if (n < LocalTierMinKeys) 1
+      else {
+        val byCapacity =
+          math.max(1L, (n + MaxKeysPerBloom - 1) / MaxKeysPerBloom).toInt
+        val byCores = math.min(
+          incoming.sparkSession.sparkContext.defaultParallelism, 64)
+        math.max(byCapacity, math.max(byCores, 2))
+      }
     val fped = incoming
       .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
     val probed: DataFrame =
@@ -168,7 +186,7 @@ object Dedup {
         fped.withColumn("might_dup",
           BloomContains.contains(col("fp"),
             snapshotFps.stat.bloomFilter(col("fp"), n, fpp)))
-      else if (r <= ladderMaxRanges) {
+      else if (!auto && r <= ladderMaxRanges) {
         val blooms = rangeBlooms(snapshotFps, r, math.max(n / r, 1L), fpp)
         val rng = pmod(xxhash64(col("fp")), lit(r.toLong))
         // CASE on the range key: one probe per row, each branch a
@@ -202,8 +220,17 @@ object Dedup {
     * carry before [[bloomDedupAgainstSnapshot]] switches to the
     * executor-local tier. 16 ranges × ~120 MB ≈ 2 GB of plan constants
     * — already generous; past it the ladder's serialized plan, not the
-    * data, is the bottleneck. */
+    * data, is the bottleneck. Reachable only via an explicit `ranges`
+    * — auto-selection goes straight to the local tier. */
   private[graft] val LadderMaxRanges = 16
+
+  /** Snapshot size above which auto-selection dispatches the
+    * executor-local tier. Measured (graft.BloomBench, local[16],
+    * 200k-row batch): the local tier already wins at 2·10⁵ snapshot
+    * keys (1.66 s vs 3.13 s single-bloom) and the gap only widens
+    * (6.2× at 4·10⁶) — below ~10⁵ the filter is a few hundred KB and
+    * the extra batch shuffle has nothing to amortize. */
+  private[graft] val LocalTierMinKeys = 200L * 1000
 
   /** One Bloom filter per fingerprint range, built in a SINGLE
     * distributed pass and LEFT DISTRIBUTED: each fingerprint shuffles

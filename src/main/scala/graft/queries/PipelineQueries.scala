@@ -1568,9 +1568,12 @@ object PipelineQueries {
     * so only maybe-dup rows shuffle. Exactness is the oracle's claim:
     * false positives re-confirm through the real anti-join, so the
     * bloom path must hash-match the plain anti-join formulation.
-    * `ranges = 4` forces the partitioned-filter tier (per-range bounded
-    * blooms, CASE-dispatched probe — the 10⁹⁺-key scale path), so the
-    * gate proves THAT tier exact, not just the single-filter one. */
+    * The 2²⁰-key hint sits above `LocalTierMinKeys`, so auto-selection
+    * dispatches the EXECUTOR-LOCAL range tier (round 8 — the measured
+    * fastest at every size and the only one whose filter volume scales
+    * past a single plan/driver budget), and the gate proves THAT tier
+    * exact, not just the single-filter one. The CASE-ladder tier stays
+    * covered by DedupSpec's forced-ranges tests. */
   def q83BloomDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = docsSpread(s, dir)
     val snapHash =
@@ -1583,7 +1586,7 @@ object PipelineQueries {
     // sizing never costs an extra counting pass (generous overestimates
     // only widen the filters, cheaply)
     Dedup.bloomDedupAgainstSnapshot(incoming, "doc_id", "text", snapshot,
-        expectedItems = 1L << 20, ranges = 4)
+        expectedItems = 1L << 20)
       .orderBy(col("fp"))
   }
 

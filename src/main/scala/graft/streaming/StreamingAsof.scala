@@ -11,21 +11,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * reading⋈latest-config join, kept current as both sides stream.
   *
   * Same union+carry shape as the batch operator, executed incrementally:
-  * both sides union-tag into one keyed stream, and within
-  * `flatMapGroupsWithState` each trigger's rows are processed in
-  * (event-time, side) order — right rows extend the carried reference
-  * HISTORY, left rows floor-look-up their match — while the history
-  * persists across triggers as a small sorted list per key. One shuffle
-  * on the key (the state-store key); per-key state is bounded by
-  * `maxRefs` and the TTL prune (superseded references older than the
-  * TTL horizon drop, except the single newest still-serveable one — a
-  * slowly-changing dimension's current value stays valid forever).
+  * both sides union-tag into one keyed stream; right rows extend the
+  * carried reference HISTORY (a small sorted list per key), left rows
+  * BUFFER until the watermark passes their event time and only then
+  * floor-look-up their match. The wait is what makes the result EXACT
+  * under any micro-batch slicing or cross-batch reordering: a reference
+  * that could still change the answer for a left event at time t must
+  * itself carry a timestamp ≤ t, and once the watermark has passed t
+  * any such straggler would be dropped by the engine's late filter —
+  * so the refs visible at flush time are ALL the refs the batch
+  * operator would see (StreamingAsofSpec asserts batch equality on
+  * shuffled slicings). Emission latency is the watermark delay — the
+  * same trade Spark's built-in stream-stream interval join makes, and
+  * the reason the batch operator exists for latency-free backfill.
   *
-  * Retaining a bounded history rather than only the latest reference
-  * makes the result independent of MICRO-BATCH SLICING: a reference
-  * and an older left event may land in different triggers in either
-  * order (the engine controls slicing, not the data), and the floor
-  * lookup still serves the correct older reference.
+  * One shuffle on the key (the state-store key); per-key state is the
+  * bounded ref history plus the left events inside the watermark lag.
+  * An event-time timer fires when the watermark passes the oldest
+  * buffered left event (flushing it), falling back to a `stateTtlMs`
+  * idle timer that reclaims the key.
   *
   * Semantics and contracts (matching the batch operator):
   *  - An equal-timestamp right record IS visible to a left event (≤,
@@ -34,11 +38,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    columns with `to_json(struct(...))` and unpack downstream —
   *    per-column carries could tear rows, the same reason the batch
   *    operator carries one struct.
-  *  - IN-ORDER delivery per key (each side individually, by event
-  *    time) is the correctness contract the spec pins against the
-  *    batch operator. Genuinely LATE data degrades conservatively: a
-  *    left event older than everything in the pruned history emits
-  *    NULL, never a wrong attachment.
+  *  - Data later than the watermark is dropped by the engine before
+  *    the operator (both sides), so "batch parity" means batch over
+  *    the rows actually delivered. A left event that flushes with no
+  *    reference at or before it emits NULL, never a wrong attachment.
   */
 object StreamingAsof {
 
@@ -55,20 +58,25 @@ object StreamingAsof {
   /** One carried reference version (public for encoder codegen). */
   case class RefEntry(tsMs: Long, payload: String)
 
-  /** Per-key carried reference history, sorted ascending by tsMs
-    * (public for Spark's encoder codegen). */
-  case class RefState(refs: Seq[RefEntry])
+  /** One buffered left event awaiting watermark passage. */
+  case class PendLeft(id: Long, tsMs: Long)
+
+  /** Per-key state: ref history sorted ascending by tsMs, buffered
+    * left events (unsorted), newest event time seen on either side
+    * (anchors the idle TTL). Public for Spark's encoder codegen. */
+  case class AsofSt(refs: Seq[RefEntry], pend: Seq[PendLeft], lastMs: Long)
 
   /** Wire the two streams into the enrichment.
     *
     * @param left     event stream: `keyCol`, `leftIdCol`, `leftTsCol`
     * @param right    reference stream: `keyCol`, `rightTsCol`,
     *                 `payloadCol` (string — pack structs via to_json)
-    * @param delay    watermark delay for both sides
-    * @param stateTtlMs how far (event time) past the last sighting a
-    *                 key's carried reference survives before the store
-    *                 forgets it; also the prune horizon for superseded
-    *                 history entries
+    * @param delay    watermark delay for both sides (also the emission
+    *                 latency of each left event)
+    * @param stateTtlMs how far (event time) past the last sighting an
+    *                 idle key's state survives before the store forgets
+    *                 it; also the prune horizon for superseded history
+    *                 entries
     * @param maxRefs  hard cap on retained reference versions per key
     *                 (newest win) — guards state against a right side
     *                 that is not actually slowly-changing
@@ -85,7 +93,7 @@ object StreamingAsof {
       stateTtlMs: Long = 24L * 3600 * 1000,
       maxRefs: Int = 64): Dataset[AsofEnriched] = {
     implicit val outEnc = Encoders.product[AsofEnriched]
-    implicit val stEnc = Encoders.product[RefState]
+    implicit val stEnc = Encoders.product[AsofSt]
     implicit val keyEnc = Encoders.scalaLong
     implicit val rowEnc = Encoders.tuple(Encoders.scalaLong,
       Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaInt,
@@ -108,55 +116,81 @@ object StreamingAsof {
     val keyed = l.unionByName(r)
       .as[(Long, Long, java.sql.Timestamp, Int, String)]
       .groupByKey(_._1)
-    keyed.flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-      (key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Int, String)],
-          state: GroupState[RefState]) =>
-        if (state.hasTimedOut) {
-          state.remove()
-          Iterator.empty
-        } else {
-          var refs = state.getOption.map(_.refs.toVector)
-            .getOrElse(Vector.empty)
-          var maxTs = Long.MinValue
-          // event-time order within the trigger, right before left on
-          // ties — exactly the batch operator's window sort
-          val sorted = rows.toVector.sortBy(t => (t._3.getTime, t._4))
-          val out = Vector.newBuilder[AsofEnriched]
-          for ((_, id, ts, side, payload) <- sorted) {
-            val tMs = ts.getTime
-            maxTs = math.max(maxTs, tMs)
-            if (side == 0) {
-              // keep refs sorted; same-ts re-delivery replaces (the
-              // batch determinism contract: right unique per (key, ts))
-              val (before, after) = refs.partition(_.tsMs < tMs)
-              refs = (before :+ RefEntry(tMs, payload)) ++
-                after.dropWhile(_.tsMs == tMs)
-            } else {
-              // floor lookup: newest reference at or before the event
-              refs.reverseIterator.find(_.tsMs <= tMs) match {
-                case Some(m) => out += AsofEnriched(key, id, ts,
-                  new java.sql.Timestamp(m.tsMs), m.payload)
-                case None => out += AsofEnriched(key, id, ts, null, null)
-              }
-            }
-          }
-          // prune: drop superseded refs older than the TTL horizon but
-          // ALWAYS keep the newest still-serveable one (the current
-          // value of a slowly-changing dim never expires); cap at
-          // maxRefs newest as the fast-changing-right guard
-          val horizon =
-            math.max(maxTs, state.getCurrentWatermarkMs()) - stateTtlMs
-          val lastBelow = refs.lastIndexWhere(_.tsMs <= horizon)
-          if (lastBelow > 0) refs = refs.drop(lastBelow)
-          if (refs.size > maxRefs) refs = refs.takeRight(maxRefs)
-          state.update(RefState(refs))
-          // anchor expiry on observed event time, not the watermark (the
-          // first batch's watermark is still epoch 0 — same as dedup)
-          state.setTimeoutTimestamp(
-            math.max(maxTs, state.getCurrentWatermarkMs()) + stateTtlMs)
-          out.result().iterator
+
+    /** Flush every buffered left event the watermark has passed (in
+      * (ts, id) order for deterministic output), prune the history,
+      * re-arm the timer. Shared by the data and timeout paths. */
+    def flush(
+        key: Long,
+        st: AsofSt,
+        state: GroupState[AsofSt]): Iterator[AsofEnriched] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (ripe, wait) = st.pend.partition(_.tsMs <= wm)
+      val out = ripe.sortBy(p => (p.tsMs, p.id)).map { p =>
+        st.refs.reverseIterator.find(_.tsMs <= p.tsMs) match {
+          case Some(m) => AsofEnriched(key, p.id,
+            new java.sql.Timestamp(p.tsMs),
+            new java.sql.Timestamp(m.tsMs), m.payload)
+          case None => AsofEnriched(key, p.id,
+            new java.sql.Timestamp(p.tsMs), null, null)
         }
+      }
+      // prune: drop superseded refs older than the TTL horizon but
+      // ALWAYS keep the newest one still serveable — for the waiting
+      // lefts (all > wm) and for any future left (> wm as well), the
+      // newest ref ≤ wm suffices as their floor candidate, so clamp
+      // the horizon to the watermark; cap at maxRefs newest as the
+      // fast-changing-right guard
+      var refs = st.refs
+      val horizon =
+        math.min(math.max(st.lastMs, wm) - stateTtlMs, wm)
+      val lastBelow = refs.lastIndexWhere(_.tsMs <= horizon)
+      if (lastBelow > 0) refs = refs.drop(lastBelow)
+      if (refs.size > maxRefs) refs = refs.takeRight(maxRefs)
+      if (wait.isEmpty && refs.isEmpty) {
+        if (state.exists) state.remove()
+      } else {
+        state.update(AsofSt(refs, wait, st.lastMs))
+        // wake at the oldest waiting left (to flush it), else at idle
+        // expiry
+        val wake =
+          if (wait.nonEmpty) wait.map(_.tsMs).min
+          else math.max(st.lastMs, wm) + stateTtlMs
+        state.setTimeoutTimestamp(math.max(wake, wm + 1))
+      }
+      out.iterator
     }
+
+    def run(
+        key: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp, Int, String)],
+        state: GroupState[AsofSt]): Iterator[AsofEnriched] = {
+      val st0 = state.getOption.getOrElse(
+        AsofSt(Vector.empty, Vector.empty, Long.MinValue))
+      if (state.hasTimedOut) {
+        if (st0.pend.isEmpty) { state.remove(); Iterator.empty }
+        else flush(key, st0, state)
+      } else {
+        var refs = st0.refs.toVector
+        var pend = st0.pend.toVector
+        var lastMs = st0.lastMs
+        // rights in event-time order so same-ts re-delivery replaces
+        // deterministically (right unique per (key, ts), the batch
+        // determinism contract)
+        val sorted = rows.toVector.sortBy(t => (t._3.getTime, t._4))
+        for ((_, id, ts, side, payload) <- sorted) {
+          val tMs = ts.getTime
+          lastMs = math.max(lastMs, tMs)
+          if (side == 0) {
+            val (before, after) = refs.partition(_.tsMs < tMs)
+            refs = (before :+ RefEntry(tMs, payload)) ++
+              after.dropWhile(_.tsMs == tMs)
+          } else pend = pend :+ PendLeft(id, tMs)
+        }
+        flush(key, AsofSt(refs, pend, lastMs), state)
+      }
+    }
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(run)
   }
 }

@@ -166,14 +166,19 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"merge must be union+agg, not a join:\n$plan")
   }
 
-  test("q83 bloom prefilter gates the anti-join: one join, bloom on both branches") {
-    // the provably-new branch must reach the union through a bare
-    // filter (NOT bloom_contains) with NO join; only the maybe-dup
-    // branch may join. One anti-join total — a second join means the
-    // bloom split regressed to two full anti-joins.
+  test("q83 bloom prefilter gates the anti-join: executor-local probe, one join") {
+    // round 8: auto-selection dispatches the executor-local range tier
+    // (the 2^20-key hint clears LocalTierMinKeys). The defining shape:
+    // NO bloom filter appears as a plan constant (probing happens inside
+    // zipPartitions, enforced one-filter-per-task at run time), the
+    // provably-new branch reaches the union join-free, and only the
+    // maybe-dup branch anti-joins — exactly once. A second join means
+    // the bloom split regressed to two full anti-joins.
     val plan = finalPlan(SparkEntry.queries("q83_bloom_dedup")(spark, sfDir))
-    assert(countOf(plan, "bloom_contains") >= 2,
-      s"bloom_contains missing from the scan-side filters:\n$plan")
+    assert(countOf(plan, "bloom_contains") == 0,
+      s"local tier must not ship filters as plan constants:\n$plan")
+    assert(plan.contains("might_dup"),
+      s"executor-local probe verdict column missing:\n$plan")
     val antiJoins = countOf(plan, "LeftAnti")
     assert(antiJoins == 1,
       s"expected exactly 1 anti-join after the bloom split, got $antiJoins:\n$plan")

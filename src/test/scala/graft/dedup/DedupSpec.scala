@@ -294,6 +294,34 @@ class DedupSpec extends SparkSpec {
       s"executor-local tier must not ship filters as plan constants:\n$plan")
   }
 
+  test("auto tier selection: big snapshot hint goes executor-local, small stays single") {
+    // same tiny data either way — only the expectedItems HINT differs;
+    // auto must dispatch the measured-fastest tier for the declared
+    // scale (BloomBench: local wins from 2e5 keys up)
+    val snapshot = Seq("a doc", "b doc")
+      .toDF("text")
+      .select(graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+    // parquet-backed: over a LocalRelation Catalyst constant-folds the
+    // plan-constant probe away entirely (same caveat as the ladder test)
+    val dir = java.nio.file.Files.createTempDirectory("bloomauto").toString
+    Seq((1L, "a doc"), (2L, "c doc")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val incoming = spark.read.parquet(dir)
+    val big = Dedup.bloomDedupAgainstSnapshot(incoming, "doc_id", "text",
+      snapshot, expectedItems = 1000000L)
+    assert(!big.queryExecution.executedPlan.toString.contains("bloom_contains"),
+      "1e6-key hint must dispatch the executor-local tier (no plan constants)")
+    val small = Dedup.bloomDedupAgainstSnapshot(incoming, "doc_id", "text",
+      snapshot, expectedItems = 1000L)
+    assert(small.queryExecution.executedPlan.toString.contains("bloom_contains"),
+      "1e3-key hint must keep the single plan-constant bloom")
+    // and both agree with each other on values
+    assert(big.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq ===
+      small.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq)
+  }
+
   test("executor-local bloom tier: null-text rows route to range 0 as provably new") {
     // fingerprint(null text) = null; the ladder's CASE falls through to
     // false and the local tier must agree — null-fp rows are kept

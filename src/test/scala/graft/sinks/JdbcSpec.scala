@@ -84,9 +84,22 @@ class JdbcSpec extends SparkSpec {
   test("readNewerThan pushes the watermark predicate; readPartitioned strides") {
     val url = freshDb()
     Jdbc.writeTable(dimRows, url, "DIM_INC", SaveMode.Overwrite)
-    val delta = lower(Jdbc.readNewerThan(spark, url, "DIM_INC", "start_date",
-      d("2024-01-01")))
+    val raw = Jdbc.readNewerThan(spark, url, "DIM_INC", "start_date",
+      d("2024-01-01"))
+    val delta = lower(raw)
     assert(delta.collect().map(_.getAs[Long]("nk")).toSeq === Seq(2L))
+    // the watermark comparison must be part of the SQL the DATABASE
+    // executes (the JDBCRelation's pushed-down subquery), not a
+    // Spark-side Filter over a full-table read: the relation text
+    // carries the WHERE, and the physical plan is a bare row-level scan
+    val rel = raw.queryExecution.analyzed.toString
+    assert(rel.contains("""WHERE "start_date" > '2024-01-01'"""),
+      s"watermark predicate missing from the pushed subquery:\n$rel")
+    val phys = raw.queryExecution.executedPlan.toString
+    // a Spark-side filter node prints as "Filter (..." — distinct from
+    // the scan's always-present "PushedFilters: [...]" annotation
+    assert(!phys.contains("Filter ("),
+      s"watermark filtering happened Spark-side, not in the database:\n$phys")
 
     val part = Jdbc.readPartitioned(spark, url, "DIM_INC", "nk",
       lower = 0L, upper = 30L, numPartitions = 3)

@@ -68,6 +68,51 @@ class StreamingFunnelSpec extends SparkSpec {
     assert(got.keySet === Set((1L, 1), (1L, 2), (1L, 3)))
   }
 
+  test("cross-batch late step event within the watermark recovers the full funnel") {
+    // batch 1 delivers view + purchase (purchase unusable: no click
+    // yet); the click arrives one BATCH later but earlier in event time,
+    // still inside the 10-minute watermark. The buffered re-walk must
+    // then emit click AND the previously unusable purchase — the exact
+    // case the pre-round-8 two-scalar frontier could never recover
+    // (it had already consumed and discarded the purchase).
+    val got = runStream(Seq(
+      Seq(ev(1, "2024-01-01 10:00:00", "view"),
+        ev(1, "2024-01-01 10:06:00", "purchase")),
+      Seq(ev(1, "2024-01-01 10:05:00", "click"))), "sf_late")
+    assert(got === Map(
+      (1L, 1) -> "view", (1L, 2) -> "click", (1L, 3) -> "purchase"))
+  }
+
+  test("step counts match batch funnelCounts under shuffled micro-batch slicings") {
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"event_type").as[FEv]
+      .collect()
+    // seeded shuffle, four arbitrary slices: cross-batch order must not
+    // matter as long as the watermark (here: wider than the table's
+    // whole time span) drops nothing
+    val shuffled = new scala.util.Random(8).shuffle(events.toVector)
+    val chunks = shuffled.grouped(math.max(shuffled.length / 4, 1)).toSeq
+    val input = MemoryStream[FEv]
+    val q = StreamingFunnel
+      .stepEvents(input.toDF(), "user_id", "ts", "event_type", steps,
+        delay = "3650 days")
+      .writeStream.format("memory").queryName("sf_shuf")
+      .outputMode(OutputMode.Append).start()
+    val streamed =
+      try {
+        chunks.foreach { c => input.addData(c.toSeq: _*); q.processAllAvailable() }
+        StreamingFunnel.stepCounts(spark.table("sf_shuf").as[StreamingFunnel.StepReached])
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    val batch = Funnel.funnelCounts(Tables.events(spark, sfDir),
+        "user_id", "ts", "event_type", steps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch.filter(_._2 > 0) === streamed,
+      s"shuffled-slicing step counts $streamed != batch $batch")
+  }
+
   test("step counts match batch funnelCounts on the events table (in-order feed)") {
     implicit val sqlCtx = spark.sqlContext
     val sfDir = "/root/testdata/sf0.001"
