@@ -341,6 +341,55 @@ object Dedup {
       fped.schema.add("might_dup", BooleanType, nullable = false))
   }
 
+  /** Cross-corpus boilerplate LINE removal — the CCNet/RefinedWeb
+    * cleaning stage that within-document repetition metrics (q47)
+    * cannot see: a line occurring (trim-normalized, non-empty) in at
+    * least `minDocs` DISTINCT documents is navigation/footer/cookie
+    * boilerplate and is struck from every document that carries it.
+    *
+    * Shape at scale: one explode of the corpus into (doc, pos, line);
+    * line document-frequencies partial-aggregate before their shuffle
+    * (the groupBy(norm) map-side combine), and the boilerplate set is
+    * SMALL by construction (only lines repeated across ≥ minDocs docs
+    * survive the HAVING), so the membership join back is
+    * broadcast-sized for AQE; one final shuffle on the doc id
+    * reassembles documents (array_sort over (pos, …) structs — no
+    * window). Nothing driver-side anywhere.
+    *
+    * Output: one row per input document — `n_kept`, `n_dropped` line
+    * counts and `clean_text` (the surviving lines re-joined in
+    * original order; "" when everything was boilerplate). */
+  def stripCommonLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("norm", trim(col("line")))
+    val boiler = lines
+      .where(col("norm") =!= "")
+      .groupBy(col("norm"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .where(col("doc_freq") >= minDocs)
+      .select(col("norm"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("norm"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L))
+          .as("n_dropped"),
+        concat_ws("\n",
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("line"),
+                col("is_boiler").isNull.as("keep")))),
+              x => x.getField("keep")),
+            x => x.getField("line"))).as("clean_text"))
+  }
+
   /** Latest-record-per-natural-key dedup (window row_number). */
   def latestPerKey(
       df: DataFrame,

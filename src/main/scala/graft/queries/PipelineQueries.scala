@@ -1242,6 +1242,56 @@ object PipelineQueries {
       |FROM r WHERE hk < rate * 4294967296.0
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q98
+  /** Cross-corpus boilerplate line removal
+    * ([[Dedup.stripCommonLines]]): the CCNet/RefinedWeb cleaning stage
+    * — a trim-normalized non-empty line found in ≥ 4 distinct docs is
+    * navigation/footer boilerplate and is struck everywhere, the
+    * document reassembled in original line order. The synthetic corpus
+    * is single-line, so eight planted multi-line docs (−200..−193,
+    * q45's planted pattern) carry two shared boilerplate lines and one
+    * unique line each: the oracle proves the shared lines vanish from
+    * ALL of them, the unique lines and the whole untouched corpus
+    * survive byte-exactly (md5 of the reassembled text). */
+  def q98LineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = (0 until 8).map { i =>
+      (-200L + i,
+        "cookie notice: we value your privacy\n" +
+          s"unique finding number $i\n" +
+          "subscribe to our newsletter")
+    }.toDF("doc_id", "text")
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    Dedup.stripCommonLines(corpus, "doc_id", "text", minDocs = 4L)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        md5(col("clean_text")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q98Oracle: String =
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -200 + i, 'cookie notice: we value your privacy' || chr(10)
+      |      || 'unique finding number ' || i::VARCHAR || chr(10)
+      |      || 'subscribe to our newsletter'
+      |    FROM generate_series(0, 7) AS g(i)),
+      |l0 AS (SELECT doc_id,
+      |    unnest(string_split(text, chr(10))) AS line,
+      |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+      |  FROM u),
+      |l AS (SELECT doc_id, i, line, trim(line) AS norm FROM l0),
+      |b AS (SELECT norm FROM l WHERE norm <> ''
+      |  GROUP BY norm HAVING count(DISTINCT doc_id) >= 4),
+      |f AS (SELECT l.doc_id, l.i, l.line, b.norm IS NOT NULL AS is_b
+      |  FROM l LEFT JOIN b ON l.norm = b.norm)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  md5(coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+      |    chr(10) ORDER BY i), '')) AS clean_fp
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q87
   /** Sketch-tier cardinality profile
     * ([[graft.etl.Profiler.cardinalityProfile]]): distinct text

@@ -338,6 +338,26 @@ class DedupSpec extends SparkSpec {
     assert(nullGrp(0).getLong(1) === 2L && nullGrp(0).getLong(2) === 2L)
   }
 
+  test("stripCommonLines strikes cross-doc boilerplate, keeps order and uniques") {
+    val docs = Seq(
+      (1L, "HEADER\nreal content one\nfooter text"),
+      (2L, "HEADER\nreal content two\nfooter text"),
+      (3L, "HEADER\nreal content three\nfooter text"),
+      (4L, "  HEADER  \nsolo doc line"), // trim-normalized match
+      (5L, "totally unique\n\nwith empty line")) // empties never boiler
+      .toDF("doc_id", "text")
+    val out = Dedup.stripCommonLines(docs, "doc_id", "text", minDocs = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // HEADER in 4 docs (one via trim), footer in 3 -> both boilerplate
+    assert(out(1L) === ((1L, 2L, "real content one")))
+    assert(out(2L) === ((1L, 2L, "real content two")))
+    assert(out(3L) === ((1L, 2L, "real content three")))
+    assert(out(4L) === ((1L, 1L, "solo doc line")))
+    // empty line kept verbatim, order preserved
+    assert(out(5L) === ((3L, 0L, "totally unique\n\nwith empty line")))
+  }
+
   test("connectedComponents handles non-numeric (string) ids") {
     // Regression: the old sum-of-decimal convergence checksum nulled out
     // on string ids (cast to decimal → NULL → every round summed to 0),
