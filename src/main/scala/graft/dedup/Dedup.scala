@@ -390,6 +390,35 @@ object Dedup {
             x => x.getField("line"))).as("clean_text"))
   }
 
+  /** Canonical-representative selection per cluster — the step after
+    * [[connectedComponents]]: a dedup pipeline keeps the BEST member
+    * of each near-dup cluster, not an arbitrary one. The member with
+    * the highest `scoreCol` wins, ties to the SMALLEST id (so the
+    * choice is deterministic under any row order). One
+    * partial-aggregable `max_by` over a lexicographic (score, −id)
+    * struct — a single shuffle on the cluster id, no window sort, so
+    * the selection stays one metadata-scale pass no matter how large
+    * the clustered corpus.
+    *
+    * @param clusters `(idCol, comp)` cluster assignment (the
+    *                 [[connectedComponents]] output shape)
+    * @param scored   `(idCol, scoreCol)` one score per member id
+    * @return one row per cluster: `cluster_id, keep_id, keep_score,
+    *         n_members` */
+  def keepCanonical(
+      clusters: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    clusters
+      .join(scored, idCol)
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), negate(col(idCol))))
+          .as("keep_id"),
+        max(col(scoreCol)).as("keep_score"),
+        count(lit(1)).as("n_members"))
+
   /** Latest-record-per-natural-key dedup (window row_number). */
   def latestPerKey(
       df: DataFrame,

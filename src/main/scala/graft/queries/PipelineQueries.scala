@@ -323,6 +323,69 @@ object PipelineQueries {
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q99
+  /** Canonical-representative selection per near-dup cluster — the
+    * step AFTER q26: a dedup pipeline keeps the BEST member of each
+    * cluster, not the min-id one. Representative = longest canonical
+    * text (most complete version), ties to the smallest doc_id. The
+    * per-cluster argmax is a single `max_by` aggregate over a
+    * lexicographic (length, −id) struct — partial-aggregable, one
+    * shuffle on the cluster id, NO window sort — so the selection adds
+    * one metadata-scale pass over the q26 cluster assignment. Exact:
+    * the DuckDB oracle re-derives clusters with the q26 recursive CTE
+    * and picks the same representative via a rank window. */
+  def q99CanonicalKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+    val pairs = Dedup.jaccardJoin(
+      docs.select(col("doc_id").as("id"), col("lang").as("blk"),
+          TextAnalysis.canonical(col("text")).as("ct"))
+        .select(col("id"), col("blk"),
+          Dedup.charShinglesFrom(col("ct"), 3).as("sh")),
+      threshold = 0.5)
+    val comp = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "doc_id")
+    Dedup.keepCanonical(comp,
+        docs.select(col("doc_id"),
+          length(TextAnalysis.canonical(col("text"))).cast("long")
+            .as("clen")),
+        "doc_id", "clen")
+      .withColumnRenamed("keep_score", "keep_len")
+      .orderBy(col("cluster_id"))
+  }
+
+  val q99Oracle: String =
+    """WITH RECURSIVE c AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ctext
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(length(ctext) - 2, 1)),
+      |      i -> substr(ctext, i, 3))) AS sh
+      |  FROM c),
+      |p AS (SELECT l.doc_id AS a, r.doc_id AS b
+      |  FROM s l JOIN s r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |  WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+      |    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) >= 0.5),
+      |bi(u, v) AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |r(src, reach) AS (
+      |  SELECT u, u FROM bi
+      |  UNION
+      |  SELECT r.src, b.v FROM r JOIN bi b ON r.reach = b.u),
+      |comp AS (SELECT src AS doc_id, min(reach) AS cluster_id
+      |  FROM r GROUP BY src),
+      |m AS (SELECT comp.cluster_id, comp.doc_id,
+      |    CAST(length(c.ctext) AS BIGINT) AS clen
+      |  FROM comp JOIN c ON comp.doc_id = c.doc_id),
+      |k AS (SELECT cluster_id, doc_id, clen,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY clen DESC, doc_id ASC) AS rn,
+      |    max(clen) OVER (PARTITION BY cluster_id) AS keep_len,
+      |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |  FROM m)
+      |SELECT cluster_id, doc_id AS keep_id, keep_len, n_members
+      |FROM k WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // ------------------------------------------------------------------ q24
   def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairs(embSpread(s, dir), "vec_id", "embedding",

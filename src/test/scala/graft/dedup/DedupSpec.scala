@@ -358,6 +358,20 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === ((3L, 0L, "totally unique\n\nwith empty line")))
   }
 
+  test("keepCanonical: highest score wins, ties break to the smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "comp")
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 5L))
+      .toDF("doc_id", "score")
+    val got = Dedup.keepCanonical(clusters, scored, "doc_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // cluster 1: 2 and 3 tie at 30 -> smaller id 2 wins
+    assert(got(1L) === ((2L, 30L, 3L)))
+    // cluster 7: 7 and 9 tie at 5 -> 7 wins
+    assert(got(7L) === ((7L, 5L, 2L)))
+  }
+
   test("connectedComponents handles non-numeric (string) ids") {
     // Regression: the old sum-of-decimal convergence checksum nulled out
     // on string ids (cast to decimal → NULL → every round summed to 0),
