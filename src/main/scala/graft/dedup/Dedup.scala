@@ -202,7 +202,15 @@ object Dedup {
               }.otherwise(lit(false))
         }
         fped.withColumn("might_dup", ladder)
-      } else probeRangeLocal(fped, snapshotFps, r, math.max(n / r, 1L), fpp)
+      } else
+        // The local tier pays a batch shuffle + a snapshot fold;
+        // materialize its probe table ONCE into an eager checkpoint so
+        // the two branch traversals below read blocks instead of
+        // re-zipping, and no per-range filter stays persisted past this
+        // call. The checkpointed probe table is result lineage the
+        // caller/harness owns ([[graft.util.Blocks.release]]).
+        graft.util.Blocks.checkpoint(
+          probeRangeLocal(fped, snapshotFps, r, math.max(n / r, 1L), fpp)).df
     val provablyNew = probed.where(!col("might_dup")).drop("might_dup")
     val confirmedNew = probed.where(col("might_dup")).drop("might_dup")
       .join(snapshotFps.select(col("fp")), Seq("fp"), "left_anti")
@@ -291,14 +299,14 @@ object Dedup {
     * total) every task still holds ≤ 120 MB — the property the
     * plan-constant ladder cannot offer.
     *
-    * The filter RDD is persisted (deserialized, memory-then-disk) so
-    * the fold over the snapshot runs once even though the downstream
-    * plan references the probe from two branches; Spark's
-    * ContextCleaner unpersists it when the result's lineage is
-    * collected. The batch pays one narrow (id, fp) shuffle; its shuffle
-    * files are reused across the two branch traversals (stage skip), so
-    * the scan-twice cost of the constant tiers becomes shuffle-once,
-    * zip-twice here.
+    * LAZY, and deliberately does NOT persist the filter RDD:
+    * [[bloomDedupAgainstSnapshot]] materializes this probe's output
+    * into an eager checkpoint, so the fold over the snapshot and the
+    * zip both run exactly ONCE (the two downstream branch traversals
+    * read checkpoint blocks) and no per-range filter outlives the call
+    * — a persist here had no deterministic release point and leaked
+    * into every later query of a long-lived JVM. Callers that consume
+    * the returned frame more than once must materialize it themselves.
     *
     * Null fingerprints (null input text) route to partition 0 with a
     * `might_dup = false` verdict — provably new, matching the ladder's
@@ -314,7 +322,6 @@ object Dedup {
     val spark = fped.sparkSession
     val isString = snapshotFps.schema("fp").dataType == StringType
     val blooms = rangeBloomsRdd(snapshotFps, ranges, perRangeItems, fpp)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = fped.withColumn("rng",
       pmod(xxhash64(col("fp")), lit(ranges.toLong)).cast("int"))
     val rngIdx = keyed.schema.fieldIndex("rng")
@@ -358,7 +365,10 @@ object Dedup {
     *
     * Output: one row per input document — `n_kept`, `n_dropped` line
     * counts and `clean_text` (the surviving lines re-joined in
-    * original order; "" when everything was boilerplate). */
+    * original order; "" when everything was boilerplate). A null text
+    * coalesces to "" so the one-row-per-document contract holds for it
+    * too (`n_kept = 1` — the single empty line, never boilerplate —
+    * and an empty `clean_text`). */
   def stripCommonLines(
       df: DataFrame,
       idCol: String,
@@ -366,8 +376,9 @@ object Dedup {
       minDocs: Long): DataFrame = {
     require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n"))
-        .as(Seq("pos", "line")))
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .withColumn("norm", trim(col("line")))
     val boiler = lines
       .where(col("norm") =!= "")
@@ -395,14 +406,18 @@ object Dedup {
     * of each near-dup cluster, not an arbitrary one. The member with
     * the highest `scoreCol` wins, ties to the SMALLEST id (so the
     * choice is deterministic under any row order). One
-    * partial-aggregable `max_by` over a lexicographic (score, −id)
+    * partial-aggregable `min_by` over a lexicographic (−score, id)
     * struct — a single shuffle on the cluster id, no window sort, so
     * the selection stays one metadata-scale pass no matter how large
-    * the clustered corpus.
+    * the clustered corpus. The tiebreak negates the SCORE (numeric by
+    * contract) rather than the id, so it stays exact for ANY orderable
+    * id type — [[connectedComponents]] explicitly supports string ids,
+    * and negating a string id would cast it to a null double (arbitrary
+    * winner under non-ANSI, runtime error under ANSI).
     *
     * @param clusters `(idCol, comp)` cluster assignment (the
     *                 [[connectedComponents]] output shape)
-    * @param scored   `(idCol, scoreCol)` one score per member id
+    * @param scored   `(idCol, scoreCol)` one NUMERIC score per member id
     * @return one row per cluster: `cluster_id, keep_id, keep_score,
     *         n_members` */
   def keepCanonical(
@@ -414,7 +429,7 @@ object Dedup {
       .join(scored, idCol)
       .groupBy(col("comp").as("cluster_id"))
       .agg(
-        max_by(col(idCol), struct(col(scoreCol), negate(col(idCol))))
+        min_by(col(idCol), struct(negate(col(scoreCol)), col(idCol)))
           .as("keep_id"),
         max(col(scoreCol)).as("keep_score"),
         count(lit(1)).as("n_members"))
@@ -506,6 +521,24 @@ object Dedup {
     * picks bitmap iff it fits `bitmapVocabLimit` bits (default 2¹⁶ =
     * 8 KB per document bitmap).
     *
+    * Storage lifecycle (`persistIntermediate = true`, the default): the
+    * result is materialized EAGERLY into a local checkpoint and every
+    * internal persist (the shared shingle table, the tier's prefix /
+    * chunked-bitmap table) is released before this returns — so the
+    * only storage the operator leaves behind is the pair list itself,
+    * already computed and cheap to re-consume. Callers that feed the
+    * pairs into a further eager step (e.g. [[connectedComponents]])
+    * should free even that via [[graft.util.Blocks.release]] once the
+    * downstream result is materialized. Without the eager
+    * materialization there is no safe point to release the internal
+    * persists: the returned plan still references them, and leaving
+    * them to GC-driven cleanup measurably taxes every later query in a
+    * long-lived JVM (the round-8 `storage_residue_bytes` finding).
+    * `persistIntermediate = false` returns the fully LAZY plan with no
+    * storage at all (each consumer re-evaluates the shingle pipeline —
+    * measured 12 source scans; only for single-consumer callers that
+    * cannot afford the materialization).
+    *
     * @param docs columns: `id`, `blk` (block/language — only same-block
     *             pairs compared), `sh` (distinct-element token array)
     */
@@ -518,8 +551,29 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccardJoin: threshold must be in (0, 1], got $threshold")
     import org.apache.spark.storage.StorageLevel
-    def maybePersist(df: DataFrame): DataFrame =
-      if (persistIntermediate) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    if (!persistIntermediate)
+      jaccardJoinFrom(docs, threshold, identity, tier, bitmapVocabLimit)
+    else {
+      val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def track(df: DataFrame): DataFrame = {
+        tracked += df
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val out = graft.util.Blocks.checkpoint(
+        jaccardJoinFrom(docs, threshold, track, tier, bitmapVocabLimit))
+      tracked.foreach(_.unpersist(blocking = false))
+      out.df
+    }
+  }
+
+  /** The tier dispatch + shared shingle table behind [[jaccardJoin]];
+    * `maybePersist` is the caller's storage policy (identity = lazy). */
+  private def jaccardJoinFrom(
+      docs: DataFrame,
+      threshold: Double,
+      maybePersist: DataFrame => DataFrame,
+      tier: String,
+      bitmapVocabLimit: Int): DataFrame = {
     // No `where(n > 0)` guard here — a pushed-down predicate carries the
     // full shingle-expression tree below any upstream repartition and
     // re-evaluates it single-threaded at the scan (measured: 14s/branch
@@ -529,7 +583,7 @@ object Dedup {
     // static plan cannot reuse exchanges across them — without a persist
     // the source is re-scanned and the shingle expressions re-evaluated
     // per consumer (measured 12 scans). MEMORY_AND_DISK so huge corpora
-    // spill instead of OOM; pass persistIntermediate=false to opt out.
+    // spill instead of OOM.
     val withN = maybePersist(docs.select(col("id"), col("blk"), col("sh"))
       .withColumn("n", size(col("sh"))))
     val useBitmap = tier match {
@@ -998,12 +1052,30 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleK: Int,
+      numPerm: Int): DataFrame =
+    minHashSignaturesFromShingles(shingleTable(df, idCol, textCol, shingleK),
+      numPerm)
+
+  /** The (`id`, `sh` distinct word-shingle array) table the MinHash
+    * family consumes — factored out so callers that need the shingles
+    * for MORE than the signatures (the verify join, an inline exact
+    * recall truth) can materialize it ONCE and share. */
+  def shingleTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+
+  /** [[minHashSignatures]] over a PRE-BUILT shingle table (`id`, `sh` —
+    * the [[shingleTable]] shape). */
+  def minHashSignaturesFromShingles(
+      shingled: DataFrame,
       numPerm: Int): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
-      .select(col("id"),
-        explode(shinglesFromTokens(col("toks"), shingleK)).as("sh"))
-      .select(col("id"), pmod(xxhash64(col("sh")), lit(MersennePrime)).as("x"))
+    val hashed = shingled
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), pmod(xxhash64(col("s")), lit(MersennePrime)).as("x"))
     val minExprs = permConstants(numPerm).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * a + b, lit(MersennePrime))).as(s"m$i")
     }
@@ -1044,6 +1116,13 @@ object Dedup {
     * explode bands → shuffle on (band, bucket) → per-bucket self-join
     * (bounded by `maxBucketSize`) → distinct pairs → verify. No stage
     * touches the full cross product.
+    *
+    * Storage lifecycle mirrors [[jaccardJoin]]: with
+    * `persistIntermediate = true` (default) the shared shingle table
+    * and the capped-bucket table are materialized while the result is
+    * computed into an eager checkpoint, then released — the pair list
+    * is the only storage left behind ([[graft.util.Blocks.release]]
+    * frees even that). `false` = fully lazy, no storage.
     */
   def minHashDedup(
       df: DataFrame,
@@ -1055,27 +1134,53 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 100000,
       persistIntermediate: Boolean = true): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must divide evenly into bands")
     import org.apache.spark.storage.StorageLevel
-    def maybePersist(d: DataFrame): DataFrame =
-      if (persistIntermediate) d.persist(StorageLevel.MEMORY_AND_DISK) else d
-    val sig = minHashSignatures(df, idCol, textCol, shingleK, numPerm)
+    val shingled = shingleTable(df, idCol, textCol, shingleK)
+    if (!persistIntermediate)
+      minHashDedupFromShingles(shingled, numPerm, bands, threshold,
+        maxBucketSize)
+    else {
+      val shCp = graft.util.Blocks.checkpoint(shingled)
+      val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def track(d: DataFrame): DataFrame = {
+        tracked += d
+        d.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val out = graft.util.Blocks.checkpoint(
+        minHashDedupFromShingles(shCp.df, numPerm, bands, threshold,
+          maxBucketSize, track))
+      tracked.foreach(_.unpersist(blocking = false))
+      shCp.release()
+      out.df
+    }
+  }
+
+  /** [[minHashDedup]] over a PRE-BUILT shingle table (`id`, `sh` — the
+    * [[shingleTable]] shape). LAZY: the caller owns the shingle table's
+    * lifecycle (typically an eager checkpoint shared with other
+    * consumers — the table is read by the signature aggregation AND
+    * both verify-join sides) and `maybePersist` is its storage policy
+    * for the capped-bucket table (consumed by both self-join sides). */
+  def minHashDedupFromShingles(
+      shingled: DataFrame,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 100000,
+      maybePersist: DataFrame => DataFrame = identity): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide evenly into bands")
+    val sig = minHashSignaturesFromShingles(shingled, numPerm)
     val buckets = sig.select(col("id"),
       explode(bandKeys(bands, numPerm / bands)).as("bk"))
-    // persisted: both self-join sides consume it (no static exchange reuse)
     val capped = maybePersist(capBuckets(buckets, maxBucketSize))
     val pairs = capped.as("l")
       .join(capped.as("r"),
         col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // persisted: joined twice (id_a and id_b sides of the verify)
-    val sh = maybePersist(df
-      .select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("shingles")))
     pairs
-      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard_sim", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .where(col("jaccard_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard_sim"))

@@ -46,6 +46,14 @@ object Blocks {
   def handleOf(df: DataFrame): Option[RDD[_]] =
     df.queryExecution.logical.collectFirst { case lr: LogicalRDD => lr.rdd }
 
+  /** Release the storage behind an eagerly-checkpointed frame that some
+    * OTHER operator returned (e.g. the pair list a clustering step has
+    * finished consuming). No-op when the frame is not a checkpoint.
+    * Same contract as [[Checkpointed.release]]: the frame must not be
+    * evaluated again afterwards. */
+  def release(df: DataFrame): Unit =
+    handleOf(df).foreach(_.unpersist(blocking = false))
+
   /** Unpersist EVERY RDD-level block set registered with the context —
     * Dataset-cache entries (`df.persist`) live in the cache manager and
     * have their own `clearCache()`, but local-checkpoint blocks are

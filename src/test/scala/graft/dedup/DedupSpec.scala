@@ -358,6 +358,23 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === ((3L, 0L, "totally unique\n\nwith empty line")))
   }
 
+  test("stripCommonLines emits a row for null-text documents") {
+    val docs = Seq(
+      (1L, "shared line\nalpha"),
+      (2L, "shared line\nbeta"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.stripCommonLines(docs, "doc_id", "text", minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.size === 4) // one row per input document, nulls included
+    assert(out(1L) === ((1L, 1L, "alpha")))
+    assert(out(2L) === ((1L, 1L, "beta")))
+    // null text coalesces to "": a single empty line, never boilerplate
+    assert(out(3L) === ((1L, 0L, "")))
+    assert(out(4L) === ((1L, 0L, "")))
+  }
+
   test("keepCanonical: highest score wins, ties break to the smallest id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
       .toDF("doc_id", "comp")
@@ -370,6 +387,22 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === ((2L, 30L, 3L)))
     // cluster 7: 7 and 9 tie at 5 -> 7 wins
     assert(got(7L) === ((7L, 5L, 2L)))
+  }
+
+  test("keepCanonical keeps the determinism contract for string ids") {
+    // Regression (round-9 advice): the old tiebreak negate(id) cast
+    // string ids to a null double, making the tie winner arbitrary.
+    // The (−score, id) struct orders any orderable id type exactly.
+    val clusters = Seq(("docB", "docA"), ("docA", "docA"), ("docC", "docA"),
+      ("x2", "x1"), ("x1", "x1")).toDF("doc_id", "comp")
+    val scored = Seq(("docA", 10L), ("docB", 10L), ("docC", 4L),
+      ("x1", 1L), ("x2", 9L)).toDF("doc_id", "score")
+    val got = Dedup.keepCanonical(clusters, scored, "doc_id", "score")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // docA and docB tie at 10 -> lexicographically smaller docA wins
+    assert(got("docA") === (("docA", 10L, 3L)))
+    assert(got("x1") === (("x2", 9L, 2L)))
   }
 
   test("connectedComponents handles non-numeric (string) ids") {
