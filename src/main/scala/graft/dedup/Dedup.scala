@@ -1221,38 +1221,56 @@ object Dedup {
     * (a pair within hamming distance ≤ 3 of a 64-bit signature must agree
     * exactly on at least one of the 4 quarters — pigeonhole), verify with
     * popcount of XOR ≤ maxHamming. Degenerate quarter-buckets are capped
-    * like the MinHash buckets. */
+    * like the MinHash buckets.
+    *
+    * Storage lifecycle mirrors [[jaccardJoin]]: with
+    * `persistIntermediate = true` (default) the signature table and the
+    * capped-bucket table are materialized while the result is computed
+    * into an eager checkpoint, then released. `false` = fully lazy. */
   def simHashDedup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 100000,
-      persistIntermediate: Boolean = true): DataFrame =
-    simHashDedupFromSigs(simHashSignatures(df, idCol, textCol),
-      maxHamming, maxBucketSize, persistIntermediate)
+      persistIntermediate: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sigs = simHashSignatures(df, idCol, textCol)
+    if (!persistIntermediate)
+      simHashDedupFromSigs(sigs, maxHamming, maxBucketSize)
+    else {
+      val sigCp = graft.util.Blocks.checkpoint(sigs)
+      val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def track(d: DataFrame): DataFrame = {
+        tracked += d
+        d.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      val out = graft.util.Blocks.checkpoint(
+        simHashDedupFromSigs(sigCp.df, maxHamming, maxBucketSize, track))
+      tracked.foreach(_.unpersist(blocking = false))
+      sigCp.release()
+      out.df
+    }
+  }
 
   /** [[simHashDedup]] over PRE-COMPUTED signatures (`id`, `sig` — the
-    * [[simHashSignatures]] shape). Callers that also consume the
+    * [[simHashSignatures]] shape). LAZY: callers that also consume the
     * signatures elsewhere (e.g. an inline exact-recall check) compute
-    * them once and share, instead of re-running the 64-bit-sum
-    * aggregation over the corpus. */
+    * them once, own their lifecycle, and pass their storage policy for
+    * the capped-bucket table (consumed by both self-join sides) via
+    * `maybePersist`. */
   def simHashDedupFromSigs(
       sigs: DataFrame,
       maxHamming: Int = 3,
       maxBucketSize: Int = 100000,
-      persistIntermediate: Boolean = true): DataFrame = {
+      maybePersist: DataFrame => DataFrame = identity): DataFrame = {
     val blocked = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map { q =>
         struct(lit(q).as("q"),
           shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("chunk"))
       }: _*)).as("bk"))
-    val capped0 = capBuckets(blocked, maxBucketSize)
-    val capped =
-      if (persistIntermediate)
-        capped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else capped0
+    val capped = maybePersist(capBuckets(blocked, maxBucketSize))
     val pairs = capped.as("l")
       .join(capped.as("r"),
         col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))

@@ -259,19 +259,31 @@ object PipelineQueries {
   }
 
   // ------------------------------------------------------------------ q22
+  /** SimHash near-dup pairs, same eager shared-intermediate lifecycle
+    * as q21: signatures aggregated ONCE into a checkpoint consumed by
+    * the bander and the exactness truth, pair list and truth
+    * materialized, every intermediate released before returning. */
   def q22DedupSimHash(s: SparkSession, dir: String): DataFrame = {
+    import graft.util.Blocks
     val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
       .unionByName(plantedDocs(s))
-    // signatures aggregated ONCE, shared by the bander and the truth
-    // (lazy localCheckpoint: tiny frame, released on GC)
-    val sigs = Dedup.simHashSignatures(corpus, "doc_id", "text")
-      .localCheckpoint(false)
-    withPlantedAndRecall(
-        Dedup.simHashDedupFromSigs(sigs, maxHamming = 3),
-        plantedPairCond,
-        simhashPairTruthFromSigs(sigs, maxHamming = 3),
-        // pigeonhole blocking is lossless at hamming <= 3 -> exactness floor
-        Seq("id_a", "id_b"), floor = 1.0)
+    val sigCp = Blocks.checkpoint(
+      Dedup.simHashSignatures(corpus, "doc_id", "text"))
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(d: DataFrame): DataFrame = {
+      tracked += d
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val outCp = Blocks.checkpoint(
+      Dedup.simHashDedupFromSigs(sigCp.df, maxHamming = 3,
+        maybePersist = track))
+    val truthCp = Blocks.checkpoint(
+      simhashPairTruthFromSigs(sigCp.df, maxHamming = 3))
+    tracked.foreach(_.unpersist(blocking = false))
+    sigCp.release()
+    // pigeonhole blocking is lossless at hamming <= 3 -> exactness floor
+    plantedAndRecallFrom(outCp.df, plantedPairCond, truthCp.df,
+      Seq("id_a", "id_b"), floor = 1.0)
       .orderBy(col("id_a"), col("id_b"))
   }
 
