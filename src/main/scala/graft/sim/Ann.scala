@@ -163,6 +163,35 @@ object Ann {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Exact per-query top-k over a scored candidate frame WITHOUT a
+    * one-task-per-query funnel — the [[graft.curate.Curation]]
+    * twoPhaseTopK shape, keyed by query: a rank window partitioned by
+    * `query_id` alone sends EVERY candidate of a query through one
+    * task, which serializes on the full-corpus tiers (brute/PQ/SQ score
+    * |Q|·|C| rows). Candidates first rank inside 256 hash buckets of
+    * `neighbor_id` (256-way parallel per query); only each bucket's
+    * top-k — ≤ 256·k rows per query, metadata scale — enter the global
+    * per-query window that assigns the final rank. Exact for any
+    * `order` because a global top-k row is also top-k in its own
+    * bucket. Requires `query_id`/`neighbor_id` columns; emits
+    * `rank` ∈ [1, k]. */
+  private def perQueryTopK(
+      scored: DataFrame,
+      order: Seq[Column],
+      k: Int): DataFrame = {
+    val wBucket = Window.partitionBy(col("query_id"), col("_qbkt"))
+      .orderBy(order: _*)
+    val wGlobal = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("_qbkt",
+        pmod(xxhash64(col("neighbor_id").cast("string")), lit(256)))
+      .withColumn("_qr", row_number().over(wBucket))
+      .where(col("_qr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .where(col("rank") <= k)
+      .drop("_qbkt", "_qr")
+  }
+
   /** Brute-force cosine top-k: every query row against the full corpus.
     * Correctness baseline — O(|Q|·|C|); keep |Q| small or use
     * [[lshTopK]] at scale. Ties broken by neighbor id ascending. */
@@ -183,12 +212,7 @@ object Ann {
       .withColumn(
         "cos_sim",
         dot(col("qv"), col("cv")) / sqrt(col("q_dot") * col("c_dot")))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    perQueryTopK(scored, Seq(col("cos_sim").desc, col("neighbor_id").asc), k)
       .select(
         col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"))
@@ -330,11 +354,12 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
         dot(col("qv"), col("cv_n")) / sqrt(col("q_dot") * col("c_dot_n")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // a (query, neighbor) pair surfaces once per shared probed list;
+    // duplicates carry identical (cos_sim, neighbor_id) so they sort
+    // adjacently — ranking first and deduping after preserves the
+    // established rank semantics under the two-phase shape (duplicates
+    // of a pair land in the same neighbor-hash bucket)
+    perQueryTopK(scored, Seq(col("cos_sim").desc, col("neighbor_id").asc), k)
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"))
@@ -444,12 +469,9 @@ object Ann {
       // pq_adc NULLs on geometry mismatch; ascending order would rank
       // NULLS FIRST, so drop them before the top-k window
       .where(col("adc_dist").isNotNull)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     val shortK = if (rerank > 0) math.max(k, rerank) else k
-    val shortlist = scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= shortK)
+    val shortlist = perQueryTopK(scored,
+      Seq(col("adc_dist").asc, col("neighbor_id").asc), shortK)
     if (rerank <= 0)
       shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("adc_dist"), 6).as("adc_dist"))
@@ -470,6 +492,8 @@ object Ann {
       val exact = cv.join(broadcast(qv), Seq("query_id"))
         .withColumn("cos_sim",
           dot(col("qv"), col("cv")) / sqrt(col("q_dot") * col("c_dot")))
+      // per-query input here is the ≤ shortK-row shortlist (bounded by
+      // construction), so the plain per-query window cannot funnel
       val w2 = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       exact
@@ -511,12 +535,9 @@ object Ann {
       .withColumn("sq_sim",
         SqOps.sqDot(col("qv"), col("enc")) / sqrt(col("q_dot") * col("c_dot")))
       .where(col("sq_sim").isNotNull)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sq_sim").desc, col("neighbor_id").asc)
     val shortK = if (rerank > 0) math.max(k, rerank) else k
-    val shortlist = scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= shortK)
+    val shortlist = perQueryTopK(scored,
+      Seq(col("sq_sim").desc, col("neighbor_id").asc), shortK)
     if (rerank <= 0)
       shortlist.select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sq_sim"), 6).as("sq_sim"))
@@ -531,6 +552,8 @@ object Ann {
         Seq("query_id"))
         .withColumn("cos_sim",
           dot(col("qv2"), col("cv")) / sqrt(col("q_dot") * col("c_dot")))
+      // per-query input here is the ≤ shortK-row shortlist (bounded by
+      // construction), so the plain per-query window cannot funnel
       val w2 = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
       exact
@@ -578,12 +601,7 @@ object Ann {
       .withColumn(
         "cos_sim",
         dot(col("qv"), col("cv")) / sqrt(col("q_dot") * col("c_dot")))
-    val w = Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    perQueryTopK(scored, Seq(col("cos_sim").desc, col("neighbor_id").asc), k)
       .select(
         col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"))

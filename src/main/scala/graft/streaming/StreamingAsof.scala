@@ -13,15 +13,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Same union+carry shape as the batch operator, executed incrementally:
   * both sides union-tag into one keyed stream; right rows extend the
   * carried reference HISTORY (a small sorted list per key), left rows
-  * BUFFER until the watermark passes their event time and only then
-  * floor-look-up their match. The wait is what makes the result EXACT
-  * under any micro-batch slicing or cross-batch reordering: a reference
-  * that could still change the answer for a left event at time t must
-  * itself carry a timestamp ≤ t, and once the watermark has passed t
-  * any such straggler would be dropped by the engine's late filter —
-  * so the refs visible at flush time are ALL the refs the batch
-  * operator would see (StreamingAsofSpec asserts batch equality on
-  * shuffled slicings). Emission latency is the watermark delay — the
+  * BUFFER until the watermark passes STRICTLY beyond their event time
+  * and only then floor-look-up their match. The wait is what makes the
+  * result EXACT under any micro-batch slicing or cross-batch
+  * reordering: a reference that could still change the answer for a
+  * left event at time t must itself carry a timestamp ≤ t, and a left
+  * flushes only once wm > t — at which point every serving right
+  * (ts ≤ t < wm) would be dropped by the engine's late filter before
+  * reaching the operator. Spark 4.1 drops `ts <= wm`
+  * (LessThanOrEqual in WatermarkSupport.watermarkExpression), but the
+  * strict flush is deliberately convention-agnostic: it stays exact
+  * even on an engine that admits ts == wm rows. The refs visible at
+  * flush time are therefore ALL the refs the batch operator would see
+  * over the delivered rows (StreamingAsofSpec asserts batch equality
+  * on shuffled slicings and pins the wm-equality boundary). Emission latency is the watermark delay — the
   * same trade Spark's built-in stream-stream interval join makes, and
   * the reason the batch operator exists for latency-free backfill.
   *
@@ -125,7 +130,12 @@ object StreamingAsof {
         st: AsofSt,
         state: GroupState[AsofSt]): Iterator[AsofEnriched] = {
       val wm = state.getCurrentWatermarkMs()
-      val (ripe, wait) = st.pend.partition(_.tsMs <= wm)
+      // STRICT: flush only lefts the watermark has passed strictly —
+      // exact regardless of which side of the watermark the engine's
+      // late filter drops on (Spark 4.1 drops ts <= wm; an engine
+      // admitting ts == wm rights would need the equal-ts left to
+      // keep waiting, which this does)
+      val (ripe, wait) = st.pend.partition(_.tsMs < wm)
       val out = ripe.sortBy(p => (p.tsMs, p.id)).map { p =>
         st.refs.reverseIterator.find(_.tsMs <= p.tsMs) match {
           case Some(m) => AsofEnriched(key, p.id,
@@ -137,7 +147,7 @@ object StreamingAsof {
       }
       // prune: drop superseded refs older than the TTL horizon but
       // ALWAYS keep the newest one still serveable — for the waiting
-      // lefts (all > wm) and for any future left (> wm as well), the
+      // lefts (all ≥ wm) and for any future left (≥ wm as well), the
       // newest ref ≤ wm suffices as their floor candidate, so clamp
       // the horizon to the watermark; cap at maxRefs newest as the
       // fast-changing-right guard
@@ -151,10 +161,10 @@ object StreamingAsof {
         if (state.exists) state.remove()
       } else {
         state.update(AsofSt(refs, wait, st.lastMs))
-        // wake at the oldest waiting left (to flush it), else at idle
-        // expiry
+        // wake once the watermark is strictly past the oldest waiting
+        // left (to flush it), else at idle expiry
         val wake =
-          if (wait.nonEmpty) wait.map(_.tsMs).min
+          if (wait.nonEmpty) wait.map(_.tsMs).min + 1
           else math.max(st.lastMs, wm) + stateTtlMs
         state.setTimeoutTimestamp(math.max(wake, wm + 1))
       }

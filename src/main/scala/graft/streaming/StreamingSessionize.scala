@@ -24,15 +24,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    still epoch 0.
   *
   * Scale shape: both tiers shuffle once on the session key (the state
-  * store key). Per-key state is one open session (five scalars) —
-  * independent of stream history; total state is bounded by
-  * keys-active-within-gap.
+  * store key). Per-key state is one open session (five scalars) plus
+  * the events inside the watermark lag; total state is bounded by
+  * keys-active-within-gap × the lag, independent of stream history.
   *
-  * Contract of the custom tier: records are event-time sorted within
-  * each micro-batch; a record older than the open session's span
-  * extends that session (single-pass streaming sessionization's
-  * standard trade — the built-in tier buffers instead, at the cost of
-  * no sequence numbers). */
+  * Contract of the custom tier: arriving events BUFFER until the
+  * watermark passes strictly beyond their event time and only then
+  * fold into the session machine, in (ts, value) order. Any event the
+  * engine can still deliver has ts ≥ wm > every folded ts (whichever
+  * side of the watermark its late filter drops on), so by flush time
+  * every event that could land earlier has arrived — the fold sees
+  * the exact event-time order the batch operator sorts into, and
+  * session bounds/splits/numbering equal the batch
+  * [[graft.etl.Sessionize.sessionStats]] under ANY micro-batch
+  * slicing or cross-batch reordering within the watermark
+  * (StreamingSessionizeSpec asserts it on shuffled slicings). */
 object StreamingSessionize {
 
   /** One closed session. `sessionEnd` is the LAST event's time (the
@@ -45,13 +51,22 @@ object StreamingSessionize {
       nEvents: Long,
       totalValue: Double)
 
-  /** Open-session state (public: Spark encoder codegen needs it). */
+  /** One buffered event awaiting watermark passage (public: Spark
+    * encoder codegen needs it). */
+  case class PendEv(tsMs: Long, v: Double)
+
+  /** Per-key state: the open session (`nEvents == 0` = closed
+    * sentinel carrying only the sequence counter), events still inside
+    * the watermark lag, and the newest event time seen (anchors the
+    * counter TTL). Public: Spark encoder codegen needs it. */
   case class OpenSession(
       seq: Long,
       startMs: Long,
       lastMs: Long,
       nEvents: Long,
-      totalValue: Double)
+      totalValue: Double,
+      pend: Seq[PendEv],
+      lastSeenMs: Long)
 
   /** Built-in gap windows: one row per (key, session) with the
     * engine-managed session bounds. */
@@ -109,56 +124,100 @@ object StreamingSessionize {
         col(valueCol).cast("double").as("v"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
+    /** Fold every buffered event the watermark has passed STRICTLY
+      * (ts < wm) into the session machine in (ts, v) order — any event
+      * still admissible under the engine's late filter has ts ≥ wm >
+      * every folded ts, so folded sessions are final. Then close the
+      * open session if no admissible event can still land inside its
+      * gap (wm > lastMs + gap). Shared by the data and timeout paths. */
+    def flush(
+        key: Long,
+        st: OpenSession,
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (ripe, wait) = st.pend.partition(_.tsMs < wm)
+      // a closed sentinel (nEvents == 0) carries only the last-used
+      // sequence number; it is not an open session
+      var open: Option[OpenSession] = Some(st).filter(_.nEvents > 0)
+      var lastSeq = st.seq
+      val closed = Vector.newBuilder[ClosedSession]
+      ripe.sortBy(p => (p.tsMs, p.v)).foreach { p =>
+        val ms = p.tsMs
+        open match {
+          case Some(o) if ms - o.lastMs > gapMs =>
+            closed += ClosedSession(key, o.seq, o.startMs, o.lastMs,
+              o.nEvents, o.totalValue)
+            open = Some(OpenSession(o.seq + 1, ms, ms, 1L, p.v,
+              Vector.empty, st.lastSeenMs))
+          case Some(o) =>
+            open = Some(o.copy(
+              startMs = math.min(o.startMs, ms),
+              lastMs = math.max(o.lastMs, ms),
+              nEvents = o.nEvents + 1,
+              totalValue = o.totalValue + p.v))
+          case None =>
+            open = Some(OpenSession(lastSeq + 1, ms, ms, 1L, p.v,
+              Vector.empty, st.lastSeenMs))
+        }
+        lastSeq = open.get.seq
+      }
+      // idle past the gap: no admissible event (all ≥ wm) can extend
+      // the open session anymore — flush it, RETAIN the counter
+      open match {
+        case Some(o) if wm > o.lastMs + gapMs =>
+          closed += ClosedSession(key, o.seq, o.startMs, o.lastMs,
+            o.nEvents, o.totalValue)
+          open = None
+        case _ => ()
+      }
+      state.update(open match {
+        case Some(o) => o.copy(pend = wait, lastSeenMs = st.lastSeenMs)
+        case None => OpenSession(lastSeq, 0L, 0L, 0L, 0.0, wait,
+          st.lastSeenMs)
+      })
+      // wake at the earliest actionable moment: fold the oldest
+      // waiting event, close the open session, or expire the counter
+      val waitWake = wait.map(_.tsMs).minOption.map(_ + 1)
+      val closeWake = open.map(_.lastMs + gapMs + 1)
+      val wake = (waitWake.toSeq ++ closeWake.toSeq).minOption
+        .getOrElse(st.lastSeenMs + counterTtlMs)
+      state.setTimeoutTimestamp(math.max(wake, wm + 1))
+      closed.result().iterator
+    }
+
     keyed.flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
           state: GroupState[OpenSession]) =>
         if (state.hasTimedOut) {
           val st = state.get
-          if (st.nEvents > 0) {
-            // idle past the gap: flush the open session but RETAIN the
-            // sequence counter (closed sentinel) so later activity
-            // continues the numbering
-            state.update(st.copy(nEvents = 0L, totalValue = 0.0))
-            state.setTimeoutTimestamp(
-              math.max(st.lastMs, state.getCurrentWatermarkMs()) + counterTtlMs)
-            Iterator.single(ClosedSession(key, st.seq, st.startMs, st.lastMs,
-              st.nEvents, st.totalValue))
-          } else {
+          if (st.pend.isEmpty && st.nEvents == 0) {
             // counter TTL expired with no new activity: reclaim the key
             state.remove()
             Iterator.empty
-          }
+          } else flush(key, st, state)
         } else {
-          val sorted = rows.toVector.sortBy(r => (r._2.getTime, r._3))
-          // a closed sentinel (nEvents == 0) carries only the last-used
-          // sequence number; it is not an open session
-          var open = state.getOption.filter(_.nEvents > 0)
-          var lastSeq = state.getOption.map(_.seq).getOrElse(0L)
-          val closed = Vector.newBuilder[ClosedSession]
-          sorted.foreach { case (_, t, v) =>
+          val stored = state.getOption.getOrElse(
+            OpenSession(0L, 0L, 0L, 0L, 0.0, Vector.empty, Long.MinValue))
+          // the expiry timer only fires on a watermark ADVANCE; a key
+          // can receive fresh data first, so honor a lapsed counter TTL
+          // eagerly — numbering restarts either way (the documented
+          // contract)
+          val st0 =
+            if (stored.nEvents == 0 && stored.pend.isEmpty &&
+                stored.seq > 0 &&
+                state.getCurrentWatermarkMs() >=
+                  stored.lastSeenMs + counterTtlMs)
+              OpenSession(0L, 0L, 0L, 0L, 0.0, Vector.empty, Long.MinValue)
+            else stored
+          var pend = st0.pend.toVector
+          var lastSeen = st0.lastSeenMs
+          rows.foreach { case (_, t, v) =>
             val ms = t.getTime
-            open match {
-              case Some(st) if ms - st.lastMs > gapMs =>
-                closed += ClosedSession(key, st.seq, st.startMs, st.lastMs,
-                  st.nEvents, st.totalValue)
-                open = Some(OpenSession(st.seq + 1, ms, ms, 1L, v))
-              case Some(st) =>
-                open = Some(st.copy(
-                  startMs = math.min(st.startMs, ms),
-                  lastMs = math.max(st.lastMs, ms),
-                  nEvents = st.nEvents + 1,
-                  totalValue = st.totalValue + v))
-              case None =>
-                open = Some(OpenSession(lastSeq + 1, ms, ms, 1L, v))
-            }
-            lastSeq = open.get.seq
+            lastSeen = math.max(lastSeen, ms)
+            pend = pend :+ PendEv(ms, v)
           }
-          val st = open.get
-          state.update(st)
-          state.setTimeoutTimestamp(
-            math.max(st.lastMs, state.getCurrentWatermarkMs()) + gapMs)
-          closed.result().iterator
+          flush(key, st0.copy(pend = pend, lastSeenMs = lastSeen), state)
         }
     }
   }

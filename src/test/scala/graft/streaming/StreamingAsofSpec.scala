@@ -128,6 +128,52 @@ class StreamingAsofSpec extends SparkSpec {
       Set((5L, 50L, 5000L, Some(4000L), Some("late"))))
   }
 
+  test("watermark-equality boundary: parity holds for a right landing AT the watermark") {
+    // boundary pin: after batch 1 the watermark sits EXACTLY at 2000
+    // (both sides' max event time == 2000, delay 0). Spark 4.1's late
+    // filter is LessThanOrEqual (WatermarkSupport.watermarkExpression,
+    // verified against the shipped jar): a right with rts == wm is
+    // DROPPED in a later batch, never delivered to the operator — so
+    // batch-over-delivered-rows parity means the equal-ts left
+    // correctly emits NULL. The operator itself flushes lefts only
+    // STRICTLY below the watermark, which keeps that parity even if a
+    // future engine admits ts == wm rows (they'd then attach instead).
+    // If this test ever flips to Some("tie"), the engine's boundary
+    // convention changed — the operator is correct either way; update
+    // the pin.
+    val lefts = Seq(
+      Seq(LeftEvt(4, 40, t(2000))),            // pends; wm -> 2000 after batch
+      Seq(LeftEvt(4, 41, t(5000))),            // same-key data at wm == 2000
+      Seq(),
+      Seq(LeftEvt(99, 990, t(100000))))        // heartbeat walks wm past all
+    val rights = Seq(
+      Seq(RightRef(98, t(2000), "hb1")),       // pins right-side wm to 2000
+      Seq(),
+      Seq(RightRef(4, t(2000), "tie")),        // rts == wm: dropped by engine
+      Seq(RightRef(99, t(100000), "hb")))
+    val streamed = runAsof(lefts, rights, "asof_wmeq", delay = "0 seconds")
+      .filter(x => x._1 != 99L && x._1 != 98L)
+    assert(streamed === Set(
+      (4L, 40L, 2000L, None, None),
+      (4L, 41L, 5000L, None, None)))
+  }
+
+  test("a right delivered in the same batch as the watermark-equal left attaches") {
+    // companion to the boundary pin: when the equal-ts right IS
+    // delivered (same batch, before the watermark reaches it), the
+    // strict flush must still attach it — the left waits until wm
+    // passes strictly beyond 2000 and finds the ref in history
+    val lefts = Seq(
+      Seq(LeftEvt(6, 60, t(2000))),
+      Seq(LeftEvt(99, 990, t(100000))))
+    val rights = Seq(
+      Seq(RightRef(6, t(2000), "tie")),
+      Seq(RightRef(99, t(100000), "hb")))
+    val streamed = runAsof(lefts, rights, "asof_wmeq2", delay = "0 seconds")
+      .filter(_._1 != 99L)
+    assert(streamed === Set((6L, 60L, 2000L, Some(2000L), Some("tie"))))
+  }
+
   test("equals the batch join under shuffled micro-batch slicings") {
     // a dense two-sided history, delivered in a seeded shuffled order
     // across four triggers per side — slicing and cross-batch order are

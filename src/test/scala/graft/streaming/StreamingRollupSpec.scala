@@ -42,6 +42,30 @@ class StreamingRollupSpec extends SparkSpec {
     assert(snapshot(store) === want)
   }
 
+  test("final snapshot is invariant to how rows slice into micro-batches") {
+    // the merge is a commutative-associative fold (sum/count), so ANY
+    // slicing of the same rows into any number of batches must converge
+    // to the same snapshot as one big batch — the property that makes
+    // replay/backfill safe at scale. A seeded shuffle drives uneven
+    // slices through the full foreachBatch path.
+    val rows = (for (i <- 0 until 60) yield
+      Sale(Seq("O", "F", "P")(i % 3), 2020 + i % 5, (i % 7) + 0.25)).toVector
+    val rnd = new scala.util.Random(31)
+    val shuffled = rnd.shuffle(rows)
+    val slices = Seq(shuffled.take(1), shuffled.slice(1, 24),
+      shuffled.slice(24, 24), shuffled.slice(24, 60)) // incl. an empty batch
+    val store = Files.createTempDirectory("rollupshuf").toString
+    val ckpt = Files.createTempDirectory("rollupshufck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sale]
+    val q = StreamingRollup.start(input.toDF(), keys, measures, store, ckpt)
+    for (b <- slices if b.nonEmpty) { input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val want = IncrementalAgg.rollup(rows.toDF(), keys, measures)
+      .orderBy("status", "year").collect().map(_.toSeq)
+    assert(snapshot(store) === want)
+  }
+
   test("replaying a batch id reproduces its snapshot (no double-apply)") {
     val store = Files.createTempDirectory("rollupreplay").toString
     val b0 = Seq(Sale("O", 2023, 5.0), Sale("F", 2023, 3.0)).toDF()

@@ -101,6 +101,50 @@ class StreamingSessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annotateSessions equals batch sessions under shuffled micro-batch slicings") {
+    // session bounds, splits, and numbering are event-time facts, so
+    // they must be independent of how arrivals slice into micro-batches
+    // and of cross-batch reordering within the watermark — the exact
+    // failure mode of eager single-pass sessionization (a late in-gap
+    // event arriving after its session closed). A seeded shuffle
+    // delivers every user's history out of order across many triggers.
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2024-01-01 08:00:00").getTime
+    // per-user minute offsets -> sessions at gap 10 min:
+    // {0,3,5} {20,22} {40,41,43,44} {70,71} {95}
+    val offsets = Seq(0, 3, 5, 20, 22, 40, 41, 43, 44, 70, 71, 95)
+    val events = (for { u <- 1L to 4L; (m, i) <- offsets.zipWithIndex } yield
+      Ev(u, new java.sql.Timestamp(base + (m * 60L + u * 7) * 1000L),
+        i * 1.0 + u)).toVector
+    val rnd = new scala.util.Random(23)
+    val slices = rnd.shuffle(events).grouped(6).toSeq
+    val input = MemoryStream[Ev]
+    val q = StreamingSessionize
+      .annotateSessions(input.toDF(), "user_id", "ts", "value",
+        delay = "4 hours", gapMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("ss_shuf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      for (s <- slices) { input.addData(s: _*); q.processAllAvailable() }
+      input.addData(ev(99, "2024-01-02 00:00:00", 0.0))
+      q.processAllAvailable()
+      input.addData(ev(99, "2024-01-02 01:00:00", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ss_shuf").as[ClosedRow].collect()
+        .filter(_.key != 99L)
+        .map(r => (r.key, r.sessionSeq, r.nEvents, r.totalValue)).toSet
+      val batch = graft.etl.Sessionize.sessionStats(
+          events.toDF().withColumn("event_id",
+            org.apache.spark.sql.functions.col("user_id")),
+          "user_id", "ts", 10L * 60 * 1000000, "event_id", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+        .toSet
+      assert(streamed === batch,
+        s"diverged: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("annotateSessions matches batch Sessionize on a replayed stream") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
