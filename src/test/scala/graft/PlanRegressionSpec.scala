@@ -166,6 +166,55 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"merge must be union+agg, not a join:\n$plan")
   }
 
+  test("registry-wide: no rank window partitions by a dim-cardinality key alone") {
+    // the one-task-funnel audit, mechanized over EVERY registered query:
+    // a row_number/rank window whose partition key has dim cardinality
+    // (nation, lang, stratum, ...) serializes that group through one
+    // task at 100 TB. Every rank window must either partition by a
+    // high-cardinality key (per-doc/per-query/per-user ids) or carry a
+    // hash-bucket column (the two-phase top-k shape); a stratum-only
+    // window passes only when the same plan also contains its bucket
+    // phase (same partition + a bucket key), i.e. it consumes bounded
+    // survivors. Checkpoints inside operators truncate their internal
+    // windows from these plans — those shapes are asserted at unit
+    // level (SurrogateKeysSpec, DedupSpec).
+    val highCard = Set("fp", "doc_id", "query_id", "id", "user_id",
+      "neighbor_id", "key", "blk", "tbl", "bkt", "cluster_id",
+      "natural_key", "event_id", "token", "tok", "c_custkey", "o_custkey",
+      "o_orderkey", "l_orderkey", "s_suppkey", "p_partkey", "full_date")
+    val isBucket = (c: String) => c.endsWith("_bkt") || c.endsWith("_qbkt")
+    val spec = ("(?:row_number|rank|dense_rank)\\(\\) " +
+      "windowspecdefinition\\(([^)]*)").r
+    def partsOf(m: String): Seq[String] = m.split(", ")
+      .takeWhile(t => !t.contains(" ASC") && !t.contains(" DESC"))
+      .map(_.replaceAll("#\\d+L?", "").trim).filter(_.nonEmpty).toSeq
+    var seen = 0
+    val offenders = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+      allParts = spec.findAllMatchIn(plan).map(m => partsOf(m.group(1))).toSeq
+      parts <- allParts
+      _ = { seen += 1 }
+      if parts.nonEmpty // global windows audited separately (q77 test)
+      if !parts.exists(c => highCard(c) || isBucket(c))
+      // stratum-only global phase: OK iff its bucket phase is in-plan
+      if !allParts.exists(p => p.exists(isBucket) &&
+        parts.forall(p.contains))
+    } yield s"$name: rank window partitioned by ${parts.mkString(",")}"
+    assert(seen >= 10,
+      s"audit looks vacuous: only $seen rank windows matched — regex drift?")
+    assert(offenders.isEmpty,
+      s"dim-cardinality rank-window funnels:\n${offenders.mkString("\n")}")
+  }
+
+  test("q30 brute-force top-k is two-phase: neighbor-bucket rank precedes global") {
+    // the full-corpus ANN tiers score |Q|x|C| rows; the per-query rank
+    // must consume bucket survivors, not the raw scored frame
+    val plan = finalPlan(SparkEntry.queries("q30_ann_bruteforce")(spark, sfDir))
+    assert(plan.contains("_qbkt"),
+      s"neighbor-hash bucket phase missing from brute-force top-k:\n$plan")
+  }
+
   test("q83 bloom prefilter gates the anti-join: executor-local probe, one join") {
     // round 8: auto-selection dispatches the executor-local range tier
     // (the 2^20-key hint clears LocalTierMinKeys). The defining shape:
