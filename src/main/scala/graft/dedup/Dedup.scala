@@ -840,6 +840,12 @@ object Dedup {
     * @return (`id`, `comp`) — component = min reachable id, one row per
     *         node that appears in `pairs`
     */
+  /** Diagnostics of the most recent [[connectedComponents]] call in
+    * this JVM: (tier, fixpoint rounds, directed contracted edges). The
+    * driver tier reports 0 rounds. Written for the scale harness
+    * ([[graft.CcBench]]); not part of the query API. */
+  @volatile private[graft] var lastCcDiag: (String, Int, Long) = ("none", 0, 0L)
+
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 20,
@@ -949,6 +955,7 @@ object Dedup {
             "fixpoint; returned component labels may be UNCONVERGED. " +
             "Raise maxIter (rounds needed ~ log2 of the largest component " +
             "diameter after star contraction).")
+      lastCcDiag = ("loop", iter, nContracted)
       (labels, Some(labelsCp))
     }
     // Driver union-find over the bounded contracted edge list. Exact
@@ -993,6 +1000,7 @@ object Dedup {
           org.apache.spark.sql.Row(n, minOf.get(find(n)))): _*)
       // LocalRelation: exact size known → the final mapping join
       // broadcasts it, same plan shape as the loop tier's checkpoint
+      lastCcDiag = ("driver", 0, nContracted)
       Some((contracted.sparkSession.createDataFrame(rows, schema), None))
     }
     val (labels, labelsCpOpt) =
