@@ -46,6 +46,34 @@ class StreamingCdcSpec extends SparkSpec {
     assert(serve(latest(store)) === Set((1L, "a2", 20L), (3L, "c", 30L)))
   }
 
+  test("final state is invariant to how the op log slices into micro-batches") {
+    // latest-op-wins over the retained-tombstone store composes across
+    // ANY batch split (the StreamingCdc contract): a seeded shuffle
+    // delivers the log out of order across uneven triggers — including
+    // updates arriving after the tombstone that supersedes them and
+    // same-ts ops resolved by seq — and the converged state must equal
+    // one batch application of the full log.
+    val store = Files.createTempDirectory("cdcshuf").toString
+    val ckpt = Files.createTempDirectory("cdcshufck").toString
+    val log = (for { k <- 1L to 8L; i <- 0 until 8 } yield
+      Change(k, s"v${k}_$i", ts = (i / 2 * 10).toLong, // ts ties -> seq breaks
+        seq = k * 100 + i, op = if ((k + i) % 4 == 3) "D" else "U")).toVector
+    val rnd = new scala.util.Random(37)
+    val slices = rnd.shuffle(log).grouped(9).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = StreamingCdc.start(input.toDF(), "k", "ts", "seq", "op",
+      store, ckpt)
+    for (b <- slices) { input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val oneShot = Cdc.applyLog(
+      log.toDF().where(lit(false)), log.toDF(), "k", "ts", "seq", "op")
+    assert(serve(latest(store)) === serve(oneShot))
+    // spot-check the mechanism: every key's final op is i = 7, so keys
+    // with (k + 7) % 4 == 3 (k = 4, 8) end deleted
+    assert(serve(latest(store)).map(_._1) === Set(1L, 2L, 3L, 5L, 6L, 7L))
+  }
+
   test("replaying a batch id reproduces its snapshot") {
     val store = Files.createTempDirectory("cdcreplay").toString
     val b0 = Seq(Change(1, "a", 10, 0, "U")).toDF()
