@@ -35,6 +35,19 @@ object StreamingExpectations {
         col("n_rows"), col("pass"))
       .write.mode("append").parquet(metricsPath)
 
+  /** Read the metrics table with the read-time dedup contract applied:
+    * one row per (batch_id, constraint_name). A replayed batch id
+    * recomputes the SAME report row (the constraint set is declarative
+    * and the batch content is the source's replay of that id), so
+    * duplicates are value-identical and any-write-wins dedup is exact —
+    * `dropDuplicates` on the key, no ordering column needed. One
+    * metadata-scale shuffle on the report key. */
+  def readReport(
+      spark: org.apache.spark.sql.SparkSession,
+      metricsPath: String): DataFrame =
+    spark.read.parquet(metricsPath)
+      .dropDuplicates("batch_id", "constraint_name")
+
   /** Wire a streaming source into continuous quality reporting. */
   def start(
       stream: DataFrame,
