@@ -53,7 +53,7 @@ object SurrogateKeys {
     // but not the other would silently drop rows through the inner
     // join (observed at sf0.1: 15k-row dim lost half its rows). The
     // checkpoint pins one layout; blocks are GC-released with the frame.
-    val local = numberedLocal(dim, ord).localCheckpoint(false)
+    val local = graft.util.Blocks.lazyCheckpoint(numberedLocal(dim, ord))
     val offsets = local.groupBy(col("_sk_pid")).agg(count(lit(1)).as("_sk_n"))
       .withColumn("_sk_offset",
         coalesce(sum(col("_sk_n")).over(

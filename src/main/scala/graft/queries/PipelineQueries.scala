@@ -71,7 +71,7 @@ object PipelineQueries {
   private def withPlantedCheck(
       out: DataFrame,
       cond: org.apache.spark.sql.Column): DataFrame = {
-    val o = out.localCheckpoint(false)
+    val o = graft.util.Blocks.lazyCheckpoint(out)
     o.crossJoin(broadcast(o.agg(
       coalesce(max(when(cond, true)), lit(false)).as("planted_ok"))))
   }
@@ -119,8 +119,8 @@ object PipelineQueries {
       truthKeys: DataFrame,
       keyCols: Seq[String],
       floor: Double): DataFrame =
-    plantedAndRecallFrom(raw.localCheckpoint(false), cond,
-      truthKeys.localCheckpoint(false), keyCols, floor)
+    plantedAndRecallFrom(graft.util.Blocks.lazyCheckpoint(raw), cond,
+      graft.util.Blocks.lazyCheckpoint(truthKeys), keyCols, floor)
 
   /** The planted/recall assembly over result and truth frames the
     * caller has ALREADY arranged to materialize once (lazily via

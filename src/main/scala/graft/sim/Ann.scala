@@ -175,7 +175,7 @@ object Ann {
     * `order` because a global top-k row is also top-k in its own
     * bucket. Requires `query_id`/`neighbor_id` columns; emits
     * `rank` ∈ [1, k]. */
-  private def perQueryTopK(
+  private[graft] def perQueryTopK(
       scored: DataFrame,
       order: Seq[Column],
       k: Int): DataFrame = {
@@ -238,7 +238,7 @@ object Ann {
     * row per vector × probed centroid. Centroids ride in a broadcast
     * join — |corpus| × numCentroids scored rows, the standard IVF
     * assignment cost, fully distributed. */
-  private def assign(
+  private[graft] def assign(
       vecs: DataFrame,
       centroids: DataFrame,
       probe: Int): DataFrame = {
@@ -274,7 +274,7 @@ object Ann {
     * broadcast joins; the corpus never leaves the executors. Clusters
     * emptied by the Lloyd step drop out (their seed attracted no
     * members, so no assignment can need them). */
-  private def trainCentroids(c: DataFrame, numCentroids: Int): DataFrame = {
+  private[graft] def trainCentroids(c: DataFrame, numCentroids: Int): DataFrame = {
     val seeds = c.orderBy(xxhash64(col("id").cast("string")), col("id"))
       .limit(numCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("self_dot").as("c_dot"))
@@ -325,8 +325,8 @@ object Ann {
     // consumes this frame twice, and without the checkpoint each side
     // re-runs the whole centroid-training DAG (seed sort + Lloyd
     // aggregates + re-assignment) — measured 23.7 s -> 1.8 s at sf0.1
-    val assigned = assign(c, trainCentroids(c, numCentroids), assignProbe)
-      .localCheckpoint(false)
+    val assigned = graft.util.Blocks.lazyCheckpoint(
+      assign(c, trainCentroids(c, numCentroids), assignProbe))
     nearDupPairs(assigned, "id", "v", "cid", threshold, maxClusterSize)
       .dropDuplicates("id_a", "id_b")
   }

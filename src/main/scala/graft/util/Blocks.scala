@@ -3,6 +3,7 @@ package graft.util
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Deterministic lifecycle control for checkpoint/persist block sets.
   *
@@ -34,11 +35,34 @@ object Blocks {
   /** Eager local checkpoint with a deterministic-release handle.
     * Identical plan semantics to `df.localCheckpoint(true)` — the
     * resulting [[LogicalRDD]] carries the origin stats, so joins
-    * against the materialized frame still broadcast. */
-  def checkpoint(df: DataFrame): Checkpointed = {
-    val cp = df.localCheckpoint(eager = true)
+    * against the materialized frame still broadcast.
+    *
+    * Blocks are stored SERIALIZED (`MEMORY_AND_DISK_SER`), not the RDD
+    * default deserialized level: the rows are UnsafeRows — already
+    * flat binary — so deserialized storage only wraps each one in a
+    * Java object graph that measured ~3× the serialized bytes (a
+    * 1.19M-pair q23 result: 132 MB deserialized vs ~40 MB of row
+    * bytes) and feeds the old-gen with per-row objects for exactly the
+    * frames that live longest. Re-reads pay one buffer copy per batch,
+    * which the consumers here (single downstream join or hash-consume)
+    * never notice. */
+  def checkpoint(
+      df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER): Checkpointed = {
+    val cp = df.localCheckpoint(eager = true, storageLevel = level)
     Checkpointed(cp, handleOf(cp))
   }
+
+  /** LAZY local checkpoint with the same serialized storage as
+    * [[checkpoint]]: materializes at first consumption (building the
+    * plan runs no jobs — graft.Explain stays cheap), blocks are
+    * GC/ContextCleaner-released with the frame. For multi-consumer
+    * intermediates inside a query whose lifetime matches the returned
+    * frame's, where an eager handle has no deterministic release point
+    * anyway. */
+  def lazyCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false,
+      storageLevel = StorageLevel.MEMORY_AND_DISK_SER)
 
   /** The materialized RDD behind a checkpointed frame, if the plan is
     * the expected LogicalRDD shape (None on any other plan — callers
