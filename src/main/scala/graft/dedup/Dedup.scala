@@ -1092,7 +1092,7 @@ object Dedup {
 
   /** LSH banding over scalar signature columns m0..: one (band, bucket)
     * key per band, bucket = xxhash64 of the band's components. */
-  private def bandKeys(bands: Int, rowsPerBand: Int): Column =
+  private[graft] def bandKeys(bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
