@@ -109,6 +109,14 @@ object StreamingAnnIndex {
       }
       .start()
 
+  /** Fold all `batch_id ≤ upto` posting directories into one
+    * ([[StoreCompaction]] — the small-files bound for long-lived
+    * indexes); cid partitioning — and with it the query path's
+    * directory pruning — is preserved. `upto` must be ≤ the stream's
+    * last committed batch id. */
+  def compact(spark: SparkSession, store: String, upto: Long): Unit =
+    StoreCompaction.compactTree(spark, store, upto, Some("cid"))
+
   /** The whole index as one frame (batch_id, cid partition columns +
     * posting rows). `basePath` keeps the partition columns visible. */
   def readIndex(spark: SparkSession, store: String): DataFrame =

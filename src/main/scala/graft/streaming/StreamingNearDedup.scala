@@ -209,6 +209,18 @@ object StreamingNearDedup {
       }
       .start()
 
+  /** Fold the two HISTORY trees' `batch_id ≤ upto` directories into
+    * one ([[StoreCompaction]] — the small-files bound for long-lived
+    * stores). The verdicts tree is deliberately left alone: its
+    * batch_id is data (which batch saw the doc), the per-batch hot
+    * path never reads it, and exporting/archiving it is the
+    * downstream consumer's lifecycle. `upto` must be ≤ the stream's
+    * last committed batch id. */
+  def compact(spark: SparkSession, store: String, upto: Long): Unit = {
+    StoreCompaction.compactTree(spark, s"$store/buckets", upto, Some("rng"))
+    StoreCompaction.compactTree(spark, s"$store/docs", upto, Some("rng"))
+  }
+
   /** All verdicts so far: (batch_id, id, is_dup, dup_of). */
   def verdicts(spark: SparkSession, store: String): DataFrame =
     spark.read.option("basePath", s"$store/verdicts")
