@@ -322,6 +322,36 @@ object PipelineQueries {
       |    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------------ q33
+  /** Character-level near-dup pairs by blocked edit distance
+    * ([[Dedup.editDistanceJoin]]) — the record-linkage tier of the
+    * dedup ladder: catches typo/OCR-mutation copies whose shingle sets
+    * q23's Jaccard join scores below threshold. Exact w.r.t. its
+    * declared blocking contract (shared 16-char prefix, length diff
+    * ≤ 8, Levenshtein ≤ 8 on the 80-char verify window), so the
+    * all-pairs DuckDB oracle hash-matches; candidate generation
+    * shuffles on the (prefix, length-band) block key, never the pair
+    * space. */
+  def q33FuzzyDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistanceJoin(
+        docsSpread(s, dir), "doc_id", "text",
+        maxDist = 8, blockPrefixLen = 16, verifyPrefixLen = 80)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q33Oracle: String =
+    """WITH t AS (SELECT doc_id, text,
+      |    substr(text, 1, 16) AS p,
+      |    substr(text, 1, 80) AS vp,
+      |    CAST(length(text) AS BIGINT) AS l
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.vp, b.vp) AS BIGINT) AS prefix_dist,
+      |  a.l AS len_a, b.l AS len_b
+      |FROM t a JOIN t b
+      |  ON a.p = b.p AND a.doc_id < b.doc_id AND abs(a.l - b.l) <= 8
+      |WHERE levenshtein(a.vp, b.vp) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

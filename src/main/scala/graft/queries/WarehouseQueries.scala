@@ -631,6 +631,64 @@ object WarehouseQueries {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS ma7
       |FROM daily ORDER BY priority, d""".stripMargin
 
+  // ------------------------------------------------------------------ q53
+  /** Trailing-window revenue anomaly days — the dashboard alerting
+    * shape: a day is a `spike` when its revenue exceeds 2× the
+    * trailing-28-day mean and a `drop` when it falls below half,
+    * gated on ≥ 14 observed prior days so a sparse history never
+    * alerts. All arithmetic is INTEGER-EXACT: revenue is summed in
+    * cents (long), the threshold tests are cross-multiplied to
+    * `n·x > 2·S` / `2·n·x < S`, and the reported ratio is integer
+    * basis points — no floating-point comparison exists anywhere, so
+    * the oracle hash-matches with zero boundary risk (a 2σ z-score
+    * variant needs Σx² products that overflow 64-bit at sf ≥ 1; the
+    * cross-multiplied mean test never exceeds ~10¹⁵ at 100× sf1).
+    * One shuffle on the priority key, shared by the daily rollup and
+    * the trailing window. */
+  def q53AnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .withColumn("d", to_date(col("o_orderdate")))
+      .groupBy(col("o_orderpriority").as("priority"), col("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .as("day_rev_c"))
+      .withColumn("day_idx", datediff(col("d"), lit("1970-01-01")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("day_idx"))
+      .rangeBetween(-28, -1)
+    daily
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s_prev", sum(col("day_rev_c")).over(w))
+      .withColumn("ratio_bp",
+        expr("(10000 * n_prev * day_rev_c) div s_prev"))
+      .withColumn("is_spike",
+        col("n_prev") >= 14 &&
+          col("n_prev") * col("day_rev_c") > lit(2L) * col("s_prev"))
+      .withColumn("is_drop",
+        col("n_prev") >= 14 &&
+          lit(2L) * col("n_prev") * col("day_rev_c") < col("s_prev"))
+      .select(col("priority"), col("d"), col("day_rev_c"), col("n_prev"),
+        col("ratio_bp"), col("is_spike"), col("is_drop"))
+      .orderBy(col("priority"), col("d"))
+  }
+
+  val q53Oracle: String =
+    """WITH daily AS (SELECT o_orderpriority AS priority,
+      |    CAST(o_orderdate AS DATE) AS d,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS day_rev_c,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx
+      |  FROM orders GROUP BY 1, 2, 4),
+      |w AS (SELECT priority, d, day_rev_c,
+      |    count(*) OVER win AS n_prev,
+      |    CAST(sum(day_rev_c) OVER win AS BIGINT) AS s_prev
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY priority ORDER BY day_idx
+      |    RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING))
+      |SELECT priority, d, day_rev_c, n_prev,
+      |  CAST((10000 * n_prev * day_rev_c) // s_prev AS BIGINT) AS ratio_bp,
+      |  (n_prev >= 14 AND n_prev * day_rev_c > 2 * s_prev) AS is_spike,
+      |  (n_prev >= 14 AND 2 * n_prev * day_rev_c < s_prev) AS is_drop
+      |FROM w ORDER BY priority, d""".stripMargin
+
   // ------------------------------------------------------------------ q70
   /** Cohort retention over the event stream: users grouped by
     * first-activity week, actives counted per (cohort week, activity

@@ -442,4 +442,45 @@ class DedupSpec extends SparkSpec {
     val full = Dedup.minHashDedup(many, "id", "text")
     assert(full.count() === 50L * 49 / 2)
   }
+
+  test("editDistanceJoin finds typo mutations, honors block + length contract") {
+    val prefix = "shared sixteen c" // exactly 16 chars
+    val fuzzy = Seq(
+      (10L, prefix + "opy of a document body with a small typo inside"),
+      (11L, prefix + "opy of a document body with a small typpo inside"),
+      (12L, prefix + "opy of a document body with a small typo inside" +
+        " plus thirty extra characters appended here"), // len diff > maxDist
+      (13L, "different start " + "opy of a document body with a small typo inside"),
+      (14L, prefix + "ompletely rewritten tail that no edit budget can bridge xxxx")
+    ).toDF("id", "text")
+    val out = Dedup.editDistanceJoin(fuzzy, "id", "text", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((10L, 11L, 1L)),
+      "only the in-block, in-length-budget, in-distance pair qualifies")
+  }
+
+  test("editDistanceJoin length banding is lossless and duplicate-free") {
+    // lenBucket = 16: lengths 31 and 33 sit in bands 1 and 2 — the pair
+    // crosses a band boundary and must still be found exactly once
+    val base = "0123456789abcdef" // 16-char block prefix
+    val df = Seq(
+      (1L, base + "xxxxxxxxxxxxxxx"),        // len 31 -> band 1
+      (2L, base + "xxxxxxxxxxxxxxxyy"),      // len 33 -> band 2
+      (3L, base + "xxxxxxxxxxxxxxxyyzzzzzz") // len 39, diff 8 from id 1 -> kept
+    ).toDF("id", "text")
+    val rows = Dedup.editDistanceJoin(df, "id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.distinct.length, "no duplicate pair rows")
+    assert(rows.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("editDistanceJoin threshold excludes pairs past maxDist") {
+    val base = "0123456789abcdef"
+    val df = Seq(
+      (1L, base + " aaaa bbbb cccc"),
+      (2L, base + " aaaa bbbb zzzz") // distance 4 on the verify window
+    ).toDF("id", "text")
+    assert(Dedup.editDistanceJoin(df, "id", "text", maxDist = 4).count() === 1)
+    assert(Dedup.editDistanceJoin(df, "id", "text", maxDist = 3).count() === 0)
+  }
 }
