@@ -1272,6 +1272,27 @@ object PipelineQueries {
       |HAVING count(*) >= 20
       |ORDER BY n_occurrences DESC, token""".stripMargin
 
+  // ------------------------------------------------------------------ q55
+  /** Exact corpus heavy hitters ([[graft.text.HeavyHitters]]): every
+    * token with frequency ≥ total/400, exact counts and integer-bp
+    * shares, found WITHOUT shuffling the vocabulary — per-partition
+    * Misra–Gries candidates (provable superset, bounded driver
+    * metadata) then an exact broadcast-filtered count. Result is
+    * partitioning-independent, so the plain groupBy DuckDB oracle
+    * hash-matches. */
+  def q55HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.text.HeavyHitters.heavyTokens(docsSpread(s, dir), "text", k = 400)
+
+  val q55Oracle: String =
+    """WITH toks AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents),
+      |t AS (SELECT token FROM toks WHERE len(token) > 0),
+      |tot AS (SELECT count(*) AS n FROM t)
+      |SELECT token, count(*) AS n_occurrences,
+      |  CAST((10000 * count(*)) // max(n) AS BIGINT) AS share_bp
+      |FROM t, tot GROUP BY token, tot.n HAVING count(*) * 400 >= tot.n
+      |ORDER BY n_occurrences DESC, token""".stripMargin
+
   // ------------------------------------------------------------------ q72
   /** Deterministic train/val/test split
     * ([[graft.curate.Curation.assignSplit]], 80/10/10 by id hash) with
