@@ -58,25 +58,11 @@ object HeavyHitters {
       .where(length(col("token")) > 0)
       .as[String]
 
-    // Candidate pass: (candidate, -1) rows plus one (null, localCount)
-    // sentinel per partition.
+    // Candidate pass ([[Mg.summarize]] per partition): (candidate, -1)
+    // rows plus one (null, localCount) sentinel per partition.
     val summaries = tokenStream.mapPartitions { iter =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      var localN = 0L
-      iter.foreach { t =>
-        localN += 1
-        counters.get(t) match {
-          case Some(c) => counters.update(t, c + 1)
-          case None if counters.size < k - 1 => counters.update(t, 1L)
-          case None => // decrement-all step; drop exhausted counters
-            val survivors = counters.collect {
-              case (tok, c) if c > 1L => (tok, c - 1L)
-            }
-            counters.clear()
-            counters ++= survivors
-        }
-      }
-      counters.keysIterator.map(t => (t, -1L)) ++ Iterator((null: String, localN))
+      val s = Mg.summarize(iter, k - 1)
+      s.counts.keysIterator.map(t => (t, -1L)) ++ Iterator((null: String, s.n))
     }.collect()
 
     val total = summaries.collect { case (null, n) => n }.sum

@@ -1,0 +1,84 @@
+package graft.text
+
+/** A Misra–Gries counter summary with a TRACKED error bound.
+  *
+  * Invariants (both machine-checked in MgSpec against exact truth, and
+  * the basis of every guarantee the heavy-hitter operators advertise):
+  * for every token `t` over the `n` items the summary has absorbed,
+  *
+  *   `counts.getOrElse(t, 0) <= true(t) <= counts.getOrElse(t, 0) + err`
+  *
+  * and `err <= n / (capacity + 1)` — each decrement step (insert
+  * overflow or merge compaction) lowers every stored count by the same
+  * amount it adds to `err`, and a step that adds `c` to `err` consumes
+  * at least `c·(capacity+1)` input items.
+  *
+  * Summaries are MERGEABLE (Agarwal et al., "Mergeable Summaries",
+  * PODS'12): [[Mg.merge]] of two summaries keeps both invariants with
+  * `err = err_a + err_b + (compaction offset)`, so any merge tree over
+  * any partitioning/slicing of the input — executor partitions inside
+  * a batch, micro-batches across a stream — yields a summary whose
+  * candidate set provably contains every true heavy hitter. The
+  * CONTENT of the summary depends on the merge tree; the GUARANTEES do
+  * not.
+  */
+final case class MgSummary(counts: Map[String, Long], err: Long, n: Long) {
+
+  /** Provable superset of all tokens with true count ≥ n/k (requires
+    * k ≤ capacity the summary was built with; callers keep k well
+    * below capacity for tight sets). Each candidate carries its
+    * count bounds `[lb, lb + err]`. */
+  def candidates(k: Int): Seq[(String, Long, Long)] =
+    counts.toSeq.collect {
+      case (t, lb) if (lb + err) * k >= n => (t, lb, lb + err)
+    }
+}
+
+object Mg {
+
+  val empty: MgSummary = MgSummary(Map.empty, 0L, 0L)
+
+  /** Absorb a token stream into a fresh summary with `capacity`
+    * counters. O(1) amortized per item, O(capacity) memory. */
+  def summarize(tokens: Iterator[String], capacity: Int): MgSummary = {
+    require(capacity >= 1, s"Mg capacity must be >= 1, got $capacity")
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    var err = 0L
+    var n = 0L
+    tokens.foreach { t =>
+      n += 1
+      counters.get(t) match {
+        case Some(c) => counters.update(t, c + 1)
+        case None if counters.size < capacity => counters.update(t, 1L)
+        case None => // decrement-all: the incoming token is absorbed too
+          err += 1
+          val survivors = counters.collect {
+            case (tok, c) if c > 1L => (tok, c - 1L)
+          }
+          counters.clear()
+          counters ++= survivors
+      }
+    }
+    MgSummary(counters.toMap, err, n)
+  }
+
+  /** Merge two summaries back to `capacity` counters: union-add, then
+    * if over capacity subtract the (capacity+1)-th largest count from
+    * every entry (dropping non-positives) and add it to the error. */
+  def merge(a: MgSummary, b: MgSummary, capacity: Int): MgSummary = {
+    require(capacity >= 1, s"Mg capacity must be >= 1, got $capacity")
+    val summed = (a.counts.keySet ++ b.counts.keySet).iterator.map { t =>
+      t -> (a.counts.getOrElse(t, 0L) + b.counts.getOrElse(t, 0L))
+    }.toMap
+    val n = a.n + b.n
+    val baseErr = a.err + b.err
+    if (summed.size <= capacity) MgSummary(summed, baseErr, n)
+    else {
+      val cut = summed.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+      val kept = summed.collect {
+        case (t, c) if c > cut => t -> (c - cut)
+      }
+      MgSummary(kept, baseErr + cut, n)
+    }
+  }
+}
