@@ -716,6 +716,41 @@ object WarehouseQueries {
       |GROUP BY c.cohort_week, e.week
       |ORDER BY c.cohort_week, e.week""".stripMargin
 
+  // ------------------------------------------------------------------ q57
+  /** Rolling 7-day active users per day — the rolling-MAU/WAU
+    * engagement dashboard. EXACT distinct over a trailing window,
+    * which no window function expresses (distinct sets don't merge by
+    * subtraction): the standard scale shape instead — dedup to
+    * (user, day) pairs (one map-side-combinable aggregation bounded by
+    * active pairs, not events), fan each pair out to the ≤ 7 report
+    * days it covers, and count distinct per report day. The fan-out
+    * factor IS the window length — bounded by construction — and
+    * report days are restricted to days that actually have events, so
+    * the output is a left-total dashboard series. */
+  def q57RollingActives(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val days = ud.select(col("day").as("report_day")).distinct()
+    ud.withColumn("report_day",
+        explode(sequence(col("day"), col("day") + 6)))
+      .join(days, "report_day")
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .orderBy(col("report_day"))
+  }
+
+  val q57Oracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    (epoch_ns(ts) // 1000) // 86400000000 AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day AS report_day FROM ud),
+      |fan AS (SELECT user_id, unnest(generate_series(day, day + 6)) AS report_day
+      |  FROM ud)
+      |SELECT f.report_day, count(DISTINCT f.user_id) AS active_7d
+      |FROM fan f JOIN days d ON f.report_day = d.report_day
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------ q74
   /** Fixed-width value histogram of the fact's extended price (20 bins
     * of 5000, overflow clamped to the last bin) — distribution
@@ -1210,5 +1245,45 @@ object WarehouseQueries {
        |  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
        |  (max(x) < 32 OR min(x) > 47) AS prunable_x32_47
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------ q56
+  /** Small-file compaction plan over the q86 z-order layout
+    * ([[graft.etl.Compaction.planSortedFill]]): files in (size desc,
+    * id) order binned by integer prefix-sum against a target of
+    * total/16 — the table-maintenance step that keeps a long-lived
+    * layout scannable. The prefix sum runs bucket-parallel (two-phase
+    * range partition + broadcast offsets, never one global-window
+    * task); all arithmetic is integer-exact, so the single-window SQL
+    * oracle hash-matches. The one driver action (the 1-row total used
+    * to derive the target) is bounded by construction. */
+  def q56CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(s, dir).select(
+      (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+    val stats = graft.etl.ZOrder.fileStats(keyed, "x", "y", bits = 8, fileBits = 6)
+      .select(col("file_id"), col("n_rows"))
+    val total = stats.agg(sum(col("n_rows"))).head.getLong(0)
+    val target = total / 16 + 1
+    graft.etl.Compaction.planSortedFill(stats, "file_id", "n_rows", target)
+      .select(col("file_id"), col("n_rows"), col("bin"))
+      .orderBy(col("bin"), col("file_id"))
+  }
+
+  /** Shares q86's Morton-term generator so both engines keep one
+    * z-value definition. */
+  val q56Oracle: String = {
+    val terms = (0 until 8).flatMap { i =>
+      Seq(s"((x & ${1L << i}) << $i)", s"((y & ${1L << i}) << ${i + 1})")
+    }.mkString(" | ")
+    s"""WITH k AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+       |z AS (SELECT x, y, ($terms) AS zval FROM k),
+       |f AS (SELECT (zval >> 10) AS file_id, count(*) AS n_rows FROM z GROUP BY 1),
+       |t AS (SELECT (sum(n_rows) // 16) + 1 AS target FROM f),
+       |c AS (SELECT file_id, n_rows,
+       |    sum(n_rows) OVER (ORDER BY n_rows DESC, file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f)
+       |SELECT c.file_id, c.n_rows, CAST((c.cum - c.n_rows) // t.target AS BIGINT) AS bin
+       |FROM c, t ORDER BY bin, file_id""".stripMargin
   }
 }

@@ -232,4 +232,40 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(antiJoins == 1,
       s"expected exactly 1 anti-join after the bloom split, got $antiJoins:\n$plan")
   }
+
+  test("q33 edit-distance join blocks on (prefix, band) — no pair-space join") {
+    // the defining scale property: candidates come from ONE equi-join
+    // keyed on the block, never a nested-loop over the pair space
+    val plan = finalPlan(SparkEntry.queries("q33_fuzzy_dedup")(spark, sfDir))
+    assert(countOf(plan, "CartesianProduct") == 0 &&
+      countOf(plan, "BroadcastNestedLoopJoin") == 0,
+      s"edit-distance join degraded to a pair-space join:\n$plan")
+    val joins = countOf(plan, "BroadcastHashJoin") +
+      countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin")
+    assert(joins == 1, s"expected exactly one blocked equi-join, got $joins:\n$plan")
+    assert(plan.contains("band"), s"length-band key missing from the join:\n$plan")
+  }
+
+  test("q53 anomaly window rides the pre-aggregated daily rollup") {
+    // the trailing window's input must be the (priority, day) aggregate
+    // (dim-sized), with the fact reduced by a map-side partial first
+    val plan = finalPlan(SparkEntry.queries("q53_anomaly_days")(spark, sfDir))
+    assert(plan.contains("RangeFrame, -28, -1"),
+      s"trailing 28d window frame missing:\n$plan")
+    assert(countOf(plan, "HashAggregate") >= 2,
+      s"daily rollup must partial-aggregate map-side:\n$plan")
+    assert(countOf(plan, "Join") == 0,
+      s"anomaly flags must come from the window, not a self-join:\n$plan")
+  }
+
+  test("q55 heavy hitters: the exact pass joins broadcast candidates only") {
+    // the vocabulary long tail must die at the broadcast semi-filter;
+    // a SortMergeJoin or a pre-join aggregate on token means the full
+    // vocabulary shuffled after all
+    val plan = finalPlan(SparkEntry.queries("q55_heavy_hitters")(spark, sfDir))
+    assert(countOf(plan, "BroadcastHashJoin") == 1,
+      s"candidate filter must be one broadcast join:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") == 0,
+      s"heavy-hitter exact pass must not shuffle-join:\n$plan")
+  }
 }
