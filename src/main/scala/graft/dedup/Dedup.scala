@@ -1325,7 +1325,12 @@ object Dedup {
     * `blockPrefixLen` key should be lengthened (or composed with a
     * cheap second signal, e.g. a length band is already included here)
     * before falling back to [[jaccardJoin]], whose prefix-filtering
-    * tier tolerates skew natively.
+    * tier tolerates skew natively. `maxBlockSize` is the hard
+    * backstop (the [[minHashDedup]] `maxBucketSize` policy): blocks
+    * over the cap are dropped ENTIRELY — a deterministic, documented
+    * recall trade that bounds the worst task, instead of a hot prefix
+    * quadratically stalling the stage. The default (no cap) keeps the
+    * operator exact w.r.t. its blocking contract.
     *
     * @param docs    input with `idCol` and `textCol`
     * @return (`id_a`, `id_b`, `prefix_dist`, `len_a`, `len_b`) with
@@ -1338,17 +1343,28 @@ object Dedup {
       maxDist: Int = 8,
       blockPrefixLen: Int = 16,
       verifyPrefixLen: Int = 80,
-      lenBucket: Int = 16): DataFrame = {
+      lenBucket: Int = 16,
+      maxBlockSize: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0, s"editDistanceJoin: maxDist must be >= 0, got $maxDist")
     require(lenBucket >= math.max(maxDist, 1),
       s"editDistanceJoin: lenBucket ($lenBucket) must be >= maxDist " +
         s"($maxDist) for length banding to be lossless")
-    val base = docs.select(
+    val uncapped = docs.select(
       col(idCol).as("id"),
       substring(col(textCol), 1, verifyPrefixLen).as("vp"),
       substring(col(textCol), 1, blockPrefixLen).as("p"),
       length(col(textCol)).cast("long").as("l"))
       .withColumn("lb", floor(col("l") / lenBucket))
+    // No-cap path adds NO plan nodes — the default stays exact and the
+    // oracle stays valid; the capped path pays one block-sized count.
+    val base =
+      if (maxBlockSize == Int.MaxValue) uncapped
+      else {
+        val sizes = uncapped.groupBy(col("p"), col("lb"))
+          .agg(count(lit(1)).as("_eb_n"))
+          .where(col("_eb_n") <= maxBlockSize)
+        uncapped.join(sizes, Seq("p", "lb")).drop("_eb_n")
+      }
     // Probe side fans each doc out to its band ±1; a qualifying pair
     // (|len diff| <= maxDist <= lenBucket) meets where band_probe ==
     // lb_base — exactly once per role assignment, and the id ordering

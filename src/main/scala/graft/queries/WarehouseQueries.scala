@@ -689,6 +689,51 @@ object WarehouseQueries {
       |  (n_prev >= 14 AND 2 * n_prev * day_rev_c < s_prev) AS is_drop
       |FROM w ORDER BY priority, d""".stripMargin
 
+  // ------------------------------------------------------------------ q59
+  /** Week-over-week revenue change per priority — the delta-ribbon
+    * every revenue dashboard carries. Weekly rollup in integer cents
+    * (map-side-combinable), one lag window over the dim-sized weekly
+    * series, and the percent change reported in integer basis points
+    * with SIGN-SPLIT division: Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, so negative quotients disagree by one
+    * — computing `sign · (10000·|diff| div prev)` keeps both engines
+    * on the positive-division path where they agree exactly. */
+  def q59WowChange(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.orders(s, dir)
+      .withColumn("week",
+        (datediff(to_date(col("o_orderdate")), lit("1970-01-01")) / 7)
+          .cast("long"))
+      .groupBy(col("o_orderpriority").as("priority"), col("week"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .as("week_rev_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_rev_c", lag(col("week_rev_c"), 1).over(w))
+      .withColumn("diff", col("week_rev_c") - col("prev_rev_c"))
+      .withColumn("wow_bp",
+        when(col("diff") >= 0, expr("(10000 * diff) div prev_rev_c"))
+          .otherwise(-expr("(10000 * -diff) div prev_rev_c")))
+      .select(col("priority"), col("week"), col("week_rev_c"),
+        col("prev_rev_c"), col("wow_bp"))
+      .orderBy(col("priority"), col("week"))
+  }
+
+  val q59Oracle: String =
+    """WITH weekly AS (SELECT o_orderpriority AS priority,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7 AS BIGINT) AS week,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS week_rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |lagged AS (SELECT priority, week, week_rev_c,
+      |    lag(week_rev_c, 1) OVER (PARTITION BY priority ORDER BY week) AS prev_rev_c
+      |  FROM weekly)
+      |SELECT priority, week, week_rev_c, prev_rev_c,
+      |  CAST(CASE WHEN week_rev_c - prev_rev_c >= 0
+      |    THEN (10000 * (week_rev_c - prev_rev_c)) // prev_rev_c
+      |    ELSE -((10000 * (prev_rev_c - week_rev_c)) // prev_rev_c)
+      |  END AS BIGINT) AS wow_bp
+      |FROM lagged ORDER BY priority, week""".stripMargin
+
   // ------------------------------------------------------------------ q70
   /** Cohort retention over the event stream: users grouped by
     * first-activity week, actives counted per (cohort week, activity

@@ -474,6 +474,22 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("editDistanceJoin maxBlockSize drops degenerate blocks, keeps the rest") {
+    val base = "0123456789abcdef"
+    val hot = (1L to 30L).map(i => (i, base + "same boilerplate body"))
+    val cool = Seq((100L, "another prefix xx tail one"),
+      (101L, "another prefix xx tail onx"))
+    val df = (hot ++ cool).toDF("id", "text")
+    val capped = Dedup.editDistanceJoin(df, "id", "text", maxDist = 4,
+      maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq === Seq((100L, 101L)),
+      "hot block dropped, cool block survives")
+    // default: no cap, the hot block pairs all-vs-all
+    assert(Dedup.editDistanceJoin(df, "id", "text", maxDist = 4).count()
+      === 30L * 29 / 2 + 1)
+  }
+
   test("editDistanceJoin threshold excludes pairs past maxDist") {
     val base = "0123456789abcdef"
     val df = Seq(
