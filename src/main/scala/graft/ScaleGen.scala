@@ -70,19 +70,28 @@ object ScaleGen {
         .otherwise(acc)
     }
 
-    val docs = spark.read.parquet(s"$src/documents.parquet")
+    // Replica id offset derives from the SOURCE id space (max+1, one
+    // bounded 1-row agg) instead of a fixed constant, so ScaleGen
+    // CHAINS: 10x of a 10x corpus yields collision-free ids at 100x.
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+    val docOffset = math.max(
+      srcDocs.agg(max(col("doc_id"))).head.getLong(0) + 1L, 10000000L)
+    val docs = srcDocs
       .crossJoin(broadcast(reps))
       .select(
-        (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+        (col("doc_id") + col("rep").cast("long") * docOffset).as("doc_id"),
         textPerRep.as("text"),
         col("lang"), col("source"), col("n_chars"))
     docs.repartition(32).write.mode("overwrite")
       .parquet(s"$out/documents.parquet")
 
-    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val srcEmbs = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecOffset = math.max(
+      srcEmbs.agg(max(col("vec_id"))).head.getLong(0) + 1L, 10000000L)
+    val embs = srcEmbs
       .crossJoin(broadcast(reps))
       .select(
-        (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+        (col("vec_id") + col("rep").cast("long") * vecOffset).as("vec_id"),
         when(col("rep") === 0, col("embedding")).otherwise(
           transform(col("embedding"), (x, i) =>
             (x + (pmod(xxhash64(col("vec_id"), i, col("rep")), lit(101L))

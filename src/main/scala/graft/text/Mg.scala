@@ -39,27 +39,36 @@ object Mg {
   val empty: MgSummary = MgSummary(Map.empty, 0L, 0L)
 
   /** Absorb a token stream into a fresh summary with `capacity`
-    * counters. O(1) amortized per item, O(capacity) memory. */
+    * counters. O(1) amortized per item (each decrement-all trigger
+    * subtracts `size` from the stored mass and mass in is ≤ n, so
+    * total trigger work is O(n)), O(capacity) memory — and ZERO
+    * per-token allocation: this loop sees every token of a corpus, and
+    * both an immutable rebuild per trigger and the per-lookup `Option`
+    * boxing of a Scala map measurably turned a 100× bench pass into GC
+    * time. A mutable one-element array is the unboxed counter cell. */
   def summarize(tokens: Iterator[String], capacity: Int): MgSummary = {
     require(capacity >= 1, s"Mg capacity must be >= 1, got $capacity")
-    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    val counters = new java.util.HashMap[String, Array[Long]]()
     var err = 0L
     var n = 0L
     tokens.foreach { t =>
       n += 1
-      counters.get(t) match {
-        case Some(c) => counters.update(t, c + 1)
-        case None if counters.size < capacity => counters.update(t, 1L)
-        case None => // decrement-all: the incoming token is absorbed too
-          err += 1
-          val survivors = counters.collect {
-            case (tok, c) if c > 1L => (tok, c - 1L)
-          }
-          counters.clear()
-          counters ++= survivors
+      val cell = counters.get(t)
+      if (cell != null) cell(0) += 1L
+      else if (counters.size < capacity) counters.put(t, Array(1L))
+      else { // decrement-all: the incoming token is absorbed too
+        err += 1
+        val it = counters.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          c(0) -= 1L
+          if (c(0) == 0L) it.remove()
+        }
       }
     }
-    MgSummary(counters.toMap, err, n)
+    val out = Map.newBuilder[String, Long]
+    counters.forEach((t, c) => out += t -> c(0))
+    MgSummary(out.result(), err, n)
   }
 
   /** Merge two summaries back to `capacity` counters: union-add, then
