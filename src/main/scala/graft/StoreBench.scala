@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{StreamingAnnIndex, StreamingNearDedup}
+
+/** Reproducible walls for the persistent-store incremental tiers —
+  * the numbers behind BENCH_NOTES' "incremental-maintenance tiers"
+  * table, previously measured ad hoc.
+  *
+  * Protocol (cold JVM, like CcBench): index the corpus minus a holdout
+  * as ONE bulk batch ("bulk" — the degenerate worst case for per-batch
+  * fixed cost), then append the holdout as a steady-state increment
+  * ("inc" — probes the full store). For the ANN index, a query pass
+  * follows. Walls and verdict/output counts print as one JSON line.
+  *
+  *   runMain graft.StoreBench <sfDir> [holdoutDocs] [holdoutVecs]
+  */
+object StoreBench {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val holdDocs = if (args.length > 1) args(1).toInt else 50
+    val holdVecs = if (args.length > 2) args(2).toInt else 50
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-store-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("storebench").toString
+
+    // ---- StreamingNearDedup: bulk history + one incremental batch
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val history = docs.where(col("doc_id") % 100 =!= 7L)
+    val batch = docs.where(col("doc_id") % 100 === 7L).limit(holdDocs)
+    val ndStore = s"$base/neardedup"
+    val (_, ndBulk) = timed(
+      StreamingNearDedup.appendBatch(history, 0L, "doc_id", "text", ndStore))
+    val (_, ndInc) = timed(
+      StreamingNearDedup.appendBatch(batch, 1L, "doc_id", "text", ndStore))
+    val flagged = spark.read.parquet(s"$ndStore/verdicts")
+      .where(col("is_dup")).count()
+
+    // ---- StreamingAnnIndex: bulk + incremental + query pass
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val vHistory = vecs.where(col("vec_id") % 100 =!= 7L)
+    val vBatch = vecs.where(col("vec_id") % 100 === 7L).limit(holdVecs)
+    val queries = vecs.orderBy(col("vec_id")).limit(100)
+    val annStore = s"$base/annindex"
+    val quant = StreamingAnnIndex.trainQuantizer(
+      vHistory.limit(2048), "vec_id", "embedding", numCentroids = 64)
+    val (_, annBulk) = timed(
+      StreamingAnnIndex.appendBatch(vHistory, 0L, quant, "vec_id", "embedding", annStore))
+    val (_, annInc) = timed(
+      StreamingAnnIndex.appendBatch(vBatch, 1L, quant, "vec_id", "embedding", annStore))
+    val ((qRows, _), annQuery) = timed {
+      val r = StreamingAnnIndex.queryTopK(
+        spark, annStore, quant, queries, "vec_id", "embedding", k = 10, nProbe = 4)
+      (r.count(), ())
+    }
+
+    println(
+      s"""{"sf":"$sfDir","n_docs":$nDocs,"nd_bulk_sec":${f"$ndBulk%.2f"},"nd_inc_sec":${f"$ndInc%.2f"},"nd_flagged":$flagged,"ann_bulk_sec":${f"$annBulk%.2f"},"ann_inc_sec":${f"$annInc%.2f"},"ann_query_sec":${f"$annQuery%.2f"},"ann_query_rows":$qRows}""")
+    spark.stop()
+  }
+}
