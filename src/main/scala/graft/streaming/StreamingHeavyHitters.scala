@@ -120,6 +120,14 @@ object StreamingHeavyHitters {
       .orderBy(desc("cnt_lb"), col("token"))
   }
 
+  /** Retention: drop all but the newest `keep` summary versions
+    * ([[VersionPrune.keepLatest]]; `keep = 2` floor — replay rebuilds
+    * from the predecessor version). Each version is only
+    * `capacity + 1` rows, but a year-long stream is ~10⁵ versions of
+    * file-listing overhead without this. */
+  def prune(spark: SparkSession, storePath: String, keep: Int = 2): Seq[Long] =
+    VersionPrune.keepLatest(spark, storePath, keep)
+
   /** Wire a streaming document source into summary maintenance. */
   def start(
       stream: DataFrame,

@@ -41,6 +41,13 @@ object StreamingRollup {
       .write.mode("overwrite").parquet(s"$storePath/v$batchId")
   }
 
+  /** Retention: drop all but the newest `keep` snapshot versions
+    * ([[VersionPrune.keepLatest]]; `keep = 2` floor — replay rebuilds
+    * from the predecessor version). */
+  def prune(spark: org.apache.spark.sql.SparkSession, storePath: String,
+      keep: Int = 2): Seq[Long] =
+    VersionPrune.keepLatest(spark, storePath, keep)
+
   /** Wire a streaming fact source into rollup maintenance. The source
     * rides append-only fact rows (file drops in production,
     * MemoryStream in tests); exactly-once comes from the
