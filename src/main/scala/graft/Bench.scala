@@ -193,7 +193,7 @@ object Bench {
     // stdout line COMPACT (3-decimal medians, failures as a list, one
     // spread summary) so it always parses, and write the full-precision
     // per-query detail to BENCH_SELF.json for regression diffs.
-    val qs = results.map(r => "\"" + r.name + "\":" + f"${r.median}%.3f")
+    val qs = results.map(r => "\"" + r.name + "\":" + graft.util.Fmt.f3(r.median))
       .mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.median).sum
     val minTotal = results.filter(_.ok).map(_.min).sum
@@ -202,10 +202,10 @@ object Bench {
       .mkString("[", ",", "]")
     val (spreadMaxQ, spreadMax) = results.map(r => (r.name, r.spread))
       .maxBy(_._2)
-    val probesJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$nFail,"failed_queries":$failedList,"spread_max":${f"$spreadMax%.3f"},"spread_max_q":"$spreadMaxQ","min_total":${f"$minTotal%.3f"},"host_probe_sec":$probesJson,"sf":"$sfDir"}""")
+    val probesJson = probes.map(p => graft.util.Fmt.f3(p)).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$nFail,"failed_queries":$failedList,"spread_max":${graft.util.Fmt.f3(spreadMax)},"spread_max_q":"$spreadMaxQ","min_total":${graft.util.Fmt.f3(minTotal)},"host_probe_sec":$probesJson,"sf":"$sfDir"}""")
     val detail = results.map { r =>
-      s""""${r.name}":{"median_sec":${r.median},"min_sec":${r.min},"spread":${f"${r.spread}%.3f"},"ok":${r.ok},"storage_residue_bytes":${residue(r.name)},"gc_ms":${gcMs(r.name)},"jit_ms":${jitMs(r.name)},"codegen_compiled":${codegenN(r.name)},"task_max_ms":${taskMaxMs(r.name)}}"""
+      s""""${r.name}":{"median_sec":${r.median},"min_sec":${r.min},"spread":${graft.util.Fmt.f3(r.spread)},"ok":${r.ok},"storage_residue_bytes":${residue(r.name)},"gc_ms":${gcMs(r.name)},"jit_ms":${jitMs(r.name)},"codegen_compiled":${codegenN(r.name)},"task_max_ms":${taskMaxMs(r.name)}}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"),

@@ -69,7 +69,7 @@ object BloomBench {
           expectedItems = n, ranges = ranges, ladderMaxRanges = ladderMax)
         val rows = out.count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(s"""{"bench":"bloom_tier","snapshot":$n,"tier":"$tier","ranges":$ranges,"sec":${f"$sec%.2f"},"out_rows":$rows}""")
+        println(s"""{"bench":"bloom_tier","snapshot":$n,"tier":"$tier","ranges":$ranges,"sec":${graft.util.Fmt.f2(sec)},"out_rows":$rows}""")
       }
       time("single", 1, 16)
       time("ladder-4", 4, 16)

@@ -63,7 +63,7 @@ object CcBench {
     System.gc()
     Thread.sleep(500) // let the ContextCleaner drain
     val resAfter = residueBytes()
-    println(s"""{"tier":"$tier","rounds":$rounds,"contracted_directed_edges":$contractedDirected,"driver_tier_max_edges":$maxEdges,"pairs_sec":${f"$tPairs%.3f"},"cc_sec":${f"$ccSec%.3f"},"labels":$nLabels,"residue_before_release_bytes":$resBefore,"residue_after_release_bytes":$resAfter,"sf":"$sfDir"}""")
+    println(s"""{"tier":"$tier","rounds":$rounds,"contracted_directed_edges":$contractedDirected,"driver_tier_max_edges":$maxEdges,"pairs_sec":${graft.util.Fmt.f3(tPairs)},"cc_sec":${graft.util.Fmt.f3(ccSec)},"labels":$nLabels,"residue_before_release_bytes":$resBefore,"residue_after_release_bytes":$resAfter,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,8 +52,8 @@ object Ramp {
       System.gc()
       (sec, probe)
     }
-    val secs = passes.map(p => f"${p._1}%.3f").mkString("[", ",", "]")
-    val probes = passes.map(p => f"${p._2}%.3f").mkString("[", ",", "]")
+    val secs = passes.map(p => graft.util.Fmt.f3(p._1)).mkString("[", ",", "]")
+    val probes = passes.map(p => graft.util.Fmt.f3(p._2)).mkString("[", ",", "]")
     println(s"""{"query":"$name","pass_sec":$secs,"host_probe_sec":$probes,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -74,7 +74,7 @@ object StoreBench {
     }
 
     println(
-      s"""{"sf":"$sfDir","n_docs":$nDocs,"nd_bulk_sec":${f"$ndBulk%.2f"},"nd_inc_sec":${f"$ndInc%.2f"},"nd_flagged":$flagged,"ann_bulk_sec":${f"$annBulk%.2f"},"ann_inc_sec":${f"$annInc%.2f"},"ann_query_sec":${f"$annQuery%.2f"},"ann_query_rows":$qRows}""")
+      s"""{"sf":"$sfDir","n_docs":$nDocs,"nd_bulk_sec":${graft.util.Fmt.f2(ndBulk)},"nd_inc_sec":${graft.util.Fmt.f2(ndInc)},"nd_flagged":$flagged,"ann_bulk_sec":${graft.util.Fmt.f2(annBulk)},"ann_inc_sec":${graft.util.Fmt.f2(annInc)},"ann_query_sec":${graft.util.Fmt.f2(annQuery)},"ann_query_rows":$qRows}""")
     spark.stop()
   }
 }

@@ -740,9 +740,14 @@ object WarehouseQueries {
     * week) — the standard retention triangle. Two aggregations, both
     * keyed on the user then the week pair; exact distinct actives. */
   def q70CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // Floor division, not Spark's truncate-toward-zero DIV: the DuckDB
+    // oracle floors (`//`), and the two disagree on pre-1970
+    // timestamps. `us - pmod(us, d)` is an exact multiple of d, so the
+    // DIV is exact — no double-precision rounding at large micros.
     val ev = Tables.events(s, dir)
       .select(col("user_id"),
-        expr("unix_micros(ts) DIV 604800000000").as("week"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 604800000000)) DIV 604800000000")
+          .as("week"))
     val cohort = ev.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
     ev.join(cohort, "user_id")
@@ -773,8 +778,12 @@ object WarehouseQueries {
     * report days are restricted to days that actually have events, so
     * the output is a left-total dashboard series. */
   def q57RollingActives(s: SparkSession, dir: String): DataFrame = {
+    // Floor-division day bucketing (see q70's note): matches the
+    // oracle's `//` even for pre-1970 timestamps.
     val ud = Tables.events(s, dir)
-      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000")
+          .as("day"))
       .distinct()
     val days = ud.select(col("day").as("report_day")).distinct()
     ud.withColumn("report_day",

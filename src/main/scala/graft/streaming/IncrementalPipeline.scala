@@ -83,9 +83,10 @@ object IncrementalPipeline {
       storePath: String,
       emptyLike: => DataFrame,
       beforeVersion: Long = Long.MaxValue): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(storePath)
+    // Path-based FS resolution: the store may live on a non-default
+    // scheme, and the default FS would report it missing.
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions =
       if (!fs.exists(base)) Array.empty[Long]
       else fs.listStatus(base).map(_.getPath.getName)

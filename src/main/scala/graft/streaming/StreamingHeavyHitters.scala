@@ -51,7 +51,7 @@ object StreamingHeavyHitters {
       }
       .collect()
     parts.foldLeft(Mg.empty) { case (acc, (counts, err, n)) =>
-      Mg.merge(acc, MgSummary(counts.toMap, err, n), capacity)
+      Mg.merge(acc, MgSummary(counts.toMap, err, n, capacity), capacity)
     }
   }
 
@@ -70,15 +70,18 @@ object StreamingHeavyHitters {
     writeSummary(spark, merged, s"$storePath/v$batchId")
   }
 
-  /** One meta row (null token, the summary's err/n) + one row per
-    * counter — the err/n columns are repeated, the meta row makes an
-    * EMPTY summary round-trip. */
+  /** One meta row (null token, the summary's err/n/capacity) + one row
+    * per counter — the err/n/capacity columns are repeated, the meta
+    * row makes an EMPTY summary round-trip. Persisting the capacity is
+    * what lets [[heavyCandidates]] ENFORCE `k <= capacity` against a
+    * store built by someone else — without it a too-large k silently
+    * voids the superset guarantee. */
   private def writeSummary(
       spark: SparkSession, s: MgSummary, path: String): Unit = {
     import spark.implicits._
-    val rows = (null.asInstanceOf[String], 0L, s.err, s.n) +:
-      s.counts.toSeq.map { case (t, c) => (t, c, s.err, s.n) }
-    rows.toDF("token", "cnt", "err", "n")
+    val rows = (null.asInstanceOf[String], 0L, s.err, s.n, s.capacity) +:
+      s.counts.toSeq.map { case (t, c) => (t, c, s.err, s.n, s.capacity) }
+    rows.toDF("token", "cnt", "err", "n", "capacity")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
@@ -93,16 +96,18 @@ object StreamingHeavyHitters {
     else {
       val err = rows.head.getLong(2)
       val n = rows.head.getLong(3)
+      val cap = rows.head.getInt(4)
       val counts = rows.collect {
         case r if !r.isNullAt(0) => r.getString(0) -> r.getLong(1)
       }.toMap
-      MgSummary(counts, err, n)
+      MgSummary(counts, err, n, cap)
     }
   }
 
   private def emptySummaryDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(String, Long, Long, Long)].toDF("token", "cnt", "err", "n")
+    Seq.empty[(String, Long, Long, Long, Int)]
+      .toDF("token", "cnt", "err", "n", "capacity")
   }
 
   /** Current candidate set from the latest store version: every token

@@ -29,9 +29,11 @@ object VersionPrune {
       storePath: String,
       keep: Int = 2): Seq[Long] = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(storePath)
+    // Resolve the filesystem OF THE STORE PATH, not the default FS —
+    // a store on a non-default scheme (s3a:// with a local default)
+    // would otherwise "not exist" and never be pruned.
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
     val versions = fs.listStatus(base).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))

@@ -22,21 +22,32 @@ package graft.text
   * CONTENT of the summary depends on the merge tree; the GUARANTEES do
   * not.
   */
-final case class MgSummary(counts: Map[String, Long], err: Long, n: Long) {
+final case class MgSummary(
+    counts: Map[String, Long], err: Long, n: Long, capacity: Int) {
 
-  /** Provable superset of all tokens with true count ≥ n/k (requires
-    * k ≤ capacity the summary was built with; callers keep k well
-    * below capacity for tight sets). Each candidate carries its
-    * count bounds `[lb, lb + err]`. */
-  def candidates(k: Int): Seq[(String, Long, Long)] =
+  /** Provable superset of all tokens with true count ≥ n/k. The
+    * superset guarantee only holds for k ≤ the capacity the summary
+    * was built with (a true heavy hitter may be silently absent
+    * otherwise), so the precondition is ENFORCED — the capacity rides
+    * the summary, including through the persisted store, precisely so
+    * a caller-supplied k can be checked here rather than trusted.
+    * Callers keep k well below capacity for tight sets. Each candidate
+    * carries its count bounds `[lb, lb + err]`. */
+  def candidates(k: Int): Seq[(String, Long, Long)] = {
+    require(k >= 1 && k <= capacity,
+      s"candidates(k=$k) voids the superset guarantee of a " +
+        s"capacity-$capacity summary; need 1 <= k <= capacity")
     counts.toSeq.collect {
       case (t, lb) if (lb + err) * k >= n => (t, lb, lb + err)
     }
+  }
 }
 
 object Mg {
 
-  val empty: MgSummary = MgSummary(Map.empty, 0L, 0L)
+  /** The identity for [[merge]]: capacity Int.MaxValue so merging it
+    * in never tightens the result's recorded capacity. */
+  val empty: MgSummary = MgSummary(Map.empty, 0L, 0L, Int.MaxValue)
 
   /** Absorb a token stream into a fresh summary with `capacity`
     * counters. O(1) amortized per item (each decrement-all trigger
@@ -68,7 +79,7 @@ object Mg {
     }
     val out = Map.newBuilder[String, Long]
     counters.forEach((t, c) => out += t -> c(0))
-    MgSummary(out.result(), err, n)
+    MgSummary(out.result(), err, n, capacity)
   }
 
   /** Merge two summaries back to `capacity` counters: union-add, then
@@ -81,13 +92,17 @@ object Mg {
     }.toMap
     val n = a.n + b.n
     val baseErr = a.err + b.err
-    if (summed.size <= capacity) MgSummary(summed, baseErr, n)
+    // The result honors the guarantees only up to the TIGHTEST
+    // capacity involved — a capacity-10 input merged at capacity-100
+    // still carries capacity-10 error structure.
+    val cap = math.min(capacity, math.min(a.capacity, b.capacity))
+    if (summed.size <= capacity) MgSummary(summed, baseErr, n, cap)
     else {
       val cut = summed.values.toArray.sorted(Ordering[Long].reverse)(capacity)
       val kept = summed.collect {
         case (t, c) if c > cut => t -> (c - cut)
       }
-      MgSummary(kept, baseErr + cut, n)
+      MgSummary(kept, baseErr + cut, n, cap)
     }
   }
 }

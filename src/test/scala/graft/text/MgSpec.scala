@@ -65,4 +65,16 @@ class MgSpec extends AnyFunSuite {
       assert(trueHh.subsetOf(cands), s"cap=$cap k=$k missed ${trueHh -- cands}")
     }
   }
+
+  test("candidates(k) enforces k <= capacity — superset guarantee boundary") {
+    val s = Mg.summarize(Iterator("a", "b", "a", "c", "a"), capacity = 4)
+    assert(s.capacity === 4)
+    s.candidates(4) // at the boundary: allowed
+    intercept[IllegalArgumentException](s.candidates(5))
+    intercept[IllegalArgumentException](s.candidates(0))
+    // the recorded capacity survives a merge at a LOOSER capacity
+    val m = Mg.merge(s, Mg.summarize(Iterator("d", "e"), capacity = 100), 100)
+    assert(m.capacity === 4)
+    intercept[IllegalArgumentException](m.candidates(5))
+  }
 }
