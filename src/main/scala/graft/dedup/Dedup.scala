@@ -434,6 +434,104 @@ object Dedup {
         max(col(scoreCol)).as("keep_score"),
         count(lit(1)).as("n_members"))
 
+  /** CLUSTER-FIRST near-dup collapse: docs → cluster labels without
+    * ever MATERIALIZING a verified pair list — the scale contract for
+    * dense-dup corpora, where the true pair set is quadratic in
+    * cluster size (measured: the 100× chained corpus has 301 M exact
+    * pairs collapsing to ~2.9 k clusters — the pair LIST, not the
+    * candidates, is what a pair-output operator chokes on).
+    *
+    * Shape: MinHash banding generates candidates (geometric bucket
+    * decay + `maxBucketSize` — sub-linear, measured ~12× wall for
+    * 100× data in BENCH_NOTES), exact-Jaccard verification runs as a
+    * STREAM into one spanning-edge aggregation — per doc keep the
+    * `edgesPerDoc` SMALLEST verified partners below it — and only
+    * that ≤ n·edgesPerDoc edge set is checkpointed and fed to
+    * [[connectedComponents]]. The quadratic pair stream exists only
+    * inside one shuffle (ids-only rows, absorbed by the aggregation);
+    * no checkpoint, no output contract carries it.
+    *
+    * Connectivity trade, stated honestly: inside a DENSE cluster every
+    * member links to its `edgesPerDoc` smallest verified partners, so
+    * members chain to the cluster minimum and the cluster survives
+    * whole (the 100× corpus reconstructs exactly); a sparse CHAIN
+    * a–b–c whose ends share no direct similarity can fragment if a
+    * middle member's cap is exhausted by smaller-id partners — callers
+    * needing exact transitive closure over ALL pairs use the
+    * pair-exact path (q23 → [[connectedComponents]]) and pay its
+    * quadratic output. `edgesPerDoc ≥ 2` keeps fragmentation rare in
+    * practice; 8 is a comfortable default.
+    *
+    * @return (id, comp) cluster labels — the [[connectedComponents]]
+    *         output shape, ready for [[keepCanonical]]. */
+  def nearDupCollapse(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 100000,
+      edgesPerDoc: Int = 8): DataFrame =
+    nearDupCollapseFromShingles(
+      shingleTable(df, idCol, textCol, shingleK),
+      numPerm, bands, threshold, maxBucketSize, edgesPerDoc)
+
+  /** [[nearDupCollapse]] over a PRE-BUILT shingle table (`id`, `sh` —
+    * the [[shingleTable]] shape), so the caller picks the similarity
+    * space: word shingles for the q21 family, char n-grams to collapse
+    * the same graph the exact q23/q26 path walks. The table is
+    * checkpointed here (consumed by the signature aggregation and both
+    * verify-join sides) and released before returning. */
+  def nearDupCollapseFromShingles(
+      shingled: DataFrame,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 100000,
+      edgesPerDoc: Int = 8): DataFrame = {
+    require(edgesPerDoc >= 1, s"edgesPerDoc must be >= 1, got $edgesPerDoc")
+    val shCp = graft.util.Blocks.checkpoint(shingled)
+    val sig = minHashSignaturesFromShingles(shCp.df, numPerm)
+    val buckets = sig.select(col("id"),
+      explode(bandKeys(bands, numPerm / bands)).as("bk"))
+    val capped = graft.util.Blocks.checkpoint(
+      capBuckets(buckets, maxBucketSize))
+    // Candidates stay IDS-ONLY and are capped BEFORE verification:
+    // on a dense-cluster corpus the banded candidate set is
+    // cluster-quadratic (measured: the 100× char-gram space generates
+    // ~10⁸ candidates whose array-carrying verify join spills hundreds
+    // of GB if taken whole), so the spanning cap must bound what the
+    // verify kernel ever sees, not just what it emits. Per higher id
+    // keep the `2·edgesPerDoc` SMALLEST candidate partners (headroom:
+    // band collisions below the similarity threshold fail verification
+    // and consume cap slots), verify only those ≤ n·2·edgesPerDoc
+    // pairs exactly, and keep the surviving `edgesPerDoc` per doc.
+    val candEdges = capped.df.as("l")
+      .join(capped.df.as("r"),
+        col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .groupBy(col("id_b"))
+      .agg(slice(array_sort(collect_set(col("id_a"))), 1, 2 * edgesPerDoc)
+        .as("_ndc_lo"))
+      .select(explode(col("_ndc_lo")).as("id_a"), col("id_b"))
+    val sh = shCp.df.select(col("id"), col("sh"))
+    val edges = graft.util.Blocks.checkpoint(
+      candEdges
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .where(round(jaccard(col("sh_a"), col("sh_b")), 6) >= threshold)
+        .groupBy(col("id_b"))
+        .agg(slice(array_sort(collect_set(col("id_a"))), 1, edgesPerDoc)
+          .as("_ndc_lo"))
+        .select(explode(col("_ndc_lo")).as("id_a"), col("id_b")))
+    capped.release(); shCp.release()
+    val labels = connectedComponents(edges.df)
+    edges.release()
+    labels
+  }
+
   /** Latest-record-per-natural-key dedup (window row_number). */
   def latestPerKey(
       df: DataFrame,

@@ -404,6 +404,46 @@ object PipelineQueries {
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q54
+  /** CLUSTER-FIRST collapse ([[Dedup.nearDupCollapse]]): docs →
+    * canonical keeps with NO materialized pair list — the scale
+    * contract for dense-dup corpora. q23/q26/q99 are pair-exact and
+    * pay the cluster-quadratic pair set (measured: 301 M pairs on the
+    * 100× corpus, ~13 min); this path rides the sub-linear MinHash
+    * bander, absorbs verified pairs into a per-doc spanning-edge cap
+    * inside one aggregation, and runs CC over ≤ n·8 edges. Planted
+    * identical docs must land in one cluster (the recall-1 banding
+    * path); no oracle — MinHash isn't SQL-expressible, and the
+    * spanning cap is connectivity-preserving only for dense clusters
+    * (documented trade vs the q26 exact path). */
+  def q54ClusterCollapse(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(plantedDocs(s))
+    // SAME similarity space as the exact q23/q26/q99 walk (canonical
+    // char-3-grams, J >= 0.5), so the collapse is the cluster-first
+    // analog of that family: per-pair banding recall at the 0.5
+    // boundary is ~0.4, but a dense cluster member only needs ONE
+    // surviving edge to join its cluster, so cluster recovery is
+    // robust where pair recovery is not.
+    val labels = Dedup.nearDupCollapseFromShingles(
+      docs.select(col("doc_id").as("id"),
+        Dedup.charShinglesFrom(TextAnalysis.canonical(col("text")), 3)
+          .as("sh")),
+      numPerm = 32, bands = 8, threshold = 0.5)
+    val planted = labels.agg(
+      (count(when(col("id") === PlantA || col("id") === PlantB, 1)) === 2 &&
+        countDistinct(when(col("id") === PlantA || col("id") === PlantB,
+          col("comp"))) === 1).as("planted_ok"))
+    Dedup.keepCanonical(
+        labels.withColumnRenamed("id", "doc_id"),
+        docs.select(col("doc_id"),
+          length(TextAnalysis.canonical(col("text"))).cast("long").as("clen")),
+        "doc_id", "clen")
+      .withColumnRenamed("keep_score", "keep_len")
+      .crossJoin(broadcast(planted))
+      .orderBy(col("cluster_id"))
+  }
+
   // ------------------------------------------------------------------ q99
   /** Canonical-representative selection per near-dup cluster — the
     * step AFTER q26: a dedup pipeline keeps the BEST member of each

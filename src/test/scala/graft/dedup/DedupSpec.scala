@@ -499,4 +499,34 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.editDistanceJoin(df, "id", "text", maxDist = 4).count() === 1)
     assert(Dedup.editDistanceJoin(df, "id", "text", maxDist = 3).count() === 0)
   }
+
+  test("nearDupCollapse reconstructs dense clusters without a pair list") {
+    // three dense clusters of near-identical docs + unrelated singles;
+    // a tiny per-member suffix tweak keeps pairs near-dup, not exact
+    def member(cluster: Int, i: Int): (Long, String) = {
+      val base = (0 until 40)
+        .map(t => s"c$cluster-tok${t % 37}").mkString(" ")
+      ((cluster * 100 + i).toLong, s"$base extra$i")
+    }
+    val docs = ((0 until 3).flatMap(c => (0 until 12).map(i => member(c, i))) ++
+      Seq((900L, "totally unrelated words about weather patterns only"),
+        (901L, "another disjoint document speaking of mountain ranges")))
+      .toDF("id", "text")
+    val labels = Dedup.nearDupCollapse(docs, "id", "text",
+      threshold = 0.5, edgesPerDoc = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each dense cluster collapses WHOLE to its min id, even with the
+    // spanning cap at 2 edges per doc
+    for (c <- 0 until 3; i <- 0 until 12)
+      assert(labels((c * 100 + i).toLong) === (c * 100).toLong,
+        s"cluster $c member $i")
+    // unrelated docs never enter any cluster
+    assert(!labels.contains(900L) && !labels.contains(901L))
+    // and the labels agree with the UNCAPPED pair-exact path
+    val pairs = Dedup.minHashDedup(docs, "id", "text", threshold = 0.5)
+    val exact = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels === exact)
+  }
 }
