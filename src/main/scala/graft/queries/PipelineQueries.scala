@@ -531,16 +531,41 @@ object PipelineQueries {
     * 4 OR'd tables: per-table buckets decay geometrically (~corpus/2^6)
     * while the table union keeps recall on the corpus's cos ≈ 0.4–0.6
     * pairs; every (table, bucket) is capped so no self-join is ever
-    * quadratic. */
+    * quadratic, and the OUTPUT carries a declared bound too
+    * ([[Ann.capPairsPerId]], 20 pairs per id): the true pair set is
+    * quadratic in dup-cluster size, so on a boilerplate-dense corpus
+    * an uncapped pair list — not the banded candidates — is what
+    * breaks the scale budget (measured: the 100× corpus's ~100-member
+    * clusters blew a 10-minute pass before the cap; see BENCH_NOTES). */
   def q25DedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embSpread(s, dir)
-    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    val r0 = e.agg(max(size(col("embedding"))).as("d"),
+      count(lit(1)).as("n")).head()
+    val (dim, n) = (r0.getInt(0), r0.getLong(1))
+    // Plane count must GROW with the corpus: expected multi-probe
+    // candidates per id per table are ~(planes+1)·n/2^planes, so FIXED
+    // planes make the candidate join quadratic in n (measured: 6
+    // planes at the 100× corpus spilled > 60 GB of candidate shuffle
+    // and died; 11 planes still spilled ~60 GB — depth must outpace
+    // the probe multiplier). Pick the smallest depth whose per-id
+    // budget fits ~250 candidates/table — the budget the VERIFIED
+    // scales already run at (sf0.1: 219/id/table at 6 planes), so
+    // sf0.001–0.1 keep their exact historical geometry and recall
+    // while the 100× corpus lands at 14 planes (~10 GB of candidates,
+    // linear in n by construction). High-cos pairs (the dup clusters
+    // that matter) keep table-OR recall ≥ ~0.8 at that depth; the
+    // cos≈0.4 tail fades — the documented trade of the scale path.
+    val planes = {
+      var p = 6
+      while ((p + 1.0) * n / math.pow(2.0, p) > 250.0 && p < 24) p += 1
+      p
+    }
     val corpus = e.select(col("vec_id"), col("embedding"))
       .unionByName(plantedVecs(s, dim))
     withPlantedAndRecall(
-        Ann.nearDupPairsLsh(corpus, "vec_id", "embedding", dim,
-          numPlanes = 6, threshold = 0.4, numTables = 4, maxBucketSize = 10000,
-          multiProbe = 1),
+        Ann.nearDupPairsLshCapped(corpus, "vec_id", "embedding", dim,
+          numPlanes = planes, threshold = 0.4, numTables = 4,
+          maxBucketSize = 10000, multiProbe = 1, maxPairsPerId = 20),
         plantedPairCond,
         cosinePairTruth(s, dir, threshold = 0.4),
         Seq("id_a", "id_b"), floor = 0.5)
@@ -554,7 +579,10 @@ object PipelineQueries {
     * embedding regions split into many small blocks, sparse regions
     * stay whole. The planted identical pair must share a nearest
     * centroid (recall-1 path); measured recall vs the same exact
-    * probe⨯corpus cosine truth as q25. */
+    * probe⨯corpus cosine truth as q25. Carries the same declared
+    * output bound as q25 (20 pairs per id — [[Ann.capPairsPerId]]),
+    * so a dense-cluster corpus degrades deterministically instead of
+    * materializing a cluster-quadratic pair list. */
   def q85SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val e = embSpread(s, dir)
     val (dim, n) = {
@@ -570,7 +598,7 @@ object PipelineQueries {
     withPlantedAndRecall(
         Ann.semanticDedupPairs(corpus, "vec_id", "embedding",
           threshold = 0.4, numCentroids = centroids, assignProbe = 3,
-          maxClusterSize = 10000),
+          maxClusterSize = 10000, maxPairsPerId = 20),
         plantedPairCond,
         cosinePairTruth(s, dir, threshold = 0.4),
         Seq("id_a", "id_b"), floor = 0.5)

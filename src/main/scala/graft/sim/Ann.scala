@@ -43,13 +43,14 @@ object Ann {
       vecCol: String,
       blockCol: String,
       threshold: Double,
-      maxBlockSize: Int = Int.MaxValue): DataFrame = {
+      maxBlockSize: Int = Int.MaxValue,
+      maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     val n = withNorm(
       graft.dedup.Dedup.capBuckets(
         df.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk")),
         maxBlockSize, Seq("blk")),
       "v")
-    n.as("l")
+    val pairs = n.as("l")
       .join(n.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
       .withColumn(
         "cos_sim",
@@ -58,6 +59,38 @@ object Ann {
       .select(
         col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(col("cos_sim"), 6).as("cos_sim"))
+    capPairsPerId(pairs, maxPairsPerId)
+  }
+
+  /** DECLARED output bound for the pair-emitting near-dup ops: keep at
+    * most `maxPairsPerId` verified partners per lower id (strongest
+    * cosine first, id tiebreak — deterministic). The bucket caps bound
+    * the candidate INTERMEDIATE; this bounds the OUTPUT, which is what
+    * actually grows quadratically on a dense-cluster corpus (a
+    * c-member near-identical cluster has c²/2 TRUE pairs — at a real
+    * 100 TB corpus the dup-cluster size distribution, not volume,
+    * governs this term). With the cap, output ≤ n·cap rows by
+    * construction, so a boilerplate-heavy corpus degrades
+    * DETERMINISTICALLY (documented recall trade: weaker pairs of a
+    * saturated id are dropped; an identical planted pair has cos 1.0
+    * and always survives). Downstream cluster-collapse (connected
+    * components → canonical keep) is unaffected for dense clusters —
+    * every member still links to its `cap` strongest higher partners —
+    * though a pathological chain can fragment; callers that need exact
+    * connectivity leave the cap off and collapse to clusters FIRST.
+    * The rank window partitions by id_a (doc-cardinality, bounded
+    * group size ≤ the id's candidate count), so no single task ever
+    * funnels the corpus. */
+  def capPairsPerId(pairs: DataFrame, maxPairsPerId: Int): DataFrame = {
+    require(maxPairsPerId >= 1, s"maxPairsPerId must be >= 1")
+    if (maxPairsPerId == Int.MaxValue) pairs
+    else {
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("cos_sim").desc, col("id_b").asc)
+      pairs.withColumn("_pcap_rn", row_number().over(w))
+        .where(col("_pcap_rn") <= maxPairsPerId)
+        .drop("_pcap_rn")
+    }
   }
 
   /** Embedding near-dup pairs blocked by sign-bit LSH buckets instead of
@@ -162,6 +195,26 @@ object Ann {
       .where(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** [[nearDupPairsLsh]] with the [[capPairsPerId]] output bound —
+    * the dense-cluster-safe form (output ≤ n·maxPairsPerId rows by
+    * construction). Kept as an overload wrapper so existing uncapped
+    * callers keep their exact semantics. */
+  def nearDupPairsLshCapped(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int,
+      threshold: Double,
+      numTables: Int,
+      maxBucketSize: Int,
+      multiProbe: Int,
+      maxPairsPerId: Int): DataFrame =
+    capPairsPerId(
+      nearDupPairsLsh(df, idCol, vecCol, dim, numPlanes, threshold,
+        numTables, maxBucketSize, multiProbe),
+      maxPairsPerId)
 
   /** Exact per-query top-k over a scored candidate frame WITHOUT a
     * one-task-per-query funnel — the [[graft.curate.Curation]]
@@ -317,7 +370,8 @@ object Ann {
       threshold: Double,
       numCentroids: Int = 64,
       assignProbe: Int = 2,
-      maxClusterSize: Int = 100000): DataFrame = {
+      maxClusterSize: Int = 100000,
+      maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     require(assignProbe >= 1, s"assignProbe must be >= 1, got $assignProbe")
     val c = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
     // materialize the assignments ONCE (lazy localCheckpoint, the same
@@ -327,8 +381,12 @@ object Ann {
     // aggregates + re-assignment) — measured 23.7 s -> 1.8 s at sf0.1
     val assigned = graft.util.Blocks.lazyCheckpoint(
       assign(c, trainCentroids(c, numCentroids), assignProbe))
-    nearDupPairs(assigned, "id", "v", "cid", threshold, maxClusterSize)
-      .dropDuplicates("id_a", "id_b")
+    // cap AFTER the cross-probe pair dedup, so the bound is on distinct
+    // output pairs, not per-probe meetings
+    capPairsPerId(
+      nearDupPairs(assigned, "id", "v", "cid", threshold, maxClusterSize)
+        .dropDuplicates("id_a", "id_b"),
+      maxPairsPerId)
   }
 
   def ivfTopK(

@@ -74,6 +74,37 @@ class AnnSpec extends SparkSpec {
     assert(kept === Set((1L, 4L)))
   }
 
+  test("capPairsPerId bounds output per id, keeps strongest pairs, planted survives") {
+    // a dense near-identical cluster: 8 copies of one direction with
+    // tiny per-id noise — the quadratic-pair corpus shape in miniature
+    val cluster = (1L to 8L).map { i =>
+      (i, Seq(1.0f, 0.001f * i, 0.0f, 0.0f))
+    } :+ (100L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    val df = cluster.toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val uncapped = Ann.nearDupPairs(df, "vec_id", "embedding", "label", 0.9)
+    assert(uncapped.count() === 28L) // 8 choose 2: the quadratic term
+    val capped = Ann.nearDupPairs(df, "vec_id", "embedding", "label", 0.9,
+      maxPairsPerId = 2)
+    val rows = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // declared bound: at most 2 pairs per lower id
+    val perA = rows.groupBy(_._1).view.mapValues(_.length)
+    assert(perA.values.forall(_ <= 2), perA.toMap.toString)
+    assert(rows.length <= 2 * 8)
+    // deterministic: strongest-cosine-first with id tiebreak — re-run
+    // identical
+    val again = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+    // an IDENTICAL planted pair (cos 1.0) always survives the cap even
+    // when its id has more partners than the cap admits
+    val planted = (cluster :+ (0L, Seq(1.0f, 0.001f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val p = Ann.nearDupPairs(planted, "vec_id", "embedding", "label", 0.9,
+      maxPairsPerId = 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.contains((0L, 1L)), p.mkString(","))
+  }
+
   test("lshBucket table=0 matches the legacy single-table planes") {
     val df = vecs.select(
       Ann.lshBucket(col("embedding"), 4, 6).as("legacy"),
