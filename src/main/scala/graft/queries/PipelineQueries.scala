@@ -830,12 +830,12 @@ object PipelineQueries {
     withPlantedAndRecall(
         Ann.pqTopK(queries, corpus,
           "vec_id", "embedding", dim = dim, k = 10, m = m, ksub = 16,
-          rerank = 50)
+          rerank = 100)
           .withColumnRenamed("rank", "rnk"),
         plantedTopKCond,
         Ann.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 10)
           .select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), floor = 0.3)
+        Seq("query_id", "neighbor_id"), floor = 0.5)
       .orderBy(col("query_id"), col("rnk"))
   }
 
