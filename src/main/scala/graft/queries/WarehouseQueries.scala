@@ -768,29 +768,24 @@ object WarehouseQueries {
 
   // ------------------------------------------------------------------ q57
   /** Rolling 7-day active users per day — the rolling-MAU/WAU
-    * engagement dashboard. EXACT distinct over a trailing window,
-    * which no window function expresses (distinct sets don't merge by
-    * subtraction): the standard scale shape instead — dedup to
-    * (user, day) pairs (one map-side-combinable aggregation bounded by
-    * active pairs, not events), fan each pair out to the ≤ 7 report
-    * days it covers, and count distinct per report day. The fan-out
-    * factor IS the window length — bounded by construction — and
-    * report days are restricted to days that actually have events, so
-    * the output is a left-total dashboard series. */
+    * engagement dashboard, the window-7 instance of
+    * [[graft.etl.RollingActives.rolling]]. At 7 days the auto-tier
+    * picks the EXACT fan-out (dedup to (user, day) pairs, fan each out
+    * to the ≤ 7 report days it covers, distinct per report day — the
+    * shuffle multiplier is the window length, bounded by the tier
+    * cap); long windows switch to merged per-day HLL registers, proven
+    * against this tier in RollingActivesSpec. Report days are
+    * restricted to days that actually have events, so the output is a
+    * left-total dashboard series. */
   def q57RollingActives(s: SparkSession, dir: String): DataFrame = {
     // Floor-division day bucketing (see q70's note): matches the
     // oracle's `//` even for pre-1970 timestamps.
-    val ud = Tables.events(s, dir)
+    val ev = Tables.events(s, dir)
       .select(col("user_id"),
         expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000")
           .as("day"))
-      .distinct()
-    val days = ud.select(col("day").as("report_day")).distinct()
-    ud.withColumn("report_day",
-        explode(sequence(col("day"), col("day") + 6)))
-      .join(days, "report_day")
-      .groupBy(col("report_day"))
-      .agg(countDistinct(col("user_id")).as("active_7d"))
+    graft.etl.RollingActives.rolling(ev, "user_id", "day", window = 7)
+      .select(col("report_day"), col("active").as("active_7d"))
       .orderBy(col("report_day"))
   }
 
