@@ -1309,8 +1309,14 @@ object WarehouseQueries {
   def q56CompactionPlan(s: SparkSession, dir: String): DataFrame = {
     val keyed = Tables.lineitem(s, dir).select(
       (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
-    val stats = graft.etl.ZOrder.fileStats(keyed, "x", "y", bits = 8, fileBits = 6)
-      .select(col("file_id"), col("n_rows"))
+    // One materialization of the z-stats subplan shared by BOTH
+    // consumers: the 1-row total driving the target AND the binning
+    // plan. The `.head` below materializes the lazy checkpoint, so
+    // planSortedFill re-reads blocks instead of re-executing the
+    // aggregation — a deterministic replan must not scan twice.
+    val stats = graft.util.Blocks.lazyCheckpoint(
+      graft.etl.ZOrder.fileStats(keyed, "x", "y", bits = 8, fileBits = 6)
+        .select(col("file_id"), col("n_rows")))
     val total = stats.agg(sum(col("n_rows"))).head.getLong(0)
     val target = total / 16 + 1
     graft.etl.Compaction.planSortedFill(stats, "file_id", "n_rows", target)

@@ -268,4 +268,19 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") == 0,
       s"heavy-hitter exact pass must not shuffle-join:\n$plan")
   }
+
+  test("q56 materializes the z-stats subplan ONCE, shared by total and plan") {
+    // q56 takes `total` via .head and then bins the same stats frame;
+    // without the shared checkpoint the z-stats aggregation over the
+    // lineitem scan executes twice. After q56 returns, the stats
+    // checkpoint is already materialized (by the .head), so the
+    // RETURNED plan must read the checkpoint RDD — zero parquet scans,
+    // zero re-aggregations of the fact.
+    val df = SparkEntry.queries("q56_compaction_plan")(spark, sfDir)
+    val plan = finalPlan(df)
+    assert(plan.contains("Scan ExistingRDD"),
+      s"q56 plan should read the materialized stats checkpoint:\n$plan")
+    assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
+      s"q56 returned plan re-scans the fact — stats executed twice:\n$plan")
+  }
 }
