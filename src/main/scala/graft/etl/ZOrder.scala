@@ -85,6 +85,70 @@ object ZOrder {
     * bounding box — corrupted skipping with no error. Out-of-domain
     * rows are therefore quarantined under a NULL `file_id` (their own
     * visible stats row) instead of polluting a real file's box. */
+  /** Persist the deterministic z-prefix layout: one directory per
+    * curve segment (`file_id=<n>`), rows sorted by z-value inside.
+    * Out-of-domain rows land in the hive null partition — visible,
+    * never polluting a real segment's bounding box. The directory
+    * key is what lets [[skippingScan]] turn the [[fileStats]] boxes
+    * into actual PartitionFilters pruning. */
+  def writeLayout(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int,
+      fileBits: Int,
+      path: String): Unit = {
+    require(fileBits >= 1 && fileBits <= 2 * bits,
+      s"fileBits must be in [1, 2*bits], got $fileBits")
+    val cap = 1L << bits
+    val inDomain =
+      col(xCol) >= 0 && col(xCol) < cap && col(yCol) >= 0 && col(yCol) < cap
+    df.withColumn("zval", zvalue(col(xCol), col(yCol), bits))
+      .withColumn("file_id",
+        when(inDomain, shiftright(col("zval"), 2 * bits - fileBits)))
+      .repartition(col("file_id"))
+      .sortWithinPartitions(col("file_id"), col("zval"))
+      .drop("zval")
+      .write.partitionBy("file_id").mode("overwrite").parquet(path)
+  }
+
+  /** The file ids a box predicate `[xLo,xHi] × [yLo,yHi]` cannot prune
+    * — every file whose [[fileStats]] bounding box intersects the
+    * query box. The stats frame is metadata (≤ 2^fileBits rows), so
+    * the collect is bounded by construction. */
+  def overlappingFiles(
+      stats: DataFrame,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): Seq[Long] =
+    stats
+      .where(col("file_id").isNotNull &&
+        col("x_max") >= xLo && col("x_min") <= xHi &&
+        col("y_max") >= yLo && col("y_min") <= yHi)
+      .select(col("file_id"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Min/max-skipping scan over a [[writeLayout]] directory: consult
+    * the bounding boxes, read ONLY the surviving `file_id=` partitions
+    * (the isin lands in the scan's PartitionFilters — directories the
+    * boxes prune are never listed, opened, or read), then apply the
+    * residual row predicate. This is the measured form of the skipping
+    * story: [[ZOrderSpec]] asserts the scan's `numFiles` metric reads
+    * strictly fewer files than the layout holds for a selective box.
+    * The predicate box must lie inside the z-domain `[0, 2^bits)` —
+    * out-of-domain rows live in the null partition, which an
+    * in-domain box correctly never matches. */
+  def skippingScan(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      stats: DataFrame,
+      xCol: String,
+      yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val keep = overlappingFiles(stats, xLo, xHi, yLo, yHi)
+    spark.read.parquet(path)
+      .where(col("file_id").isin(keep: _*))
+      .where(col(xCol).between(xLo, xHi) && col(yCol).between(yLo, yHi))
+  }
+
   def fileStats(
       df: DataFrame,
       xCol: String,

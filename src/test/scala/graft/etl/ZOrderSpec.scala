@@ -110,4 +110,42 @@ class ZOrderSpec extends SparkSpec {
       .map { case (_, rows) => rows.map(_.getAs[Long]("zval")).toSeq }
     for (zs <- perPart) assert(zs === zs.sorted)
   }
+
+  test("skippingScan prunes files by bounding box — measured numFiles gate") {
+    val rnd = new scala.util.Random(13)
+    val data = Seq.fill(4000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = data.toDF("x", "y").repartition(6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString + "/layout"
+    ZOrder.writeLayout(df, "x", "y", bits = 8, fileBits = 6, path = dir)
+    val stats = ZOrder.fileStats(df, "x", "y", bits = 8, fileBits = 6)
+
+    val (xLo, xHi, yLo, yHi) = (32L, 47L, 0L, 255L)
+    val scan = ZOrder.skippingScan(
+      spark, dir, stats, "x", "y", xLo, xHi, yLo, yHi)
+    val got = scan.select($"x", $"y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = data
+      .filter { case (x, y) => x >= xLo && x <= xHi && y >= yLo && y <= yHi }
+      .sorted
+    assert(got === want, "skipping scan lost or invented rows")
+
+    // the measured gate: the executed scan READ fewer files than the
+    // layout holds — pruning happened in the file index, not post-scan
+    val leafMetrics = scan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value)
+    assert(leafMetrics.nonEmpty, scan.queryExecution.executedPlan.toString)
+    val filesRead = leafMetrics.sum
+    val totalFiles = stats.where($"file_id".isNotNull).count()
+    assert(filesRead < totalFiles,
+      s"selective box read $filesRead of $totalFiles files — no skipping")
+    // an x-slice of 16/256 columns touches only curve segments whose
+    // boxes cross it; on uniform data that is a strict minority
+    assert(filesRead.toDouble / totalFiles <= 0.5,
+      s"read $filesRead of $totalFiles — weaker pruning than the layout promises")
+    // and the pruned id set is exactly what the boxes said survives
+    val kept = ZOrder.overlappingFiles(stats, xLo, xHi, yLo, yHi)
+    assert(filesRead <= kept.size,
+      s"scan read $filesRead files but only ${kept.size} ids survived the boxes")
+  }
 }
