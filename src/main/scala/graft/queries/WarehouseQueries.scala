@@ -789,6 +789,41 @@ object WarehouseQueries {
       .orderBy(col("report_day"))
   }
 
+  // ------------------------------------------------------------------ q58
+  /** Rolling 90-DAY distinct actives — the LONG-WINDOW tier of
+    * [[graft.etl.RollingActives]]. At 90 days the exact fan-out would
+    * multiply the (user, day) shuffle 90×, so the auto-tier collapses
+    * each day to ONE mergeable HLL sketch and merges 90 registers per
+    * report day: the windowed fan-out is days × sketch-bytes —
+    * metadata scale, independent of user volume. The estimate is a
+    * DataSketches register walk, not SQL-reproducible, so no DuckDB
+    * oracle; instead the q87 pattern — the query carries its own
+    * audit: the exact trailing-window distinct (the ≤ 14-day tier run
+    * out-of-cap at gate scale) joined per report day with a 3·rsd
+    * acceptance flag. At corpus scale only the sketch path runs; the
+    * audit column is the gate-scale proof the registers tell the
+    * truth (RollingActivesSpec asserts the flag holds and that the
+    * sketch plan fans out per-DAY rows, not per-pair rows). */
+  def q58RollingActives90(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000")
+          .as("day"))
+    val lgK = 12
+    val rsd = 1.04 / math.sqrt(math.pow(2.0, lgK))
+    val est = graft.etl.RollingActives.rolling(ev, "user_id", "day",
+        window = 90, maxExactWindow = 14, lgConfigK = lgK)
+      .select(col("report_day"), col("active").as("active_90d"))
+    val exact = graft.etl.RollingActives.exact(ev, "user_id", "day",
+        window = 90)
+      .select(col("report_day"), col("active").as("exact_90d"))
+    est.join(exact, "report_day")
+      .withColumn("within_3rsd",
+        abs(col("active_90d") - col("exact_90d")) <=
+          greatest(lit(3.0 * rsd) * col("exact_90d"), lit(3.0)))
+      .orderBy(col("report_day"))
+  }
+
   val q57Oracle: String =
     """WITH ud AS (SELECT DISTINCT user_id,
       |    (epoch_ns(ts) // 1000) // 86400000000 AS day

@@ -56,6 +56,17 @@ class RollingActivesSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("explode"), plan)
   }
 
+  test("q58's in-query audit flag holds on real event data") {
+    val df = graft.SparkEntry.queries("q58_rolling_actives_90d")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq ===
+      Seq("report_day", "active_90d", "exact_90d", "within_3rsd"))
+    val bad = rows.filterNot(_.getAs[Boolean]("within_3rsd"))
+    assert(bad.isEmpty, bad.take(3).mkString(","))
+  }
+
   test("sketch tier tracks exact within 3·rsd at a 90-day window") {
     val pairs = activity(nUsers = 4000, nDays = 120, seed = 29)
     val df = pairs.toDF("user_id", "day").repartition(7)
