@@ -1784,9 +1784,18 @@ object PipelineQueries {
         col("m.n_samples").as("n_samples"))
       .groupBy(col("sample_rate"), col("channels"), col("bits_per_sample"))
       .agg(count(lit(1)).as("n_clips"),
-        sum(col("n_samples")).as("total_samples"),
-        round(sum(col("n_samples").cast("double") / col("sample_rate")), 4)
-          .as("total_seconds"))
+        sum(col("n_samples")).as("total_samples"))
+      // Tie-safe seconds: the sf1 scale gate caught a half-tie here —
+      // 495356300/16000 = 30959.76875 EXACTLY, and double `round(_, 4)`
+      // resolves the tie differently across engines (Spark HALF_UPs the
+      // shortest decimal repr; DuckDB rounds the binary double, which
+      // sits below the tie). Integer half-up over the exact rational —
+      // floor((20000·samples + rate) / (2·rate)) — is representation-
+      // free and agrees everywhere; the final /10000.0 maps the same
+      // integer to the same double in any IEEE engine.
+      .withColumn("total_seconds",
+        expr("(total_samples * 20000 + sample_rate) DIV (2 * sample_rate)")
+          / lit(10000.0))
       .orderBy(col("sample_rate"))
   }
 
@@ -1799,7 +1808,8 @@ object PipelineQueries {
       |SELECT sample_rate, 1 AS channels, 16 AS bits_per_sample,
       |  count(*) AS n_clips,
       |  CAST(sum(n_samples) AS BIGINT) AS total_samples,
-      |  round(sum(CAST(n_samples AS DOUBLE) / sample_rate), 4) AS total_seconds
+      |  ((CAST(sum(n_samples) AS BIGINT) * 20000 + sample_rate)
+      |    // (2 * sample_rate)) / 10000.0 AS total_seconds
       |FROM m GROUP BY sample_rate ORDER BY sample_rate""".stripMargin
 
   // ------------------------------------------------------------------ q91
@@ -1827,9 +1837,12 @@ object PipelineQueries {
         col("m.n_tracks").as("n_tracks"))
       .groupBy(col("brand"), col("timescale"), col("n_tracks"))
       .agg(count(lit(1)).as("n_videos"),
-        sum(col("duration_ticks")).as("total_ticks"),
-        round(sum(col("duration_ticks").cast("double") / col("timescale")), 4)
-          .as("total_seconds"))
+        sum(col("duration_ticks")).as("total_ticks"))
+      // Tie-safe seconds — same integer half-up as q82 (the sf1 gate
+      // caught the double-round tie there; this is the same shape).
+      .withColumn("total_seconds",
+        expr("(total_ticks * 20000 + timescale) DIV (2 * timescale)")
+          / lit(10000.0))
       .orderBy(col("timescale"), col("n_tracks"))
   }
 
@@ -1842,7 +1855,8 @@ object PipelineQueries {
       |  FROM documents)
       |SELECT 'isom' AS brand, timescale, n_tracks, count(*) AS n_videos,
       |  CAST(sum(duration_ticks) AS BIGINT) AS total_ticks,
-      |  round(sum(CAST(duration_ticks AS DOUBLE) / timescale), 4) AS total_seconds
+      |  ((CAST(sum(duration_ticks) AS BIGINT) * 20000 + timescale)
+      |    // (2 * timescale)) / 10000.0 AS total_seconds
       |FROM m GROUP BY timescale, n_tracks ORDER BY timescale, n_tracks""".stripMargin
 
   // ------------------------------------------------------------------ q83

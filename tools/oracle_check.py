@@ -56,7 +56,10 @@ def compare(name, spark_df, oracle_df):
                 f"(driver's exact hash would fail; cast the oracle)")
             continue
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
-            bad = ~(np.isclose(av.fillna(np.nan), bv.fillna(np.nan), rtol=1e-9, atol=1e-9, equal_nan=True))
+            bad = pd.Series(
+                ~np.isclose(av.fillna(np.nan), bv.fillna(np.nan),
+                            rtol=1e-9, atol=1e-9, equal_nan=True),
+                index=av.index)
         else:
             try:
                 bad = ~((av == bv) | (av.isna() & bv.isna()))
@@ -85,7 +88,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table (ScaleGen corpora): a directory of parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
