@@ -283,4 +283,27 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("Scan parquet") && !plan.contains("FileScan"),
       s"q56 returned plan re-scans the fact — stats executed twice:\n$plan")
   }
+
+  test("q58 sketch tier: the 90-day fan-out explodes per-day sketches, not events") {
+    // The long-window tier's whole scale claim is that the window
+    // fan-out multiplies days × sketch-bytes, not events: the
+    // explode(sequence(day, day+89)) must consume the per-day
+    // hll_sketch_agg output. In the top-down plan print that means
+    // every sketch-building HashAggregate sits BELOW the Generate; a
+    // Generate over the raw (user, day) stream would multiply event
+    // volume 90× before any aggregation — the regression this guards.
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000")
+          .as("day"))
+    val plan = finalPlan(
+      graft.etl.RollingActives.sketch(ev, "user_id", "day", window = 90))
+    val genIdx = plan.indexOf("Generate")
+    assert(genIdx >= 0, plan)
+    val skAggs = "hll_sketch_agg".r.findAllMatchIn(plan).map(_.start).toSeq
+    assert(skAggs.nonEmpty, plan)
+    assert(skAggs.forall(_ > genIdx),
+      s"sketch aggregation above the fan-out — the explode is event-scale:\n$plan")
+  }
 }
