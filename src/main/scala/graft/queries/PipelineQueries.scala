@@ -352,6 +352,46 @@ object PipelineQueries {
       |WHERE levenshtein(a.vp, b.vp) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------------ q34
+  /** DSIR-style hashed importance weights ([[graft.curate.Importance]]):
+    * score every doc by target-vs-raw log-likelihood ratio over 1024
+    * hashed unigram buckets, integer micro-nat arithmetic end to end
+    * (the only float — the per-bucket log-ratio — is rounded once on
+    * the 1024-row bucket table, so per-doc sums are order-independent
+    * BIGINTs and the DuckDB oracle hash-matches). Target membership
+    * here is content-defined (docs mentioning `spark`) standing in for
+    * an external seed corpus; `selected` is a sign test, immune to the
+    * floor-vs-truncate division asymmetry. */
+  def q34ImportanceWeights(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Importance.importanceWeights(
+        docsSpread(s, dir), "doc_id", "text",
+        targetPred = array_contains(
+          graft.text.WordGrams.tokens(col("text")), "spark"))
+      .orderBy(col("doc_id"))
+
+  val q34Oracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents),
+      |t AS (SELECT doc_id, token,
+      |    CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % 1024 AS b
+      |  FROM toks WHERE len(token) > 0),
+      |tdocs AS (SELECT DISTINCT doc_id FROM t WHERE token = 'spark'),
+      |cnt AS (SELECT b, count(*) AS c_r,
+      |    count(*) FILTER (doc_id IN (SELECT doc_id FROM tdocs)) AS c_t
+      |  FROM t GROUP BY b),
+      |tot AS (SELECT sum(c_r) AS r_n, sum(c_t) AS t_n FROM cnt),
+      |score AS (SELECT cnt.b,
+      |    CAST(round(1e6 * ln((cnt.c_t + 1.0) * (tot.r_n + 1024)
+      |                      / ((cnt.c_r + 1.0) * (tot.t_n + 1024)))) AS BIGINT) AS w_micro
+      |  FROM cnt, tot)
+      |SELECT t.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(score.w_micro) AS BIGINT) AS w_micro_sum,
+      |  (sum(score.w_micro) > 0) AS selected
+      |FROM t JOIN score ON t.b = score.b
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).
