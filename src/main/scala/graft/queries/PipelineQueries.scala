@@ -392,6 +392,44 @@ object PipelineQueries {
       |FROM t JOIN score ON t.b = score.b
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q35
+  /** CCNet-style LM perplexity filter ([[graft.text.NgramLm]]): a
+    * hashed-bucket bigram LM with add-1 smoothing, trained on the
+    * corpus in the same pass that scores it; `kept` = the doc's average
+    * bigram NLL beats the uniform `ln(256)` baseline. Same integer
+    * micro-nat contract as q34 — the per-bucket-pair NLL is rounded
+    * once on the ≤ 256² score table, per-doc sums are BIGINT, and the
+    * per-bigram average divides two positives (truncate == floor), so
+    * the DuckDB oracle hash-matches. */
+  def q35LmPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.text.NgramLm.perplexityFilter(docsSpread(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val q35Oracle: String =
+    """WITH toks AS (SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    t -> len(t) > 0) AS l
+      |  FROM documents),
+      |bl AS (SELECT doc_id, list_transform(l,
+      |    t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 256) AS b
+      |  FROM toks WHERE len(l) >= 2),
+      |pairs AS (SELECT doc_id,
+      |    unnest(b[1:len(b)-1]) AS b1, unnest(b[2:len(b)]) AS b2 FROM bl),
+      |bi AS (SELECT b1, b2, count(*) AS c_bi FROM pairs GROUP BY b1, b2),
+      |uni AS (SELECT b1, sum(c_bi) AS c_uni FROM bi GROUP BY b1),
+      |score AS (SELECT bi.b1, bi.b2,
+      |    CAST(round(-1e6 * ln((bi.c_bi + 1.0) / (uni.c_uni + 256))) AS BIGINT) AS nll_micro
+      |  FROM bi JOIN uni ON bi.b1 = uni.b1),
+      |agg AS (SELECT pairs.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(score.nll_micro) AS BIGINT) AS nll_micro_sum
+      |  FROM pairs JOIN score ON pairs.b1 = score.b1 AND pairs.b2 = score.b2
+      |  GROUP BY pairs.doc_id)
+      |SELECT doc_id, n_bigrams + 1 AS n_tokens, n_bigrams, nll_micro_sum,
+      |  nll_micro_sum // n_bigrams AS avg_nll_micro,
+      |  (nll_micro_sum // n_bigrams) < CAST(round(1e6 * ln(256)) AS BIGINT) AS kept
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).
