@@ -430,6 +430,48 @@ object PipelineQueries {
       |  (nll_micro_sum // n_bigrams) < CAST(round(1e6 * ln(256)) AS BIGINT) AS kept
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q36
+  /** Auditable k-means topic clustering ([[graft.sim.IntKMeans]]):
+    * integer-quantized Lloyd (k=8, 2 update steps + final assignment),
+    * md5-spread seeds, truncated integer centroid means — every
+    * assignment reproduces bit-for-bit on any engine, so unlike the
+    * float quantizer tier this clustering is HASH-EXACT oracle-checked.
+    * The oracle walks the identical three assignment rounds in SQL. */
+  def q36KmeansTopics(s: SparkSession, dir: String): DataFrame =
+    graft.sim.IntKMeans.cluster(embSpread(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+
+  val q36Oracle: String =
+    """WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x * 1000000) AS BIGINT)) AS qv FROM embeddings),
+      |seed AS (SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl
+      |  FROM q QUALIFY cl < 8),
+      |c0 AS (SELECT cl, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS cv FROM seed),
+      |p AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+      |s1 AS (SELECT p.vec_id, c0.cl, sum((p.v - c0.cv) * (p.v - c0.cv)) AS d2
+      |  FROM p JOIN c0 ON p.d = c0.d GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cl FROM s1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+      |m1 AS (SELECT a1.cl, p.d, CAST(sum(p.v) AS BIGINT) // count(*) AS mv
+      |  FROM p JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      |c1 AS (SELECT c0.cl, c0.d, coalesce(m1.mv, c0.cv) AS cv
+      |  FROM c0 LEFT JOIN m1 ON c0.cl = m1.cl AND c0.d = m1.d),
+      |s2 AS (SELECT p.vec_id, c1.cl, sum((p.v - c1.cv) * (p.v - c1.cv)) AS d2
+      |  FROM p JOIN c1 ON p.d = c1.d GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cl FROM s2
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+      |m2 AS (SELECT a2.cl, p.d, CAST(sum(p.v) AS BIGINT) // count(*) AS mv
+      |  FROM p JOIN a2 USING (vec_id) GROUP BY 1, 2),
+      |c2 AS (SELECT c1.cl, c1.d, coalesce(m2.mv, c1.cv) AS cv
+      |  FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl AND c1.d = m2.d),
+      |s3 AS (SELECT p.vec_id, c2.cl, CAST(sum((p.v - c2.cv) * (p.v - c2.cv)) AS BIGINT) AS d2
+      |  FROM p JOIN c2 ON p.d = c2.d GROUP BY 1, 2)
+      |SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d2 AS dist2 FROM s3
+      |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
+      |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).
