@@ -1376,4 +1376,37 @@ object WarehouseQueries {
        |SELECT c.file_id, c.n_rows, CAST((c.cum - c.n_rows) // t.target AS BIGINT) AS bin
        |FROM c, t ORDER BY bin, file_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------ q37
+  /** Privacy-preserving key tokenization ([[graft.etl.Pseudonymize]]):
+    * customer and order keys are independently replaced by salted
+    * SHA-256 tokens, then the revenue rollup joins ON THE TOKENS —
+    * proving referential integrity survives pseudonymization (same
+    * cardinality, same aggregates, nothing short of the salt inverts a
+    * token). Narrow codegen'd projection, no UDF; the join shuffles on
+    * the token exactly as it would on the key. */
+  def q37Pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val salt = "graft"
+    val cust = Tables.customer(s, dir)
+      .select(graft.etl.Pseudonymize.token(col("c_custkey"), salt).as("cust_token"))
+    val ord = Tables.orders(s, dir)
+      .select(graft.etl.Pseudonymize.token(col("o_custkey"), salt).as("cust_token"),
+        col("o_totalprice"))
+    ord.join(cust, "cust_token")
+      .groupBy(col("cust_token"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double").as("revenue"))
+      .orderBy(col("cust_token"))
+  }
+
+  val q37Oracle: String =
+    """WITH tc AS (SELECT sha256('graft:' || CAST(c_custkey AS VARCHAR)) AS cust_token FROM customer),
+      |o AS (SELECT sha256('graft:' || CAST(o_custkey AS VARCHAR)) AS cust_token,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders)
+      |SELECT o.cust_token, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o.p) AS DOUBLE) AS revenue
+      |FROM o JOIN tc USING (cust_token)
+      |GROUP BY o.cust_token ORDER BY cust_token""".stripMargin
 }
