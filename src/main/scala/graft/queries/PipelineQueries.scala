@@ -472,6 +472,42 @@ object PipelineQueries {
       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
       |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------ q38
+  /** Cross-source contamination matrix
+    * ([[graft.text.WordGrams.sourceOverlap]]): distinct word 8-grams
+    * shared between every source pair, with integer-ppm containment
+    * both ways and Jaccard — the mix-audit run before blending corpora.
+    * Complete matrix (zero-overlap pairs included), all ratios exact
+    * integer division of positives. */
+  def q38SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.text.WordGrams.sourceOverlap(
+        docsSpread(s, dir), "doc_id", "source", "text", n = 8)
+      .orderBy(col("src_a"), col("src_b"))
+
+  val q38Oracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |g AS (SELECT source, t, unnest(generate_series(1, len(t) - 7)) AS i FROM d),
+      |sg AS (SELECT DISTINCT source, array_to_string(t[i:i+7], ' ') AS gram FROM g),
+      |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+      |cm AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+      |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |px AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    a.n AS grams_a, b.n AS grams_b
+      |  FROM sz a JOIN sz b ON a.source < b.source)
+      |SELECT px.src_a, px.src_b,
+      |  CAST(px.grams_a AS BIGINT) AS grams_a,
+      |  CAST(px.grams_b AS BIGINT) AS grams_b,
+      |  CAST(coalesce(cm.c, 0) AS BIGINT) AS n_common,
+      |  CAST((1000000 * coalesce(cm.c, 0)) // px.grams_a AS BIGINT) AS cont_a_ppm,
+      |  CAST((1000000 * coalesce(cm.c, 0)) // px.grams_b AS BIGINT) AS cont_b_ppm,
+      |  CAST((1000000 * coalesce(cm.c, 0))
+      |    // (px.grams_a + px.grams_b - coalesce(cm.c, 0)) AS BIGINT) AS jaccard_ppm
+      |FROM px LEFT JOIN cm ON px.src_a = cm.src_a AND px.src_b = cm.src_b
+      |ORDER BY px.src_a, px.src_b""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

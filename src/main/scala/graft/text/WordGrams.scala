@@ -74,6 +74,48 @@ object WordGrams {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Cross-source contamination matrix: for every unordered source
+    * pair, how many DISTINCT word n-grams the two sources share, with
+    * integer-ppm containment both ways (`|A∩B|/|A|`, `/|B|`) and
+    * Jaccard — the "how much does source A duplicate source B" audit
+    * run before mixing corpora. Pairs sharing nothing still appear
+    * (a complete matrix is the point of the audit).
+    *
+    * All ratios are ppm via integer division of positives (truncate ==
+    * floor on every engine). Scale: per-source gram sets distinct-reduce
+    * map-side; the only corpus-scale shuffles key on the gram string
+    * (set build + pair meet); a gram present in s sources meets s²
+    * times — bounded by the SOURCE count squared, not the corpus. The
+    * pair skeleton and size lookups are source-cardinality metadata
+    * (broadcast). */
+  def sourceOverlap(
+      docs: DataFrame,
+      idCol: String,
+      srcCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val sg = grams(docs, idCol, textCol, n)
+      .join(docs.select(col(idCol), col(srcCol).as("_src")), Seq(idCol))
+      .select(col("_src"), col("gram")).distinct()
+    val sizes = sg.groupBy(col("_src")).agg(count(lit(1)).as("n"))
+    val common = sg.select(col("_src").as("src_a"), col("gram"))
+      .join(sg.select(col("_src").as("src_b"), col("gram")), Seq("gram"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("c"))
+    val skeleton = broadcast(sizes.select(col("_src").as("src_a"), col("n").as("grams_a")))
+      .crossJoin(broadcast(sizes.select(col("_src").as("src_b"), col("n").as("grams_b"))))
+      .where(col("src_a") < col("src_b"))
+    skeleton
+      .join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("c"), lit(0L)).as("n_common"))
+      .withColumn("cont_a_ppm", expr("(1000000 * n_common) div grams_a"))
+      .withColumn("cont_b_ppm", expr("(1000000 * n_common) div grams_b"))
+      .withColumn("jaccard_ppm",
+        expr("(1000000 * n_common) div (grams_a + grams_b - n_common)"))
+  }
+
   /** Vocabulary induction: corpus-wide token occurrence counts with a
     * minimum-frequency floor — the first step of any tokenizer/vocab
     * build. One explode + one aggregation keyed on the token
