@@ -508,6 +508,80 @@ object PipelineQueries {
       |FROM px LEFT JOIN cm ON px.src_a = cm.src_a AND px.src_b = cm.src_b
       |ORDER BY px.src_a, px.src_b""".stripMargin
 
+  // ------------------------------------------------------------------ q39
+  /** Train/eval split-leakage audit: the q72 deterministic split
+    * composed with the q23 EXACT similarity join — every val/test doc
+    * that has a char-3-gram Jaccard ≥ 0.5 near-duplicate inside the
+    * train split, with its dup count and strongest train partner
+    * (ties → lowest train id). The check every pipeline must run AFTER
+    * splitting: document-level splits don't stop near-identical pairs
+    * from straddling the boundary and inflating eval scores. Exact join
+    * ⇒ the all-pairs oracle stays valid. */
+  def q39SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+    val split = graft.curate.Curation.assignSplit(docs, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.jaccardJoin(
+      docs.select(col("doc_id").as("id"), col("lang").as("blk"),
+        Dedup.charShinglesFrom(TextAnalysis.canonical(col("text")), 3).as("sh")),
+      threshold = 0.5)
+    val oriented = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .where(col("split_a") =!= col("split_b") &&
+        (col("split_a") === "train" || col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("id_b")).otherwise(col("id_a")).as("eval_id"),
+        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("eval_split"),
+        when(col("split_a") === "train", col("id_a")).otherwise(col("id_b")).as("train_id"),
+        col("jaccard_sim"))
+    oriented
+      .groupBy(col("eval_id"), col("eval_split"))
+      .agg(
+        count(lit(1)).as("n_train_dups"),
+        max(struct(col("jaccard_sim").as("s"), negate(col("train_id")).as("nid")))
+          .as("_best"))
+      .select(col("eval_id"), col("eval_split"), col("n_train_dups"),
+        negate(col("_best.nid")).as("best_train_id"),
+        col("_best.s").as("best_sim"))
+      .orderBy(col("eval_id"))
+  }
+
+  val q39Oracle: String =
+    """WITH c AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ctext
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(length(ctext) - 2, 1)),
+      |      i -> substr(ctext, i, 3))) AS sh
+      |  FROM c),
+      |sp AS (SELECT doc_id, CASE
+      |    WHEN CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft-split'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      / 4294967296.0 < 0.8 THEN 'train'
+      |    WHEN CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft-split'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      / 4294967296.0 < 0.9 THEN 'val' ELSE 'test' END AS split
+      |  FROM documents),
+      |p AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+      |      / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) AS sim
+      |  FROM s l JOIN s r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |  WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+      |      / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) >= 0.5),
+      |o AS (SELECT
+      |    CASE WHEN sa.split = 'train' THEN p.id_b ELSE p.id_a END AS eval_id,
+      |    CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS eval_split,
+      |    CASE WHEN sa.split = 'train' THEN p.id_a ELSE p.id_b END AS train_id,
+      |    p.sim
+      |  FROM p JOIN sp sa ON p.id_a = sa.doc_id JOIN sp sb ON p.id_b = sb.doc_id
+      |  WHERE sa.split != sb.split AND (sa.split = 'train' OR sb.split = 'train')),
+      |best AS (SELECT eval_id, eval_split, train_id AS best_train_id, sim AS best_sim FROM o
+      |  QUALIFY row_number() OVER (PARTITION BY eval_id ORDER BY sim DESC, train_id) = 1),
+      |cnt AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_dups FROM o GROUP BY 1)
+      |SELECT b.eval_id, b.eval_split, cnt.n_train_dups, b.best_train_id, b.best_sim
+      |FROM best b JOIN cnt USING (eval_id) ORDER BY eval_id""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).
