@@ -67,10 +67,14 @@ object Importance {
       .select(col(idCol), col("_tgt"),
         tokenBucket(col("tok"), buckets).as("b"))
 
-    // B-row bucket table with raw AND target counts from one pass.
-    val counts = toks.groupBy(col("b")).agg(
-      count(lit(1)).as("c_r"),
-      sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t"))
+    // B-row bucket table with raw AND target counts from one pass —
+    // materialized once (it feeds both the totals aggregate and the
+    // score projection; without this the corpus-scale token pass runs
+    // twice, one full scan per consumer).
+    val counts = graft.util.Blocks.lazyCheckpoint(
+      toks.groupBy(col("b")).agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t")))
 
     // Totals derived from the bucket table itself (B rows), then the
     // log-ratio rounded once to micro-nats. Everything downstream of

@@ -65,8 +65,12 @@ object NgramLm {
       .select(col(idCol), col("p.b1").as("b1"), col("p.b2").as("b2"))
 
     // Observed-bigram counts; context counts derived from the SAME
-    // table (c(b1) = Σ_b2 c(b1,b2)) so the corpus is scanned once.
-    val bi = pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c_bi"))
+    // table (c(b1) = Σ_b2 c(b1,b2)) so the corpus is scanned once —
+    // and the ≤ B²-row table is materialized once, because it feeds
+    // both the context rollup and the score projection (otherwise the
+    // corpus-scale bigram pass runs once per consumer).
+    val bi = graft.util.Blocks.lazyCheckpoint(
+      pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c_bi")))
     val uni = bi.groupBy(col("b1")).agg(sum(col("c_bi")).as("c_uni"))
     val score = bi.join(uni, "b1").select(col("b1"), col("b2"),
       round(lit(-1e6) * log(
