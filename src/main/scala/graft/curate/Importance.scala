@@ -43,6 +43,70 @@ object Importance {
   def tokenBucket(token: Column, buckets: Int): Column =
     conv(substring(md5(token), 1, 8), 16, 10).cast("long") % buckets
 
+  /** Token-bucket rows for a doc frame: one (id, _tgt, b) row per
+    * canonical token. The corpus-scale intermediate every stage keys
+    * off. */
+  private[graft] def tokenBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      buckets: Int): DataFrame =
+    docs
+      .select(col(idCol), targetPred.as("_tgt"),
+        explode(graft.text.WordGrams.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col(idCol), col("_tgt"),
+        tokenBucket(col("tok"), buckets).as("b"))
+
+  /** The ≤ B-row (b, c_r, c_t) count table for a doc frame — one
+    * map-side-combinable pass; the unit the STREAMING tier folds
+    * incrementally (counts are plain sums: commutative, associative,
+    * slicing-invariant). */
+  def bucketCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      buckets: Int = DefaultBuckets): DataFrame =
+    tokenBuckets(docs, idCol, textCol, targetPred, buckets)
+      .groupBy(col("b")).agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t"))
+
+  /** Integer micro-nat score table derived from a (b, c_r, c_t) count
+    * table — deterministic in the counts, so any engine (or any
+    * micro-batch slicing that produced the same counts) derives the
+    * identical model. */
+  def scoreFromCounts(counts: DataFrame, buckets: Int = DefaultBuckets): DataFrame =
+    counts
+      .crossJoin(broadcast(counts.agg(
+        sum(col("c_r")).as("r_n"), sum(col("c_t")).as("t_n"))))
+      .select(col("b"),
+        round(lit(1e6) * log(
+          (col("c_t") + 1.0) * (col("r_n") + buckets) /
+            ((col("c_r") + 1.0) * (col("t_n") + buckets))), 0)
+          .cast("long").as("w_micro"))
+
+  /** Score a doc frame against an existing score table (broadcast —
+    * no corpus shuffle beyond the final doc-keyed aggregate). The
+    * serving half of the streaming tier: the model may come from a
+    * snapshot store rather than this corpus. */
+  def scoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      score: DataFrame,
+      buckets: Int = DefaultBuckets): DataFrame =
+    tokenBuckets(docs, idCol, textCol, targetPred, buckets)
+      .join(broadcast(score), "b")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("w_micro")).as("w_micro_sum"))
+      .withColumn("selected", col("w_micro_sum") > 0L)
+
   /** Per-document importance weights: one row per document that has at
     * least one canonical token (empty docs emit nothing — they carry no
     * evidence either way), with the token count, the integer micro-nat
@@ -60,40 +124,15 @@ object Importance {
       targetPred: Column,
       buckets: Int = DefaultBuckets): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val toks = docs
-      .select(col(idCol), targetPred.as("_tgt"),
-        explode(graft.text.WordGrams.tokens(col(textCol))).as("tok"))
-      .where(length(col("tok")) > 0)
-      .select(col(idCol), col("_tgt"),
-        tokenBucket(col("tok"), buckets).as("b"))
-
     // B-row bucket table with raw AND target counts from one pass —
     // materialized once (it feeds both the totals aggregate and the
     // score projection; without this the corpus-scale token pass runs
-    // twice, one full scan per consumer).
+    // twice, one full scan per consumer). Totals derive from the
+    // bucket table itself, the log-ratio is rounded once to
+    // micro-nats, and everything downstream is integer arithmetic.
     val counts = graft.util.Blocks.lazyCheckpoint(
-      toks.groupBy(col("b")).agg(
-        count(lit(1)).as("c_r"),
-        sum(when(col("_tgt"), 1L).otherwise(0L)).as("c_t")))
-
-    // Totals derived from the bucket table itself (B rows), then the
-    // log-ratio rounded once to micro-nats. Everything downstream of
-    // this point is integer arithmetic.
-    val score = counts
-      .crossJoin(broadcast(counts.agg(
-        sum(col("c_r")).as("r_n"), sum(col("c_t")).as("t_n"))))
-      .select(col("b"),
-        round(lit(1e6) * log(
-          (col("c_t") + 1.0) * (col("r_n") + buckets) /
-            ((col("c_r") + 1.0) * (col("t_n") + buckets))), 0)
-          .cast("long").as("w_micro"))
-
-    toks
-      .join(broadcast(score), "b")
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(col("w_micro")).as("w_micro_sum"))
-      .withColumn("selected", col("w_micro_sum") > 0L)
+      bucketCounts(docs, idCol, textCol, targetPred, buckets))
+    scoreDocs(docs, idCol, textCol, targetPred,
+      scoreFromCounts(counts, buckets), buckets)
   }
 }
