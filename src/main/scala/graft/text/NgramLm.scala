@@ -39,47 +39,77 @@ object NgramLm {
 
   val DefaultBuckets = 256
 
-  /** One row per document with ≥ 2 canonical tokens (shorter docs carry
-    * no bigram evidence and emit nothing): token count, bigram count,
-    * total NLL in integer micro-nats, the per-bigram average
-    * (`nll_micro_sum DIV n_bigrams`), and
-    * `kept = avg NLL < ln(buckets)` — strictly better than the
-    * uniform baseline. */
-  def perplexityFilter(
+  /** (id, b1, b2) bigram-bucket rows — formed inside the row
+    * (arrays_zip of the bucket array with its own tail), no window
+    * shuffle. Docs with < 2 canonical tokens emit nothing. */
+  private[graft] def bigramRows(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      buckets: Int = DefaultBuckets): DataFrame = {
-    require(buckets > 1, s"buckets must be > 1, got $buckets")
+      buckets: Int): DataFrame = {
     val bucketed = docs
       .select(col(idCol), transform(
         filter(WordGrams.tokens(col(textCol)), t => length(t) > 0),
         t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets
       ).as("b"))
       .where(size(col("b")) >= 2)
-
-    val pairs = bucketed
+    bucketed
       .select(col(idCol), explode(arrays_zip(
         slice(col("b"), lit(1), size(col("b")) - 1).as("b1"),
         slice(col("b"), lit(2), size(col("b")) - 1).as("b2"))).as("p"))
       .select(col(idCol), col("p.b1").as("b1"), col("p.b2").as("b2"))
+  }
 
-    // Observed-bigram counts; context counts derived from the SAME
-    // table (c(b1) = Σ_b2 c(b1,b2)) so the corpus is scanned once —
-    // and the ≤ B²-row table is materialized once, because it feeds
-    // both the context rollup and the score projection (otherwise the
-    // corpus-scale bigram pass runs once per consumer).
-    val bi = graft.util.Blocks.lazyCheckpoint(
-      pairs.groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c_bi")))
-    val uni = bi.groupBy(col("b1")).agg(sum(col("c_bi")).as("c_uni"))
-    val score = bi.join(uni, "b1").select(col("b1"), col("b2"),
+  /** The ≤ B²-row (b1, b2, c_bi) count table for a doc frame — one
+    * map-side-combinable pass; the unit the STREAMING tier folds
+    * incrementally (counts are plain sums: commutative, associative,
+    * slicing-invariant). */
+  def bigramCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = DefaultBuckets): DataFrame =
+    bigramRows(docs, idCol, textCol, buckets)
+      .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c_bi"))
+
+  /** Per-context totals c(b1) = Σ_b2 c(b1,b2) — the ≤ B-row companion
+    * the serving path needs to price UNSEEN bigrams. */
+  def contextCounts(bi: DataFrame): DataFrame =
+    bi.groupBy(col("b1")).agg(sum(col("c_bi")).as("c_uni"))
+
+  /** Integer micro-nat NLL score table derived from a bigram count
+    * table — deterministic in the counts. */
+  def scoreFromCounts(bi: DataFrame, buckets: Int = DefaultBuckets): DataFrame =
+    bi.join(contextCounts(bi), "b1").select(col("b1"), col("b2"),
       round(lit(-1e6) * log(
         (col("c_bi") + 1.0) / (col("c_uni") + buckets)), 0)
         .cast("long").as("nll_micro"))
 
+  /** Score a doc frame against an existing NLL model (both tables
+    * broadcast). Bigrams UNSEEN by the model — possible when it
+    * trained on a different corpus, the streaming serving path — are
+    * priced by the SAME add-1 formula at zero count:
+    * `-ln(1/(c_uni+B))` under a known context, `ln B` under an unknown
+    * one. They must count against the doc, not silently vanish: a
+    * mostly-unknown document is exactly the kind the filter exists to
+    * reject. On the self-trained path every bigram is observed, so the
+    * fallback never fires and [[perplexityFilter]]'s output is
+    * unchanged bit-for-bit. */
+  def scoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      score: DataFrame,
+      contexts: DataFrame,
+      buckets: Int = DefaultBuckets): DataFrame = {
     val uniformMicro = math.round(1e6 * math.log(buckets.toDouble))
-    pairs
-      .join(broadcast(score), Seq("b1", "b2"))
+    bigramRows(docs, idCol, textCol, buckets)
+      .join(broadcast(score), Seq("b1", "b2"), "left")
+      .join(broadcast(contexts), Seq("b1"), "left")
+      .select(col(idCol),
+        coalesce(col("nll_micro"),
+          round(lit(1e6) * log(coalesce(col("c_uni"), lit(0L)) + buckets), 0)
+            .cast("long")).as("nll_micro"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -90,5 +120,26 @@ object NgramLm {
         col("nll_micro_sum"),
         expr("nll_micro_sum div n_bigrams").as("avg_nll_micro"))
       .withColumn("kept", col("avg_nll_micro") < lit(uniformMicro))
+  }
+
+  /** One row per document with ≥ 2 canonical tokens (shorter docs carry
+    * no bigram evidence and emit nothing): token count, bigram count,
+    * total NLL in integer micro-nats, the per-bigram average
+    * (`nll_micro_sum DIV n_bigrams`), and
+    * `kept = avg NLL < ln(buckets)` — strictly better than the
+    * uniform baseline. The ≤ B²-row count table is materialized once
+    * (it feeds both the context rollup and the score projection;
+    * without this the corpus-scale bigram pass runs once per
+    * consumer). */
+  def perplexityFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1, got $buckets")
+    val bi = graft.util.Blocks.lazyCheckpoint(
+      bigramCounts(docs, idCol, textCol, buckets))
+    scoreDocs(docs, idCol, textCol, scoreFromCounts(bi, buckets),
+      contextCounts(bi), buckets)
   }
 }
