@@ -107,7 +107,7 @@ object WordGrams {
       .crossJoin(broadcast(sizes.select(col("_src").as("src_b"), col("n").as("grams_b"))))
       .where(col("src_a") < col("src_b"))
     skeleton
-      .join(common, Seq("src_a", "src_b"), "left")
+      .join(broadcast(common), Seq("src_a", "src_b"), "left") // ≤ sources² rows
       .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
         coalesce(col("c"), lit(0L)).as("n_common"))
       .withColumn("cont_a_ppm", expr("(1000000 * n_common) div grams_a"))

@@ -306,4 +306,29 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(skAggs.forall(_ > genIdx),
       s"sketch aggregation above the fan-out — the explode is event-scale:\n$plan")
   }
+
+  for (name <- Seq("q34_importance_weights", "q35_lm_perplexity")) {
+    test(s"$name probes a BROADCAST model from ONE corpus scan") {
+      val plan = finalPlan(SparkEntry.queries(name)(spark, sfDir))
+      // the model table rides a broadcast join onto the token/bigram
+      // stream — a shuffle here would move the whole corpus
+      assert(countOf(plan, "BroadcastHashJoin") >= 1, plan)
+      // the count table is checkpoint-materialized, so the final plan
+      // scans the documents parquet exactly once (the probe pass); a
+      // second scan means the model subtree re-executed per consumer
+      assert(countOf(plan, "Scan parquet") === 1,
+        s"model subtree re-scanned the corpus:\n$plan")
+    }
+  }
+
+  test("q38 source-overlap: gram meet is the ONLY possible shuffle join") {
+    val plan = finalPlan(SparkEntry.queries("q38_source_overlap")(spark, sfDir))
+    // matrix skeleton + size lookups are source²-metadata: broadcast
+    assert(countOf(plan, "BroadcastHashJoin") +
+      countOf(plan, "BroadcastNestedLoopJoin") >= 2, plan)
+    val shuffleJoins =
+      countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin")
+    assert(shuffleJoins <= 1,
+      s"only the gram-keyed meet may shuffle, got $shuffleJoins:\n$plan")
+  }
 }
