@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.streaming.{StreamingAnnIndex, StreamingNearDedup}
+import graft.streaming.{StreamingAnnIndex, StreamingImportance, StreamingLm, StreamingNearDedup}
 
 /** Reproducible walls for the persistent-store incremental tiers —
   * the numbers behind BENCH_NOTES' "incremental-maintenance tiers"
@@ -73,8 +73,32 @@ object StoreBench {
       (r.count(), ())
     }
 
+    // ---- Model stores (importance + bigram LM): bulk fold + steady-
+    // state increment + serve-from-store. The claim under test: the
+    // increment and serve costs track the BATCH, not the store — the
+    // snapshot is <= B (or B²) rows regardless of folded volume.
+    val impStore = s"$base/importance"
+    val target = array_contains(
+      graft.text.WordGrams.tokens(col("text")), "spark")
+    val (_, impBulk) = timed(StreamingImportance.runBatch(
+      history, 0L, "doc_id", "text", target, 1024, impStore))
+    val (_, impInc) = timed(StreamingImportance.runBatch(
+      batch, 1L, "doc_id", "text", target, 1024, impStore))
+    val ((impRows, _), impServe) = timed {
+      (StreamingImportance.scoreWith(
+        batch, "doc_id", "text", target, impStore, 1024).count(), ())
+    }
+    val lmStore = s"$base/lm"
+    val (_, lmBulk) = timed(StreamingLm.runBatch(
+      history, 0L, "doc_id", "text", 256, lmStore))
+    val (_, lmInc) = timed(StreamingLm.runBatch(
+      batch, 1L, "doc_id", "text", 256, lmStore))
+    val ((lmRows, _), lmServe) = timed {
+      (StreamingLm.scoreWith(batch, "doc_id", "text", lmStore, 256).count(), ())
+    }
+
     println(
-      s"""{"sf":"$sfDir","n_docs":$nDocs,"nd_bulk_sec":${graft.util.Fmt.f2(ndBulk)},"nd_inc_sec":${graft.util.Fmt.f2(ndInc)},"nd_flagged":$flagged,"ann_bulk_sec":${graft.util.Fmt.f2(annBulk)},"ann_inc_sec":${graft.util.Fmt.f2(annInc)},"ann_query_sec":${graft.util.Fmt.f2(annQuery)},"ann_query_rows":$qRows}""")
+      s"""{"sf":"$sfDir","n_docs":$nDocs,"nd_bulk_sec":${graft.util.Fmt.f2(ndBulk)},"nd_inc_sec":${graft.util.Fmt.f2(ndInc)},"nd_flagged":$flagged,"ann_bulk_sec":${graft.util.Fmt.f2(annBulk)},"ann_inc_sec":${graft.util.Fmt.f2(annInc)},"ann_query_sec":${graft.util.Fmt.f2(annQuery)},"ann_query_rows":$qRows,"imp_bulk_sec":${graft.util.Fmt.f2(impBulk)},"imp_inc_sec":${graft.util.Fmt.f2(impInc)},"imp_serve_sec":${graft.util.Fmt.f2(impServe)},"imp_serve_rows":$impRows,"lm_bulk_sec":${graft.util.Fmt.f2(lmBulk)},"lm_inc_sec":${graft.util.Fmt.f2(lmInc)},"lm_serve_sec":${graft.util.Fmt.f2(lmServe)},"lm_serve_rows":$lmRows}""")
     spark.stop()
   }
 }
