@@ -526,25 +526,7 @@ object PipelineQueries {
       docs.select(col("doc_id").as("id"), col("lang").as("blk"),
         Dedup.charShinglesFrom(TextAnalysis.canonical(col("text")), 3).as("sh")),
       threshold = 0.5)
-    val oriented = pairs
-      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
-      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
-      .where(col("split_a") =!= col("split_b") &&
-        (col("split_a") === "train" || col("split_b") === "train"))
-      .select(
-        when(col("split_a") === "train", col("id_b")).otherwise(col("id_a")).as("eval_id"),
-        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("eval_split"),
-        when(col("split_a") === "train", col("id_a")).otherwise(col("id_b")).as("train_id"),
-        col("jaccard_sim"))
-    oriented
-      .groupBy(col("eval_id"), col("eval_split"))
-      .agg(
-        count(lit(1)).as("n_train_dups"),
-        max(struct(col("jaccard_sim").as("s"), negate(col("train_id")).as("nid")))
-          .as("_best"))
-      .select(col("eval_id"), col("eval_split"), col("n_train_dups"),
-        negate(col("_best.nid")).as("best_train_id"),
-        col("_best.s").as("best_sim"))
+    graft.dedup.SplitLeakage.audit(pairs, split)
       .orderBy(col("eval_id"))
   }
 
