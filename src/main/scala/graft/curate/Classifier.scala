@@ -1,0 +1,172 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hashed multinomial Naive-Bayes document classifier — the
+  * "fasttext-style linear classifier" stage standard LLM data pipelines
+  * use for quality / domain filtering (CCNet, GPT-3's WebText
+  * classifier, DoReMi's domain weights all sit on this shape; public
+  * technique). Trains per-class token-bucket likelihoods in one
+  * map-side-combinable pass, broadcasts the dense class x bucket score
+  * table back, and classifies every document; the registered query
+  * reports the source-confusion matrix — the corpus diagnostic that
+  * says which sources are separable (and therefore which domain labels
+  * carry signal for mixture design).
+  *
+  * Reference scope note: the reference warehouse has no classifier
+  * stage; this is LLM-pipeline extension surface, sibling to
+  * [[Importance]] (q34) whose hashed-bucket machinery it shares.
+  *
+  * Numeric contract — the q34/q35 lesson applied: the only floating
+  * computation is the per-(class, bucket) smoothed log-likelihood
+  * `ln((c + 1) / (tot_cls + B))` and the per-class log-prior
+  * `ln(n_cls / n)`, each rounded ONCE to integer micro-nats on the
+  * dense S·B-row model table (metadata: 20 sources x 1024 buckets =
+  * 20,480 rows). Every per-document score is then a BIGINT dot product
+  * of bucket counts with those integers — independent of partitioning
+  * and aggregation order — and the argmax tie-breaks to the
+  * lexicographically lowest class via struct ordering, so the result
+  * hash-matches an ANSI-SQL oracle on any engine.
+  *
+  * Scale shape: one corpus pass builds the (class, bucket) count table
+  * (map-side combinable, ≤ S·B rows post-combine); the dense model is
+  * derived from it driver-free and broadcast. Classification
+  * aggregates each doc's bucket histogram FIRST (one doc-keyed
+  * shuffle, rows ≤ min(tokens, B) per doc), so the S-way fan-out of
+  * the broadcast probe multiplies distinct-bucket rows, not token
+  * rows; the (doc, class) and doc aggregates are partial-aggregated.
+  * No driver collect anywhere — classes and priors stay in broadcast
+  * joins.
+  */
+object Classifier {
+
+  val DefaultBuckets = 1024
+
+  /** Docs that carry evidence: at least one canonical token. Docs
+    * without one emit nothing from training OR classification (they
+    * have no features either way — the q34 contract). */
+  private def hasToken(textCol: Column): Column =
+    exists(graft.text.WordGrams.tokens(textCol), t => length(t) > 0)
+
+  /** (id, cls, b) token-bucket rows — the corpus-scale stream both
+    * training and classification key off. */
+  private[graft] def tokenBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clsCol: String,
+      buckets: Int): DataFrame =
+    docs
+      .select(col(idCol), col(clsCol).cast("string").as("cls"),
+        explode(graft.text.WordGrams.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col(idCol), col("cls"),
+        Importance.tokenBucket(col("tok"), buckets).as("b"))
+
+  /** The ≤ S·B-row (cls, b, c) count table plus the S-row (cls,
+    * n_docs) prior table, from one corpus pass each — the mergeable
+    * units an incremental tier would fold (plain sums). */
+  def classCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clsCol: String,
+      buckets: Int = DefaultBuckets): (DataFrame, DataFrame) = {
+    val counts = tokenBuckets(docs, idCol, textCol, clsCol, buckets)
+      .groupBy(col("cls"), col("b")).agg(count(lit(1)).as("c"))
+    val docCounts = docs
+      .where(hasToken(col(textCol)))
+      .groupBy(col(clsCol).cast("string").as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    (counts, docCounts)
+  }
+
+  /** Dense S·B-row integer micro-nat model from the count tables:
+    * every (class, bucket) cell gets `lp_micro = round(1e6 *
+    * ln((c + 1) / (tot_cls + B)))` (add-1 smoothing — unseen cells
+    * included, which is why the table must be dense), and every class
+    * gets `prior_micro = round(1e6 * ln(n_cls / n))`. Deterministic in
+    * the counts; metadata-sized, so the crossJoin spine is broadcast
+    * work, never a corpus shuffle. */
+  def modelFromCounts(
+      spark: SparkSession,
+      counts: DataFrame,
+      docCounts: DataFrame,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val spine = docCounts.select(col("cls"))
+      .crossJoin(broadcast(spark.range(buckets).select(col("id").as("b"))))
+    val tot = counts.groupBy(col("cls")).agg(sum(col("c")).as("tot"))
+    val n = docCounts.agg(sum(col("n_docs")).as("n"))
+    spine
+      .join(counts, Seq("cls", "b"), "left")
+      .join(broadcast(tot), Seq("cls"), "left")
+      .join(broadcast(docCounts), Seq("cls"))
+      .crossJoin(broadcast(n))
+      .select(col("cls"), col("b"),
+        round(lit(1e6) * log((coalesce(col("c"), lit(0L)) + 1.0)
+          / (coalesce(col("tot"), lit(0L)) + buckets)), 0)
+          .cast("long").as("lp_micro"),
+        round(lit(1e6) * log(col("n_docs") / col("n").cast("double")), 0)
+          .cast("long").as("prior_micro"))
+  }
+
+  /** Classify a doc frame against a dense model table (broadcast).
+    * One row per evidence-bearing doc: (id, actual cls, predicted cls,
+    * score_micro of the winner, n_tokens). The per-doc bucket
+    * histogram aggregates BEFORE the S-way model probe, so the
+    * fan-out rides distinct buckets (≤ min(tokens, B) per doc), not
+    * tokens; argmax = min over the (-score, cls) struct — largest
+    * score, ties to lowest class name. */
+  def classify(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clsCol: String,
+      model: DataFrame,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val hist = tokenBuckets(docs, idCol, textCol, clsCol, buckets)
+      .groupBy(col(idCol), col("cls").as("actual"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val perClass = hist
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col(idCol), col("actual"), col("cls"))
+      .agg(
+        (sum(col("n") * col("lp_micro")) + first(col("prior_micro")))
+          .as("score_micro"),
+        sum(col("n")).as("n_tokens"))
+    perClass
+      .groupBy(col(idCol), col("actual"))
+      .agg(
+        min(struct((-col("score_micro")).as("ns"), col("cls"))).as("best"),
+        first(col("n_tokens")).as("n_tokens"))
+      .select(col(idCol), col("actual"),
+        col("best.cls").as("predicted"),
+        (-col("best.ns")).as("score_micro"),
+        col("n_tokens"))
+  }
+
+  /** Train-and-classify on one corpus, rolled up to the S²-bounded
+    * confusion matrix: (actual, predicted, n_docs) for every observed
+    * pair, the source-separability diagnostic. The count/model tables
+    * are materialized once (they feed the spine, totals, and the
+    * probe — without it the corpus-scale counting pass re-executes per
+    * consumer: the q34/q56 lesson). */
+  def confusionMatrix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clsCol: String,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = docs.sparkSession
+    val (counts, docCounts) = classCounts(docs, idCol, textCol, clsCol, buckets)
+    val countsM = graft.util.Blocks.lazyCheckpoint(counts)
+    val docCountsM = graft.util.Blocks.lazyCheckpoint(docCounts)
+    val model = graft.util.Blocks.lazyCheckpoint(
+      modelFromCounts(spark, countsM, docCountsM, buckets))
+    classify(docs, idCol, textCol, clsCol, model, buckets)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+}

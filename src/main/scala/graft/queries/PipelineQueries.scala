@@ -564,6 +564,96 @@ object PipelineQueries {
       |SELECT b.eval_id, b.eval_split, cnt.n_train_dups, b.best_train_id, b.best_sim
       |FROM best b JOIN cnt USING (eval_id) ORDER BY eval_id""".stripMargin
 
+  // ----------------------------------------------------------------- q100
+  /** Hashed Naive-Bayes source classifier
+    * ([[graft.curate.Classifier]]): the fasttext-style linear
+    * classifier stage LLM pipelines use for quality/domain filtering,
+    * trained per-source over 1024 hashed unigram buckets and rolled up
+    * to the source-confusion matrix (which domain labels are
+    * separable). Same integer micro-nat contract as q34/q35 — the
+    * per-(class, bucket) log-likelihood and per-class prior round once
+    * on the dense S·B model table, per-doc scores are BIGINT dot
+    * products, and the argmax ties to the lowest class name — so the
+    * DuckDB oracle hash-matches. */
+  def q100SourceClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Classifier.confusionMatrix(
+        docsSpread(s, dir), "doc_id", "text", "source")
+      .orderBy(col("actual"), col("predicted"))
+
+  val q100Oracle: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents),
+      |t AS (SELECT doc_id, source AS cls,
+      |    CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % 1024 AS b
+      |  FROM toks WHERE len(token) > 0),
+      |docn AS (SELECT cls, count(*) AS n_docs
+      |  FROM (SELECT DISTINCT doc_id, cls FROM t) GROUP BY cls),
+      |n AS (SELECT sum(n_docs) AS n FROM docn),
+      |cnt AS (SELECT cls, b, count(*) AS c FROM t GROUP BY cls, b),
+      |tot AS (SELECT cls, sum(c) AS tot FROM cnt GROUP BY cls),
+      |model AS (SELECT d.cls, gs.b,
+      |    CAST(round(1e6 * ln((coalesce(cnt.c, 0) + 1.0) / (tot.tot + 1024))) AS BIGINT) AS lp,
+      |    CAST(round(1e6 * ln(d.n_docs / n.n)) AS BIGINT) AS pr
+      |  FROM docn d
+      |  CROSS JOIN (SELECT unnest(range(0, 1024)) AS b) gs
+      |  JOIN tot ON tot.cls = d.cls
+      |  LEFT JOIN cnt ON cnt.cls = d.cls AND cnt.b = gs.b
+      |  CROSS JOIN n),
+      |hist AS (SELECT doc_id, cls AS actual, b, count(*) AS nb
+      |  FROM t GROUP BY doc_id, cls, b),
+      |perclass AS (SELECT hist.doc_id, hist.actual, model.cls,
+      |    sum(hist.nb * model.lp) + any_value(model.pr) AS score
+      |  FROM hist JOIN model ON hist.b = model.b
+      |  GROUP BY hist.doc_id, hist.actual, model.cls),
+      |ranked AS (SELECT doc_id, actual, cls,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+      |  FROM perclass)
+      |SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM ranked WHERE rn = 1
+      |GROUP BY actual, cls
+      |ORDER BY actual, predicted""".stripMargin
+
+  // ----------------------------------------------------------------- q101
+  /** Per-source token-distribution drift ([[graft.curate.Drift]]):
+    * smoothed KL(source ‖ corpus) over 1024 hashed unigram buckets in
+    * integer micro-nats — the mixture-design diagnostic ranking
+    * sources by how far their language sits from the blend. Per-cell
+    * KL terms round once on the dense S·B metadata table; the
+    * per-source rollup is a BIGINT sum, so the DuckDB oracle
+    * hash-matches. */
+  def q101SourceDrift(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Drift.sourceDrift(
+        docsSpread(s, dir), "doc_id", "text", "source")
+      .orderBy(col("source"))
+
+  val q101Oracle: String =
+    """WITH toks AS (SELECT doc_id, source,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents),
+      |t AS (SELECT source AS cls,
+      |    CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % 1024 AS b
+      |  FROM toks WHERE len(token) > 0),
+      |cnt AS (SELECT cls, b, count(*) AS c FROM t GROUP BY cls, b),
+      |corpus AS (SELECT b, sum(c) AS c_all FROM cnt GROUP BY b),
+      |tot AS (SELECT cls, sum(c) AS tot_s FROM cnt GROUP BY cls),
+      |n AS (SELECT sum(c) AS tot FROM cnt),
+      |cell AS (SELECT tot.cls, tot.tot_s,
+      |    CAST(round(1e6
+      |      * ((coalesce(cnt.c, 0) + 1.0) / (tot.tot_s + 1024))
+      |      * ln(((coalesce(cnt.c, 0) + 1.0) / (tot.tot_s + 1024))
+      |         / ((coalesce(corpus.c_all, 0) + 1.0) / (n.tot + 1024)))) AS BIGINT)
+      |      AS term
+      |  FROM tot
+      |  CROSS JOIN (SELECT unnest(range(0, 1024)) AS b) gs
+      |  LEFT JOIN cnt ON cnt.cls = tot.cls AND cnt.b = gs.b
+      |  LEFT JOIN corpus ON corpus.b = gs.b
+      |  CROSS JOIN n)
+      |SELECT cls AS source,
+      |  CAST(any_value(tot_s) AS BIGINT) AS n_tokens,
+      |  CAST(sum(term) AS BIGINT) AS kl_micro
+      |FROM cell GROUP BY cls ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

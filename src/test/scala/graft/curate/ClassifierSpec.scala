@@ -1,0 +1,80 @@
+package graft.curate
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Three token populations with distinct vocabularies plus a shared
+  // stopword; "mixed" docs borrow fruit vocabulary so they confuse
+  // toward that class.
+  private val docs = (
+    (1L to 30L).map(i => (i, "the apple banana cherry apple banana", "fruit")) ++
+    (31L to 60L).map(i => (i, "the xray yankee zulu xray yankee", "nato")) ++
+    (61L to 90L).map(i => (i, "the rock jazz blues rock jazz", "music")) ++
+    (91L to 96L).map(i => (i, "the apple banana apple banana apple", "mixed"))
+  ).toDF("doc_id", "text", "source")
+
+  private def confusion(buckets: Int = 64) =
+    Classifier.confusionMatrix(docs, "doc_id", "text", "source", buckets)
+
+  test("separable classes classify to themselves; mixed confuses to fruit") {
+    val m = confusion().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(m(("fruit", "fruit")) === 30L)
+    assert(m(("nato", "nato")) === 30L)
+    assert(m(("music", "music")) === 30L)
+    // mixed docs share fruit's exact token stream but fruit has 5x the
+    // prior mass and denser counts — they classify as fruit
+    assert(m(("mixed", "fruit")) === 6L)
+    assert(!m.contains(("mixed", "mixed")))
+  }
+
+  test("classify is partition-independent (integer micro-nat scores)") {
+    val (counts, docCounts) =
+      Classifier.classCounts(docs, "doc_id", "text", "source", 64)
+    val model = Classifier.modelFromCounts(spark, counts, docCounts, 64)
+    val a = Classifier.classify(docs, "doc_id", "text", "source", model, 64)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val b = Classifier.classify(docs.repartition(7), "doc_id", "text",
+        "source", model, 64)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(a === b)
+  }
+
+  test("argmax ties break to the lexicographically lowest class") {
+    // Two classes with IDENTICAL token streams and equal doc counts:
+    // every cell of the model matches, so every score ties and every
+    // doc must predict the lexicographically lowest of the two.
+    val tied = (
+      (1L to 10L).map(i => (i, "alpha beta gamma", "zeta")) ++
+      (11L to 20L).map(i => (i, "alpha beta gamma", "eta"))
+    ).toDF("doc_id", "text", "source")
+    val m = Classifier.confusionMatrix(tied, "doc_id", "text", "source", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("zeta", "eta")) === 10L)
+    assert(m(("eta", "eta")) === 10L)
+  }
+
+  test("docs without canonical tokens emit nothing; model stays dense") {
+    val withEmpty = docs.unionByName(
+      Seq((999L, "  --  ", "fruit")).toDF("doc_id", "text", "source"))
+    val total = Classifier.confusionMatrix(
+        withEmpty, "doc_id", "text", "source", 64)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(total === 96L)
+    // dense model: every (class, bucket) cell present, seen or not
+    val (counts, docCounts) =
+      Classifier.classCounts(docs, "doc_id", "text", "source", 64)
+    assert(Classifier.modelFromCounts(spark, counts, docCounts, 64)
+      .count() === 4L * 64L)
+  }
+
+  test("model probe broadcasts; no corpus-scale exchange on the model side") {
+    val plan = confusion().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"model join should broadcast the dense S*B table:\n$plan")
+  }
+}
