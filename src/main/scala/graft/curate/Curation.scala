@@ -112,6 +112,65 @@ object Curation {
         col("sample_rate") * HashSpace.toDouble)
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/domain
+    * sampling rule of XLM/mT5-style pipelines (Conneau & Lample 2019;
+    * public technique): target weight per stratum is its NATURAL token
+    * share raised to temperature α and renormalized,
+    * `w_s = n_s^α / Σ_j n_j^α`, flattening the corpus distribution
+    * toward uniform so low-resource strata are upsampled relative to
+    * their share. Unlike [[mixtureSample]], the targets are DERIVED
+    * from the corpus, not caller policy. This operator pins α = 0.5:
+    * `n^0.5` is IEEE `sqrt` — correctly rounded by the standard, hence
+    * bit-identical on every engine — and the per-stratum weight
+    * numerator is rounded ONCE to an integer (micro-scaled, the
+    * q34/q100 lesson) so the cross-strata normalizing sum is exact
+    * integer arithmetic, immune to FP summation order.
+    *
+    * Scale shape: one map-side-combinable corpus aggregate to the
+    * per-stratum token mass (metadata: |strata| rows), one 1-row total,
+    * both broadcast back; selection is the same by-value md5 Bernoulli
+    * narrow filter as [[mixtureSample]]. Nothing corpus-scale shuffles.
+    *
+    * Output: input columns + `weight_ppm` (the stratum's temperature
+    * target in integer ppm) + `sample_rate` (min(1, budget·w/avail)).
+    * Undersupplied strata cap at 1 — same no-silent-redistribution
+    * contract as [[mixtureRates]]. */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokenCol: String,
+      tokenBudget: Long,
+      salt: String = "graft"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    // The per-stratum mass table feeds two consumers (the total and the
+    // rate projection) — checkpoint the |strata|-row result once so the
+    // corpus-scale aggregate doesn't re-execute per consumer.
+    val avail = graft.util.Blocks.lazyCheckpoint(
+      df.groupBy(col(stratumCol))
+        .agg(sum(col(tokenCol)).cast("long").as("avail_tokens"))
+        // sqrt(avail) = avail^α at α = 0.5; scaled to micro-units and
+        // rounded once so everything downstream is exact integers.
+        .withColumn("_sq",
+          round(lit(1e6) * sqrt(col("avail_tokens").cast("double")))
+            .cast("long")))
+    val tot = avail.agg(sum(col("_sq")).as("_tot"))
+    val rates = avail.crossJoin(broadcast(tot))
+      // exact integer ppm; positive ints so `div` (truncate) == floor.
+      // Headroom: 1e6·_sq stays under Long.Max while any stratum holds
+      // < 8.5e13 tokens — orders above a 100 TB corpus.
+      .withColumn("weight_ppm", expr("(1000000L * _sq) div _tot"))
+      .withColumn("sample_rate",
+        least(lit(1.0),
+          (lit(tokenBudget.toDouble) * col("_sq").cast("double")
+            / col("_tot").cast("double"))
+            / col("avail_tokens").cast("double")))
+      .select(col(stratumCol), col("weight_ppm"), col("sample_rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(hashKey(col(idCol), salt).cast("double") <
+        col("sample_rate") * HashSpace.toDouble)
+  }
+
   /** Exactly `min(k, |stratum|)` rows per stratum — the k smallest by
     * (md5 hash, id): a deterministic FIXED-SIZE sample ("give me 10k
     * eval docs per language"), where [[stratifiedSample]]'s rate form

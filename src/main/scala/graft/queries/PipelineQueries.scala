@@ -654,6 +654,156 @@ object PipelineQueries {
       |  CAST(sum(term) AS BIGINT) AS kl_micro
       |FROM cell GROUP BY cls ORDER BY source""".stripMargin
 
+  // ----------------------------------------------------------------- q102
+  /** BPE merge-round pair statistics ([[graft.text.BpeStats]]): every
+    * adjacent character pair inside every canonical-token occurrence,
+    * counted exactly and ranked (count desc, pair asc) — rank 1 is the
+    * tokenizer's next merge. The counting stage of distributed BPE
+    * training: partial aggregation collapses the corpus to a ≤ 36²-row
+    * pair table before any exchange, so the plan is corpus-scale scan +
+    * metadata shuffle at any size. Exact BIGINTs, deterministic ties →
+    * hash-exact oracle. */
+  def q102BpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpeStats.pairCounts(docsSpread(s, dir), "doc_id", "text")
+      .orderBy(col("pair"))
+
+  val q102Oracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |t AS (SELECT doc_id, tok FROM toks WHERE length(tok) >= 2),
+      |p AS (SELECT doc_id, substring(tok, i, 2) AS pair
+      |  FROM t, unnest(generate_series(1, length(tok) - 1)) AS g(i)),
+      |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM p GROUP BY pair)
+      |SELECT pair, n, n_docs,
+      |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank
+      |FROM c ORDER BY pair""".stripMargin
+
+  // ----------------------------------------------------------------- q103
+  /** Unicode NFC normalization audit ([[graft.expressions.NfcNormalize]],
+    * codegen'd JDK Normalizer — no UDF): per-source counts of docs whose
+    * text is not canonically composed, plus the codepoint shrink from
+    * recomposition. The corpus is pure ASCII (already NFC), so the query
+    * PLANTS canonical-equivalence noise in-query — every 'a' gains a
+    * COMBINING ACUTE (U+0301), which NFC must recompose to the
+    * precomposed 'á' — making the normalization measurable while both
+    * engines derive the identical input from the same table. Counts and
+    * codepoint lengths are exact integers → hash-exact oracle. */
+  def q103NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.NfcNormalize.nfc
+    docsSpread(s, dir)
+      .select(col("source"),
+        replace(col("text"), lit("a"), lit("a\u0301")).as("p"))
+      .select(col("source"), col("p"), nfc(col("p")).as("norm"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("p") =!= col("norm"), 1).otherwise(0)).cast("long")
+          .as("n_denorm"),
+        sum(length(col("p"))).cast("long").as("chars_in"),
+        sum(length(col("norm"))).cast("long").as("chars_out"))
+      .withColumn("chars_removed", col("chars_in") - col("chars_out"))
+      .orderBy(col("source"))
+  }
+
+  val q103Oracle: String =
+    """WITH d AS (SELECT source, replace(text, 'a', 'a' || chr(769)) AS p
+      |  FROM documents),
+      |n AS (SELECT source, p, nfc_normalize(p) AS norm FROM d)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN p != norm THEN 1 ELSE 0 END) AS BIGINT) AS n_denorm,
+      |  CAST(sum(length(p)) AS BIGINT) AS chars_in,
+      |  CAST(sum(length(norm)) AS BIGINT) AS chars_out,
+      |  CAST(sum(length(p)) - sum(length(norm)) AS BIGINT) AS chars_removed
+      |FROM n GROUP BY source ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------------------- q104
+  /** Temperature-scaled mixture sampling
+    * ([[graft.curate.Curation.temperatureMixture]]): per-source target
+    * weights derived from the corpus itself — token share raised to
+    * α = 0.5 and renormalized (the XLM/mT5 low-resource upsampling
+    * rule) — then the same budgeted by-value Bernoulli selection as
+    * q97. sqrt is IEEE-exact and the weight numerator rounds once to
+    * integer micro-units, so the whole derivation is hash-exact. */
+  def q104TemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.curate.Curation.temperatureMixture(
+        docs, "doc_id", "source", "n_tokens", tokenBudget = 5000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("weight_ppm"), round(col("sample_rate"), 6).as("sample_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q104Oracle: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft'), 1, 8)) AS BIGINT) AS DOUBLE) AS hk
+      |  FROM documents),
+      |a AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail,
+      |    CAST(round(1e6 * sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS sq
+      |  FROM t GROUP BY source),
+      |tot AS (SELECT CAST(sum(sq) AS BIGINT) AS tot FROM a),
+      |r AS (SELECT a.source,
+      |    CAST((1000000 * a.sq) // tot.tot AS BIGINT) AS weight_ppm,
+      |    least(1.0, (5000.0 * CAST(a.sq AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+      |      / CAST(a.avail AS DOUBLE)) AS rate
+      |  FROM a, tot)
+      |SELECT t.doc_id, t.source, t.n_tokens, r.weight_ppm,
+      |  round(r.rate, 6) AS sample_rate
+      |FROM t JOIN r ON t.source = r.source
+      |WHERE t.hk < r.rate * 4294967296.0
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------- q105
+  /** Filter-ablation matrix ([[graft.curate.FilterAblation]]) over the
+    * q46 composite filter's four rules (dup / lang / quality / pii, in
+    * the decision's precedence order): per rule, docs flagged at all,
+    * drops attributed under first-fail precedence (reconciles with
+    * q46's decision counts), and docs dropped by that rule ALONE — the
+    * marginal regain if the rule were removed, which attribution hides
+    * whenever rules overlap. One corpus aggregate into a single row,
+    * unpivoted to the 4-row matrix. Exact counts → hash-exact. */
+  def q105FilterAblation(s: SparkSession, dir: String): DataFrame =
+    graft.curate.FilterAblation.ablate(
+        filterDecisions(s, dir),
+        Seq(
+          "dup"     -> (col("dup_rank") > 1),
+          "lang"    -> (col("pred_lang") === "und"),
+          "quality" -> !col("quality_ok"),
+          "pii"     -> (col("n_pii") =!= 0)))
+      .orderBy(col("rule"))
+
+  lazy val q105Oracle: String =
+    s"""WITH $filterDecisionCtes,
+       |f AS (SELECT CAST(is_dup AS INT) AS f_dup,
+       |    CASE WHEN pred_lang = 'und' THEN 1 ELSE 0 END AS f_lang,
+       |    CASE WHEN quality_ok THEN 0 ELSE 1 END AS f_quality,
+       |    CASE WHEN pii_ok THEN 0 ELSE 1 END AS f_pii
+       |  FROM d),
+       |a AS (SELECT
+       |    CAST(sum(f_dup) AS BIGINT) AS dup_fl,
+       |    CAST(sum(f_dup) AS BIGINT) AS dup_at,
+       |    CAST(sum(CASE WHEN f_dup = 1 AND f_lang + f_quality + f_pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dup_so,
+       |    CAST(sum(f_lang) AS BIGINT) AS lang_fl,
+       |    CAST(sum(CASE WHEN f_lang = 1 AND f_dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lang_at,
+       |    CAST(sum(CASE WHEN f_lang = 1 AND f_dup + f_quality + f_pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lang_so,
+       |    CAST(sum(f_quality) AS BIGINT) AS quality_fl,
+       |    CAST(sum(CASE WHEN f_quality = 1 AND f_dup + f_lang = 0 THEN 1 ELSE 0 END) AS BIGINT) AS quality_at,
+       |    CAST(sum(CASE WHEN f_quality = 1 AND f_dup + f_lang + f_pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS quality_so,
+       |    CAST(sum(f_pii) AS BIGINT) AS pii_fl,
+       |    CAST(sum(CASE WHEN f_pii = 1 AND f_dup + f_lang + f_quality = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_at,
+       |    CAST(sum(CASE WHEN f_pii = 1 AND f_dup + f_lang + f_quality = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_so
+       |  FROM f)
+       |SELECT 'dup' AS rule, dup_fl AS n_flagged, dup_at AS n_attributed, dup_so AS n_solo FROM a
+       |UNION ALL SELECT 'lang', lang_fl, lang_at, lang_so FROM a
+       |UNION ALL SELECT 'pii', pii_fl, pii_at, pii_so FROM a
+       |UNION ALL SELECT 'quality', quality_fl, quality_at, quality_so FROM a
+       |ORDER BY rule""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

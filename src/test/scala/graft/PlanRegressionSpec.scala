@@ -321,6 +321,46 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q102 BPE pairs: the rank window sees only the post-aggregate pair table") {
+    val plan = finalPlan(SparkEntry.queries("q102_bpe_pairs")(spark, sfDir))
+    // partial aggregation must collapse the pair stream BEFORE any
+    // exchange: the window (single-partition over <= 36^2 rows) has to
+    // sit above the final HashAggregate, and the only corpus-scale
+    // operators are the scan + generates below the first aggregate
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, plan)
+    assert(winIdx < aggIdx,
+      s"rank window must ride the aggregated pair table (tree prints top-down):\n$plan")
+    // no shuffle join anywhere — the op is scan -> aggregate -> window
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") === 0, plan)
+  }
+
+  test("q104 temperature mixture: rates broadcast onto the corpus; mass table aggregated once") {
+    val plan = finalPlan(SparkEntry.queries("q104_temperature_mixture")(spark, sfDir))
+    // the |strata|-row rate table joins the corpus via broadcast only
+    assert(countOf(plan, "BroadcastHashJoin") >= 1, plan)
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") === 0,
+      s"rate table must broadcast, never shuffle the corpus:\n$plan")
+    // the checkpointed mass table feeds both the total and the rate
+    // projection: the final plan scans documents once for the main
+    // filter pass and once inside the (materialized-once) aggregate —
+    // never three times
+    assert(countOf(plan, "Scan parquet") <= 2,
+      s"per-stratum mass subplan re-executed per consumer:\n$plan")
+  }
+
+  test("q105 ablation: one corpus aggregate into a single row, then a metadata unpivot") {
+    val plan = finalPlan(SparkEntry.queries("q105_filter_ablation")(spark, sfDir))
+    // all 12 sums ride one aggregate: exactly one shuffle below the
+    // stack generate, and no join anywhere
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") +
+      countOf(plan, "BroadcastHashJoin") === 0, plan)
+    assert(plan.contains("stack"), plan)
+    assert(countOf(plan, "Scan parquet") === 1,
+      s"ablation must be ONE corpus pass:\n$plan")
+  }
+
   test("q38 source-overlap: gram meet is the ONLY possible shuffle join") {
     val plan = finalPlan(SparkEntry.queries("q38_source_overlap")(spark, sfDir))
     // matrix skeleton + size lookups are source²-metadata: broadcast

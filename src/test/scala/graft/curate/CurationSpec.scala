@@ -284,4 +284,57 @@ class CurationSpec extends SparkSpec {
       exact = false).head()
     assert(aRow.length === 6)
   }
+
+  test("temperatureMixture: weights are sqrt-flattened shares, exact and partition-independent") {
+    // strata token masses 100 / 400 / 2500: natural shares 1/30, 4/30,
+    // 25/30 -> sqrt weights 10/80, 20/80, 50/80 (flattened toward
+    // uniform: small stratum 3.75x upsampled relative to share)
+    val rows =
+      (1L to 10L).map(i => (i, "a", 10L)) ++
+        (11L to 30L).map(i => (i, "b", 20L)) ++
+        (31L to 80L).map(i => (i, "c", 50L))
+    val df = rows.toDF("id", "src", "toks")
+    val out = Curation.temperatureMixture(df, "id", "src", "toks", 800L)
+    val w = out.select("src", "weight_ppm", "sample_rate").distinct()
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(w("a")._1 === 125000L)
+    assert(w("b")._1 === 250000L)
+    assert(w("c")._1 === 625000L)
+    // rates: budget.w/avail = 800*.125/100 = 1 (cap), 800*.25/400 = .5,
+    // 800*.625/2500 = .2
+    assert(w("a")._2 === 1.0)
+    assert(math.abs(w("b")._2 - 0.5) < 1e-9)
+    assert(math.abs(w("c")._2 - 0.2) < 1e-9)
+    // capped stratum keeps every row; selection is by value
+    val kept = out.select("id").collect().map(_.getLong(0)).toSet
+    assert((1L to 10L).forall(kept))
+    val again = Curation
+      .temperatureMixture(df.repartition(7), "id", "src", "toks", 800L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
+  test("temperatureMixture flattens LESS than uniform and MORE than natural") {
+    // with alpha = 0.5 every stratum's weight sits strictly between its
+    // natural share and the uniform 1/k (for non-degenerate masses)
+    val rows = (1L to 300L).map { i =>
+      val s = if (i <= 10) "small" else if (i <= 60) "mid" else "big"
+      (i, s, 10L)
+    }
+    val df = rows.toDF("id", "src", "toks")
+    val out = Curation.temperatureMixture(df, "id", "src", "toks", 100000L)
+      .select("src", "weight_ppm").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val masses = Map("small" -> 100.0, "mid" -> 500.0, "big" -> 2400.0)
+    val n = masses.values.sum
+    masses.foreach { case (s, m) =>
+      val natural = m / n * 1e6
+      val uniform = 1e6 / 3
+      val lo = math.min(natural, uniform)
+      val hi = math.max(natural, uniform)
+      assert(out(s) > lo - 1 && out(s) < hi + 1,
+        s"$s weight ${out(s)} outside ($lo, $hi)")
+    }
+  }
 }
