@@ -366,6 +366,40 @@ object Curation {
       .drop("_running", "_start")
   }
 
+  /** Deterministic epoch shuffle: a reproducible global training order —
+    * each row gets a shard and a dense 0-based position inside it, both
+    * pure functions of (id, epoch). This is the data-ordering step of a
+    * resumable pretraining run: epoch k's permutation is fully
+    * determined, so a crashed job re-derives exactly where it was, and
+    * two training stacks consuming the same corpus read the same
+    * sequence (the property `repartition.sortWithinPartitions` alone
+    * cannot give — its shard contents depend on the cluster layout).
+    *
+    * shard = md5(id ‖ epoch-salt) mod `shards`; within-shard order is
+    * the same md5 (ties → id). Different epochs permute independently.
+    *
+    * Scale shape: the position is NOT a per-shard global window (a
+    * corpus/shards-sized funnel) — it rides [[withRunningTokens]]'s
+    * 256-bucket two-phase prefix sum keyed on the shard, so every shard
+    * ranks 256-way parallel and only metadata (shards × 256 offsets)
+    * crosses the driver-free broadcast. */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      shards: Int,
+      epoch: Int,
+      salt: String = "graft-epoch"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val esalt = s"$salt-$epoch"
+    val keyed = df
+      .withColumn("shard",
+        pmod(hashKey(col(idCol), esalt), lit(shards.toLong)).cast("int"))
+      .withColumn("_one", lit(1L))
+    withRunningTokens(keyed, idCol, "shard", "_one", esalt)
+      .withColumn("shard_pos", (col("_running") - 1L).cast("long"))
+      .drop("_one", "_running")
+  }
+
   /** Deterministic train/validation/test assignment: each row lands in
     * the first split whose cumulative rate covers its md5 hash
     * fraction — per-row, by value, so the assignment survives

@@ -804,6 +804,32 @@ object PipelineQueries {
        |UNION ALL SELECT 'quality', quality_fl, quality_at, quality_so FROM a
        |ORDER BY rule""".stripMargin
 
+  // ----------------------------------------------------------------- q106
+  /** Deterministic epoch shuffle
+    * ([[graft.curate.Curation.epochShuffle]]): the reproducible
+    * data-ordering step of a resumable pretraining run — every doc gets
+    * a shard and a dense in-shard position, pure functions of
+    * (id, epoch), so a crashed consumer re-derives its exact read
+    * position and two engines emit the identical sequence. Positions
+    * ride the 256-bucket two-phase prefix sum (no per-shard window
+    * funnel). Hash-exact oracle. */
+  def q106EpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curation.epochShuffle(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", shards = 8, epoch = 1)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy(col("doc_id"))
+
+  val q106Oracle: String =
+    """WITH h AS (SELECT doc_id,
+      |    md5(doc_id::VARCHAR || 'graft-epoch-1') AS m FROM documents),
+      |s AS (SELECT doc_id, m,
+      |    CAST(CAST(('0x' || substring(m, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard
+      |  FROM h)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY m, doc_id) - 1 AS BIGINT) AS shard_pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

@@ -361,6 +361,18 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"ablation must be ONE corpus pass:\n$plan")
   }
 
+  test("q106 epoch shuffle: in-shard ranking is bucket-parallel, not one task per shard") {
+    val plan = finalPlan(SparkEntry.queries("q106_epoch_shuffle")(spark, sfDir))
+    // the running-count window must key on (shard, _bkt) — a window
+    // partitioned by shard alone funnels corpus/shards rows into one task
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    val dataWins = winSpecs.filter(_.contains("_hk"))
+    assert(dataWins.nonEmpty, s"in-bucket running count not found:\n$plan")
+    assert(dataWins.forall(_.contains("_bkt")),
+      s"running count lost its bucket key:\n$plan")
+  }
+
   test("q38 source-overlap: gram meet is the ONLY possible shuffle join") {
     val plan = finalPlan(SparkEntry.queries("q38_source_overlap")(spark, sfDir))
     // matrix skeleton + size lookups are source²-metadata: broadcast

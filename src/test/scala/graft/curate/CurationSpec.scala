@@ -315,6 +315,47 @@ class CurationSpec extends SparkSpec {
     assert(again === kept)
   }
 
+  test("epochShuffle: dense per-shard positions, naive-window-identical, partition-independent") {
+    val ids = (1L to 500L).toDF("id")
+    val out = Curation.epochShuffle(ids, "id", shards = 4, epoch = 2)
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length === 500)
+    // positions are a dense 0..n-1 enumeration inside each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // equals the naive single-window formulation
+    val naive = ids
+      .withColumn("_m", md5(concat($"id".cast("string"), lit("graft-epoch-2"))))
+      .withColumn("shard",
+        pmod(conv(substring($"_m", 1, 8), 16, 10).cast("long"), lit(4L)).cast("int"))
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy($"shard").orderBy($"_m", $"id"))
+          .cast("long") - 1L)
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out.toSet === naive)
+    // partition-independent
+    val again = Curation.epochShuffle(ids.repartition(13), "id", 4, 2)
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again === out.toSet)
+  }
+
+  test("epochShuffle: different epochs permute independently") {
+    val ids = (1L to 300L).toDF("id")
+    def order(epoch: Int): Seq[Long] =
+      Curation.epochShuffle(ids, "id", shards = 1, epoch = epoch)
+        .orderBy("shard_pos").select("id").collect().map(_.getLong(0)).toSeq
+    val e1 = order(1)
+    val e2 = order(2)
+    assert(e1.toSet === e2.toSet, "same corpus, both epochs total")
+    assert(e1 !== e2, "epochs must not repeat the permutation")
+    // deterministic: re-deriving epoch 1 gives the identical sequence
+    assert(order(1) === e1)
+  }
+
   test("temperatureMixture flattens LESS than uniform and MORE than natural") {
     // with alpha = 0.5 every stratum's weight sits strictly between its
     // natural share and the uniform 1/k (for non-degenerate masses)
