@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{AudioMeta, BitmapFromIds, BitmapJaccard, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, NfcNormalize, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader}
+import graft.expressions.{AudioMeta, BitmapFromIds, BitmapJaccard, DeflateSize, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, NfcNormalize, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
@@ -46,6 +46,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => RollingHash(children.head)),
     ("nfc_normalize", classOf[NfcNormalize],
       (children: Seq[Expression]) => NfcNormalize(children.head)),
+    ("deflate_size", classOf[DeflateSize],
+      (children: Seq[Expression]) => DeflateSize(children.head)),
     ("rolling_windows", classOf[RollingWindows],
       (children: Seq[Expression]) => RollingWindows(
         children(0), litInt(children(1), "rolling_windows", "k"))),

@@ -830,6 +830,49 @@ object PipelineQueries {
       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY m, doc_id) - 1 AS BIGINT) AS shard_pos
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- q107
+  /** Compression-ratio quality signal
+    * ([[graft.expressions.DeflateSize]], Gopher/MassiveText-style
+    * repetition heuristic): per-source DEFLATE ratio rollup — natural
+    * text sits mid-range, degenerate repetition near zero, random blobs
+    * near one — one narrow codegen'd pass, no tokenization. zlib output
+    * length has no ANSI-SQL equivalent, so there is NO DuckDB oracle
+    * (rows-only driver check, the q21 convention) and the query plants
+    * its own proof: a 400-char single-letter doc must land below
+    * 0.15 ratio and a seeded high-entropy doc above 0.7, asserted by
+    * the in-result `planted_ok`. */
+  def q107CompressRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expressions.DeflateSize.deflateSize
+    // seeded java.util.Random is LCG-specified, so the high-entropy
+    // payload is identical on every JVM
+    val rnd = new java.util.Random(0xC0FFEE)
+    val noisy = (0 until 256).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+    val planted = Seq(
+      (-300L, "a" * 400, "planted_low"),
+      (-301L, noisy, "planted_high")).toDF("doc_id", "text", "source")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+      .unionByName(planted)
+    val rollup = docs
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("_b"),
+        deflateSize(col("text")).cast("long").as("_z"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_b")).as("sum_bytes"),
+        sum(col("_z")).as("sum_deflate"))
+      .withColumn("avg_ratio_ppm", expr("(1000000L * sum_deflate) div sum_bytes"))
+    val o = graft.util.Blocks.lazyCheckpoint(rollup)
+    o.crossJoin(broadcast(o.agg(
+        (coalesce(max(when(col("source") === "planted_low"
+            && col("avg_ratio_ppm") < 150000L, true)), lit(false)) &&
+          coalesce(max(when(col("source") === "planted_high"
+            && col("avg_ratio_ppm") > 700000L, true)), lit(false)))
+          .as("planted_ok"))))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).
