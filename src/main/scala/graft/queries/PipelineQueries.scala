@@ -873,6 +873,57 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  // ----------------------------------------------------------------- q108
+  /** Iterative BPE merge training ([[graft.text.BpeStats.merges]]):
+    * three merge rounds over the corpus — each counts adjacent symbol
+    * pairs weighted by word frequency, merges the winner (ties → lexic.
+    * smallest) and re-segments. One corpus pass collapses to the
+    * vocab-sized word-frequency table; every round runs over the vocab
+    * alone, with the winning pair the only driver materialization
+    * (1 row/round, the q36-centroid bound). The merge-application
+    * contract (4 leftmost-non-overlapping replace passes over
+    * sentinel-padded symbol strings) is engine-exact, so the decision
+    * sequence hash-matches the unrolled DuckDB oracle. */
+  def q108BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpeStats.merges(docsSpread(s, dir), "doc_id", "text",
+        rounds = 3)
+      .orderBy(col("round"))
+
+  val q108Oracle: String =
+    """WITH toks AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM toks
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS sym, wc FROM v),
+      |x1 AS (SELECT string_split(trim(sym), ' ') AS t, wc FROM s0),
+      |p1 AS (SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM x1, unnest(generate_series(1, len(t) - 1)) AS g(i) GROUP BY 1),
+      |t1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+      |s1 AS (SELECT replace(replace(replace(replace(sym,
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ') AS sym, wc
+      |  FROM s0, t1),
+      |x2 AS (SELECT string_split(trim(sym), ' ') AS t, wc FROM s1),
+      |p2 AS (SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM x2, unnest(generate_series(1, len(t) - 1)) AS g(i) GROUP BY 1),
+      |t2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+      |s2 AS (SELECT replace(replace(replace(replace(sym,
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ') AS sym, wc
+      |  FROM s1, t2),
+      |x3 AS (SELECT string_split(trim(sym), ' ') AS t, wc FROM s2),
+      |p3 AS (SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM x3, unnest(generate_series(1, len(t) - 1)) AS g(i) GROUP BY 1),
+      |t3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1)
+      |SELECT 1 AS round, pair, replace(pair, ' ', '') AS merged, n FROM t1
+      |UNION ALL SELECT 2, pair, replace(pair, ' ', ''), n FROM t2
+      |UNION ALL SELECT 3, pair, replace(pair, ' ', ''), n FROM t3
+      |ORDER BY round""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

@@ -80,4 +80,96 @@ object BpeStats {
     * builder Spark exposes only via `expr`/Column ops. */
   private def substring3(tok: Column, start: Column): Column =
     tok.substr(start, lit(2))
+
+  /** Iterative BPE merge training (Sennrich et al. 2016): `rounds`
+    * merge decisions over the corpus, each round counting adjacent
+    * SYMBOL pairs weighted by word frequency, merging the most frequent
+    * pair (ties → lexicographically smallest), and re-segmenting before
+    * the next count. Output: one row per round — `round`, `pair`
+    * ("a b"), `merged` ("ab"), `n` (weighted occurrence count at
+    * decision time).
+    *
+    * Scale shape — the classic trainer optimization, distributed: ONE
+    * corpus pass collapses to the (word, count) frequency table (the
+    * only corpus-scale shuffle, vocabulary-sized output); every round
+    * then runs over that vocab table alone — pair counts partial-
+    * aggregate to ≤ |symbols|²-row metadata, and the winning pair (a
+    * single row, the same driver-metadata bound as q36's centroids) is
+    * folded back as a literal. The vocab table is lazily checkpointed
+    * per round so round k+1 never re-executes rounds 1..k.
+    *
+    * Merge-application contract (cross-engine determinism over
+    * canonical-BPE fidelity): symbols live in a space-delimited string
+    * with sentinel padding, and a merge applies as `passes` (default 4)
+    * leftmost-non-overlapping `replace` passes of `" a b "` → `" ab "`.
+    * Plain replace consumes the trailing delimiter of a match, so ONE
+    * pass skips every second occurrence in an alternating chain
+    * ("a b a b"); each extra pass halves the residue, and 4 passes are
+    * a fixpoint for any chain of ≤ 16 consecutive pair repeats. Spark's
+    * `replace`, Java's `String.replace` and DuckDB's `replace` share
+    * these exact semantics, so the decision sequence hash-matches an
+    * unrolled ANSI-SQL oracle — unlike a lookaround-regex application,
+    * whose engine-specific regex dialects could silently diverge. */
+  def merges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int,
+      passes: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = docs
+      .select(explode(WordGrams.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wc"))
+      // "hello" -> " h e l l o " (sentinel spaces so every symbol is
+      // space-flanked and a multi-char symbol can never prefix-match
+      // inside another)
+      .select(
+        concat(lit(" "), trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" "))
+          .as("sym"),
+        col("wc"))
+    var cur = graft.util.Blocks.lazyCheckpoint(vocab0)
+    var prev: Option[DataFrame] = None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = split(trim(col("sym")), " ")
+      val top = cur
+        .select(col("wc"), explode(arrays_zip(
+          slice(syms, lit(1), size(syms) - 1).as("a"),
+          slice(syms, lit(2), size(syms) - 1).as("b"))).as("p"))
+        .select(concat(col("p.a"), lit(" "), col("p.b")).as("pair"), col("wc"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        val n = top.head.getLong(1)
+        val merged = pair.replace(" ", "")
+        out += ((r, pair, merged, n))
+        var symCol: Column = col("sym")
+        for (_ <- 1 to passes)
+          symCol = replace(symCol, lit(s" $pair "), lit(s" $merged "))
+        val next = graft.util.Blocks.lazyCheckpoint(
+          cur.select(symCol.as("sym"), col("wc")))
+        // round r's top-1 materialized `cur`; its predecessor is now
+        // consumed on both paths and can release
+        prev.foreach(graft.util.Blocks.release)
+        prev = Some(cur)
+        cur = next
+        r += 1
+      }
+    }
+    prev.foreach(graft.util.Blocks.release)
+    graft.util.Blocks.release(cur)
+    out.toSeq.toDF("round", "pair", "merged", "n")
+      .select(col("round").cast("int").as("round"), col("pair"),
+        col("merged"), col("n"))
+  }
 }

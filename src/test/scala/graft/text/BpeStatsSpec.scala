@@ -53,4 +53,48 @@ class BpeStatsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(BpeStats.pairCounts(docs, "doc_id", "text").count() === 0L)
   }
+
+  test("merges walks the hand-computed decision sequence and re-segments") {
+    // corpus: "low lower lowest low low" x1 -> word freqs:
+    //   low:3 lower:1 lowest:1
+    // round 1 pairs (weighted): "l o":5, "o w":5, "w e":2, "e r":1,
+    //   "e s":1, "s t":1 -> tie "l o" vs "o w" at 5 -> lexic: "l o"
+    // round 2: symbols lo w [e r / e s t]: "lo w":5, "w e":2, ... -> "lo w"
+    // round 3: low / low e r / low e s t: "low e":2, "e r":1, "e s":1,
+    //   "s t":1 -> "low e"
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val got = BpeStats.merges(docs, "doc_id", "text", rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "l o", "lo", 5L),
+      (2, "lo w", "low", 5L),
+      (3, "low e", "lowe", 2L)))
+  }
+
+  test("merges handles alternating chains within the declared 4-pass fixpoint") {
+    // "ababab...": pair (a,b) wins; 4 replace passes must merge EVERY
+    // non-overlapping occurrence (the single-pass trailing-space skip
+    // halves the residue each pass)
+    val docs = Seq((1L, ("ab" * 8) + " xy")).toDF("doc_id", "text")
+    val m = BpeStats.merges(docs, "doc_id", "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === ((1, "a b", "ab", 8L)))
+    // after round 1 the word is 8 "ab" symbols -> round 2's top pair is
+    // "ab ab" with weighted count 7 (adjacent occurrences of the merged
+    // symbol), proving ALL 8 merges applied in round 1
+    assert(m(1) === ((2, "ab ab", "abab", 7L)))
+  }
+
+  test("merges is partitioning-independent and stops early when no pairs remain") {
+    val docs = (0L until 30L).map(i => (i, s"tok${i % 3} tok${i % 5}"))
+      .toDF("doc_id", "text")
+    val a = BpeStats.merges(docs.coalesce(1), "doc_id", "text", 2).collect()
+    val b = BpeStats.merges(docs.repartition(7), "doc_id", "text", 2).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    // single-letter-only corpus: zero rounds emitted, empty frame
+    val empty = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(BpeStats.merges(empty, "doc_id", "text", 3).count() === 0L)
+  }
 }
