@@ -373,6 +373,26 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"running count lost its bucket key:\n$plan")
   }
 
+  for ((name, cols) <- Seq(
+      // q107's rollup is checkpoint-truncated (LogicalRDD), so only the
+      // un-checkpointed NFC audit exposes its scan to this gate
+      // doc_id rides along as the conditional-spread repartition key
+      ("q103_nfc_normalize", Set("doc_id", "source", "text")))) {
+    test(s"$name prunes the documents scan to ${cols.mkString("/")} and stays in codegen") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // finalize THIS plan's AQE so codegen stages print
+      val plan = df.queryExecution.executedPlan.toString
+      val read = "ReadSchema: struct<([^>]*)>".r
+        .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+      val readCols = read.split(",").map(_.split(":").head.trim).toSet
+      assert(readCols === cols,
+        s"scan must read exactly $cols, got $readCols:\n$plan")
+      // the native expression must run inside a WholeStageCodegen span
+      assert(plan.contains("*(1)"),
+        s"no codegen stage in the scan pass:\n$plan")
+    }
+  }
+
   test("q38 source-overlap: gram meet is the ONLY possible shuffle join") {
     val plan = finalPlan(SparkEntry.queries("q38_source_overlap")(spark, sfDir))
     // matrix skeleton + size lookups are source²-metadata: broadcast
