@@ -400,6 +400,43 @@ object Curation {
       .drop("_one", "_running")
   }
 
+  /** Shard manifest for a [[epochShuffle]] epoch: per-shard doc count,
+    * token mass, id range and an order-independent 60-bit content
+    * fingerprint — the reproducibility artifact a training run records
+    * next to its data ("did both stacks read byte-identical shards?").
+    * The fingerprint XORs a per-doc 60-bit hash of (id, content
+    * fingerprint): XOR is commutative/associative, so the aggregate is
+    * partition- and order-independent, never overflows, and flips if
+    * ANY document's content changes — and 60 bits stay inside a signed
+    * BIGINT on every engine (a full 64-bit hex literal would overflow
+    * DuckDB's BIGINT cast). Shard assignment is [[epochShuffle]]'s
+    * exact formula, so the manifest describes that epoch's shards.
+    * One map-side-combinable aggregate; |shards| rows out. */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      tokensCol: String,
+      shards: Int,
+      epoch: Int,
+      salt: String = "graft-epoch"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val esalt = s"$salt-$epoch"
+    val fp60 = conv(substring(md5(concat(
+        col(idCol).cast("string"), lit(":"), md5(col(contentCol)))),
+      1, 15), 16, 10).cast("long")
+    df.withColumn("shard",
+        pmod(hashKey(col(idCol), esalt), lit(shards.toLong)).cast("int"))
+      .withColumn("_fp", fp60)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("sum_tokens"),
+        expr("bit_xor(_fp)").as("content_fp"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+  }
+
   /** Deterministic train/validation/test assignment: each row lands in
     * the first split whose cumulative rate covers its md5 hash
     * fraction — per-row, by value, so the assignment survives

@@ -924,6 +924,104 @@ object PipelineQueries {
       |UNION ALL SELECT 3, pair, replace(pair, ' ', ''), n FROM t3
       |ORDER BY round""".stripMargin
 
+  // ----------------------------------------------------------------- q109
+  /** Shard manifest ([[graft.curate.Curation.shardManifest]]) for the
+    * q106 epoch's shards: per-shard doc count, token mass, id range and
+    * an order-independent XOR content fingerprint — the artifact two
+    * training stacks compare to prove they read byte-identical data.
+    * One map-side-combinable aggregate, |shards| rows. Hash-exact
+    * oracle (the 60-bit per-doc hash keeps the XOR inside a signed
+    * BIGINT on both engines). */
+  def q109ShardManifest(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curation.shardManifest(
+        Tables.documents(s, dir)
+          .withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id", "text", "n_tokens", shards = 8, epoch = 1)
+      .orderBy(col("shard"))
+
+  val q109Oracle: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    CAST(len(regexp_extract_all(text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft-epoch-1'), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+      |    CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || md5(text)), 1, 15)) AS BIGINT) AS fp
+      |  FROM documents)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  bit_xor(fp) AS content_fp,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ----------------------------------------------------------------- q110
+  /** The Gopher quality rule pack ([[graft.text.GopherRules]]): the
+    * canonical 7-rule heuristic filter (word count, mean word length,
+    * symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    * stop-word presence) per document, with five planted docs each
+    * tripping a different rule so every branch is provably exercised on
+    * the single-line synthetic corpus. Word-count/stop-word thresholds
+    * scaled to the corpus (the paper's assume web documents); all
+    * ratios round once to 6 places — hash-exact oracle. */
+  def q110GopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-400L, "- item one\n- item two\n- item three"),
+      (-401L, "read more...\nsee details...\nthe end of that line"),
+      (-402L, "### tags ### of ### the ### feed"),
+      (-403L, "too short"),
+      (-404L, Seq.fill(6)("pneumonoultramicroscopicsilicovolcanoconiosis")
+        .mkString(" "))).toDF("doc_id", "text")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    graft.text.GopherRules.annotate(docs, "text",
+        graft.text.GopherRules.Thresholds(minWords = 5, minStopWords = 1))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+        col("alpha_word_frac"), col("n_stop_words"),
+        col("r_words"), col("r_mean_len"), col("r_symbols"),
+        col("r_bullets"), col("r_ellipsis"), col("r_alpha"), col("r_stop"),
+        col("gopher_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q110Oracle: String = {
+    val stopTerms = graft.text.GopherRules.StopWords.map { w =>
+      s"CASE WHEN len(regexp_extract_all(lower(text), '(^|[^a-z0-9])$w([^a-z0-9]|$$)')) > 0 THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH u AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT -400, '- item one' || chr(10) || '- item two' || chr(10) || '- item three'
+       |  UNION ALL SELECT -401, 'read more...' || chr(10) || 'see details...' || chr(10) || 'the end of that line'
+       |  UNION ALL SELECT -402, '### tags ### of ### the ### feed'
+       |  UNION ALL SELECT -403, 'too short'
+       |  UNION ALL SELECT -404, repeat('pneumonoultramicroscopicsilicovolcanoconiosis ', 5) || 'pneumonoultramicroscopicsilicovolcanoconiosis'),
+       |m AS (SELECT doc_id, text,
+       |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r]+')) AS BIGINT) AS n_words,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+       |  FROM u),
+       |r AS (SELECT doc_id, n_words,
+       |    round(CASE WHEN n_words > 0 THEN CAST(length(regexp_replace(text, '[ \\t\\n\\r]+', '', 'g')) AS DOUBLE) / n_words ELSE 0.0 END, 6) AS mean_word_len,
+       |    round(CASE WHEN n_words > 0 THEN CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / n_words ELSE 0.0 END, 6) AS symbol_ratio,
+       |    round(CAST(len(regexp_extract_all(text, '(^|\\n)[ \\t]*[-*]')) AS DOUBLE) / n_lines, 6) AS bullet_frac,
+       |    round(CAST(len(regexp_extract_all(text, '\\.\\.\\.(\\n|$$)')) AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+       |    round(CASE WHEN n_words > 0 THEN CAST(len(regexp_extract_all(text, '[^ \\t\\n\\r]*[a-zA-Z][^ \\t\\n\\r]*')) AS DOUBLE) / n_words ELSE 0.0 END, 6) AS alpha_word_frac,
+       |    CAST($stopTerms AS INTEGER) AS n_stop_words
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |  ellipsis_frac, alpha_word_frac, n_stop_words,
+       |  (n_words >= 5 AND n_words <= 100000) AS r_words,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+       |  (symbol_ratio <= 0.1) AS r_symbols,
+       |  (bullet_frac <= 0.9) AS r_bullets,
+       |  (ellipsis_frac <= 0.3) AS r_ellipsis,
+       |  (alpha_word_frac >= 0.8) AS r_alpha,
+       |  (n_stop_words >= 1) AS r_stop,
+       |  (n_words >= 5 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |    AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+       |    AND n_stop_words >= 1) AS gopher_ok
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

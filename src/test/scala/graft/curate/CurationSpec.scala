@@ -356,6 +356,43 @@ class CurationSpec extends SparkSpec {
     assert(order(1) === e1)
   }
 
+  test("shardManifest: XOR fingerprint is order-independent and flips on any content change") {
+    val docs = (1L to 200L).map(i => (i, s"content of doc $i", 3L))
+      .toDF("id", "text", "toks")
+    val base = Curation.shardManifest(docs, "id", "text", "toks", 4, 1)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(base.keySet === Set(0, 1, 2, 3))
+    assert(base.values.map(_._1).sum === 200L)
+    // partitioning cannot change any field
+    val again = Curation.shardManifest(docs.repartition(11), "id", "text",
+        "toks", 4, 1)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === base)
+    // mutate ONE doc's text: exactly that doc's shard fingerprint flips,
+    // counts and token sums unchanged
+    val mutated = docs.withColumn("text",
+      when($"id" === 42L, lit("tampered")).otherwise($"text"))
+    val tampered = Curation.shardManifest(mutated, "id", "text", "toks", 4, 1)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val changed = (0 to 3).filter(s => tampered(s)._3 != base(s)._3)
+    assert(changed.size === 1, s"exactly one shard fingerprint must flip: $changed")
+    assert((0 to 3).forall(s => tampered(s)._1 == base(s)._1 &&
+      tampered(s)._2 == base(s)._2))
+  }
+
+  test("shardManifest shards agree with epochShuffle's assignment") {
+    val docs = (1L to 100L).map(i => (i, s"t$i", 1L)).toDF("id", "text", "toks")
+    val fromShuffle = Curation.epochShuffle(docs, "id", 4, 7)
+      .groupBy("shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fromManifest = Curation.shardManifest(docs, "id", "text", "toks", 4, 7)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fromManifest === fromShuffle)
+  }
+
   test("temperatureMixture flattens LESS than uniform and MORE than natural") {
     // with alpha = 0.5 every stratum's weight sits strictly between its
     // natural share and the uniform 1/k (for non-degenerate masses)
