@@ -1022,6 +1022,81 @@ object PipelineQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------------------- q111
+  /** BPE encode statistics ([[graft.text.BpeStats.encodeStats]]): the
+    * q108-trained merges applied back to the corpus — per-doc token
+    * count, character-symbol baseline, post-BPE symbol count and the
+    * integer-ppm saving. The real context-window cost of each document
+    * under the learned tokenizer (q42's regex count is a proxy; this is
+    * the trained artifact applied). Merge decisions ride as literals,
+    * so the encode pass is a narrow codegen'd replace chain + one
+    * doc-keyed aggregate — hash-exact against the oracle that re-walks
+    * the same three training rounds and the same replace application. */
+  def q111BpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.text.BpeStats.encodeStats(docsSpread(s, dir), "doc_id", "text",
+        rounds = 3)
+      .orderBy(col("doc_id"))
+
+  val q111Oracle: String =
+    """WITH toks AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM toks
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |s0 AS (SELECT ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS sym, wc FROM v),
+      |x1 AS (SELECT string_split(trim(sym), ' ') AS t, wc FROM s0),
+      |p1 AS (SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM x1, unnest(generate_series(1, len(t) - 1)) AS g(i) GROUP BY 1),
+      |t1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+      |s1 AS (SELECT replace(replace(replace(replace(sym,
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ') AS sym, wc
+      |  FROM s0, t1),
+      |x2 AS (SELECT string_split(trim(sym), ' ') AS t, wc FROM s1),
+      |p2 AS (SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM x2, unnest(generate_series(1, len(t) - 1)) AS g(i) GROUP BY 1),
+      |t2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+      |s2 AS (SELECT replace(replace(replace(replace(sym,
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ') AS sym, wc
+      |  FROM s1, t2),
+      |x3 AS (SELECT string_split(trim(sym), ' ') AS t, wc FROM s2),
+      |p3 AS (SELECT t[i] || ' ' || t[i+1] AS pair, CAST(sum(wc) AS BIGINT) AS n
+      |  FROM x3, unnest(generate_series(1, len(t) - 1)) AS g(i) GROUP BY 1),
+      |t3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1),
+      |dt AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |e0 AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_char,
+      |    ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS sym
+      |  FROM dt WHERE length(w) >= 1),
+      |e1 AS (SELECT doc_id, n_char, replace(replace(replace(replace(sym,
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' '),
+      |    ' ' || t1.pair || ' ', ' ' || replace(t1.pair, ' ', '') || ' ') AS sym
+      |  FROM e0, t1),
+      |e2 AS (SELECT doc_id, n_char, replace(replace(replace(replace(sym,
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' '),
+      |    ' ' || t2.pair || ' ', ' ' || replace(t2.pair, ' ', '') || ' ') AS sym
+      |  FROM e1, t2),
+      |e3 AS (SELECT doc_id, n_char, replace(replace(replace(replace(sym,
+      |    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' '),
+      |    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' '),
+      |    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' '),
+      |    ' ' || t3.pair || ' ', ' ' || replace(t3.pair, ' ', '') || ' ') AS sym
+      |  FROM e2, t3)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_char) AS BIGINT) AS n_char_symbols,
+      |  CAST(sum(len(string_split(trim(sym), ' '))) AS BIGINT) AS n_bpe_symbols,
+      |  CAST((1000000 * (sum(n_char) - sum(len(string_split(trim(sym), ' ')))))
+      |    // sum(n_char) AS BIGINT) AS saved_ppm
+      |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

@@ -110,6 +110,50 @@ object BpeStats {
     * these exact semantics, so the decision sequence hash-matches an
     * unrolled ANSI-SQL oracle — unlike a lookaround-regex application,
     * whose engine-specific regex dialects could silently diverge. */
+  /** Apply trained merges to the corpus and report per-document
+    * tokenizer load — the encode side of [[merges]]: every canonical
+    * token is re-segmented by the `rounds` learned merges (same
+    * engine-exact `passes`-pass replace application), and each doc gets
+    * its whitespace-token count, character-symbol count (the no-merge
+    * baseline), post-BPE symbol count and the integer-ppm saving. The
+    * number a budget planner actually wants: context-window cost under
+    * the REAL tokenizer, not a regex proxy ([[TextAnalysis
+    * .bpeishTokenCount]]).
+    *
+    * Scale shape: [[merges]]'s vocab-table training plus ONE encode
+    * pass over the corpus — the merge decisions arrive as literals
+    * (`rounds` rows of driver metadata), so the encode is a narrow
+    * codegen'd replace chain + one doc-keyed aggregate. */
+  def encodeStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int,
+      passes: Int = 4): DataFrame = {
+    val learned = merges(docs, idCol, textCol, rounds, passes)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val toks = docs
+      .select(col(idCol),
+        explode(WordGrams.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= 1)
+    val sym0 = concat(lit(" "),
+      trim(regexp_replace(col("tok"), "(.)", "$1 ")), lit(" "))
+    val symN = learned.foldLeft(sym0) { case (acc, (pair, merged)) =>
+      (1 to passes).foldLeft(acc)((c, _) =>
+        replace(c, lit(s" $pair "), lit(s" $merged ")))
+    }
+    toks
+      .select(col(idCol), length(col("tok")).cast("long").as("n_char"),
+        size(split(trim(symN), " ")).cast("long").as("n_bpe"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("n_char")).as("n_char_symbols"),
+        sum(col("n_bpe")).as("n_bpe_symbols"))
+      .withColumn("saved_ppm",
+        expr("(1000000L * (n_char_symbols - n_bpe_symbols)) div n_char_symbols"))
+  }
+
   def merges(
       docs: DataFrame,
       idCol: String,

@@ -393,6 +393,23 @@ class CurationSpec extends SparkSpec {
     assert(fromManifest === fromShuffle)
   }
 
+  test("temperatureMixture samples are nested across budgets (monotone keep sets)") {
+    // rate = min(1, budget*w/avail) is monotone in budget and the
+    // Bernoulli threshold compares the SAME per-id hash, so a smaller
+    // budget's keep set must be a subset of a larger one's
+    val rows = (1L to 400L).map { i =>
+      (i, if (i % 4 == 0) "a" else if (i % 2 == 0) "b" else "c", 5L + i % 7)
+    }
+    val df = rows.toDF("id", "src", "toks")
+    def kept(budget: Long): Set[Long] =
+      Curation.temperatureMixture(df, "id", "src", "toks", budget)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val small = kept(300L)
+    val big = kept(900L)
+    assert(small.subsetOf(big), s"${(small -- big).size} rows lost by growing the budget")
+    assert(small.size < big.size)
+  }
+
   test("temperatureMixture flattens LESS than uniform and MORE than natural") {
     // with alpha = 0.5 every stratum's weight sits strictly between its
     // natural share and the uniform 1/k (for non-degenerate masses)

@@ -87,6 +87,27 @@ class BpeStatsSpec extends SparkSpec {
     assert(m(1) === ((2, "ab ab", "abab", 7L)))
   }
 
+  test("encodeStats applies the learned merges back to every token") {
+    // merges on this corpus: l o -> lo, lo w -> low, low e -> lowe
+    // tokens: low lower lowest low low -> chars 3+5+6+3+3 = 20
+    // post-merge symbols: [low] [lowe r] [lowe s t] [low] [low] = 8
+    val docs = Seq((1L, "low lower lowest low low")).toDF("doc_id", "text")
+    val r = BpeStats.encodeStats(docs, "doc_id", "text", rounds = 3).head()
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Long]("n_char_symbols") === 20L)
+    assert(r.getAs[Long]("n_bpe_symbols") === 8L)
+    assert(r.getAs[Long]("saved_ppm") === 600000L)
+  }
+
+  test("encodeStats: single-char tokens pass through untouched") {
+    val docs = Seq((1L, "a bb bb")).toDF("doc_id", "text")
+    // merge 1: "b b" -> "bb"; token "a" stays 1 symbol
+    val r = BpeStats.encodeStats(docs, "doc_id", "text", rounds = 1).head()
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_char_symbols") === 5L)
+    assert(r.getAs[Long]("n_bpe_symbols") === 3L) // a, bb, bb
+  }
+
   test("merges is partitioning-independent and stops early when no pairs remain") {
     val docs = (0L until 30L).map(i => (i, s"tok${i % 3} tok${i % 5}"))
       .toDF("doc_id", "text")
