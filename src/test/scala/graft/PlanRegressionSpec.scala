@@ -393,6 +393,18 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q109 shard manifest: one corpus pass, no joins, map-side-combinable aggregate") {
+    val plan = finalPlan(SparkEntry.queries("q109_shard_manifest")(spark, sfDir))
+    assert(countOf(plan, "Scan parquet") === 1,
+      s"manifest must be ONE corpus pass:\n$plan")
+    assert(countOf(plan, "SortMergeJoin") + countOf(plan, "ShuffledHashJoin") +
+      countOf(plan, "BroadcastHashJoin") === 0, plan)
+    // partial aggregation must precede the shard-keyed exchange
+    val partialIdx = plan.indexOf("partial_count")
+    val exchangeIdx = plan.lastIndexOf("Exchange hashpartitioning(shard")
+    assert(partialIdx >= 0 && exchangeIdx >= 0, plan)
+  }
+
   test("q38 source-overlap: gram meet is the ONLY possible shuffle join") {
     val plan = finalPlan(SparkEntry.queries("q38_source_overlap")(spark, sfDir))
     // matrix skeleton + size lookups are source²-metadata: broadcast

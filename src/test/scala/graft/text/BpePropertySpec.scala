@@ -76,6 +76,39 @@ class BpePropertySpec extends SparkSpec {
     out.result()
   }
 
+  /** Reference encode: greedy-apply each learned merge in round order
+    * to every token (length ≥ 1), return per-doc (tokens, char syms,
+    * bpe syms). */
+  private def referenceEncode(
+      docs: Seq[String],
+      learned: Seq[(String, String)]): Map[Long, (Long, Long, Long)] =
+    docs.zipWithIndex.map { case (text, i) =>
+      val toks = text.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val enc = toks.map { w =>
+        learned.foldLeft(w.map(_.toString).toVector) { case (syms, (pair, _)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          greedyMerge(syms, a, b)
+        }
+      }
+      i.toLong -> ((toks.length.toLong, toks.map(_.length.toLong).sum,
+        enc.map(_.length.toLong).sum))
+    }.toMap
+
+  test("encodeStats == reference greedy application on random corpora") {
+    samples(corpusGen, 8).foreach { case (docs, rounds) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val learned = referenceMerges(docs, rounds).map(m => (m._2, m._3))
+      val got = BpeStats.encodeStats(df, "doc_id", "text", rounds)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val want = referenceEncode(docs, learned)
+        .filter { case (_, (n, _, _)) => n > 0 } // token-less docs emit nothing
+      assert(got === want, s"corpus=${docs.take(5)}... rounds=$rounds")
+    }
+  }
+
   test("merges == reference greedy BPE trainer on random corpora") {
     samples(corpusGen, 12).foreach { case (docs, rounds) =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
