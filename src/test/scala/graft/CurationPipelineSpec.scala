@@ -74,4 +74,72 @@ class CurationPipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("max_end") === r.getAs[Long]("n_tokens"))
     }
   }
+
+  test("quality gate -> temperature mix -> epoch shuffle -> manifest composes consistently") {
+    import graft.text.GopherRules
+    import graft.expressions.DeflateSize.deflateSize
+    val srcOf = (i: Long) => if (i % 3 == 0) "web" else if (i % 3 == 1) "books" else "code"
+    val clean = (0L until 120L).map { i =>
+      val words = (0 until 24).map(j => s"word${(i * 5 + j * 7) % 83}")
+      (i, ("the of and " + words.mkString(" ")), srcOf(i))
+    }
+    // degenerate docs the gate must drop: repetition bombs + a bullet list
+    val junk = Seq(
+      (900L, "a " * 200, "web"),
+      (901L, "zz " * 300, "books"),
+      (902L, "- one\n- two\n- three\n- four", "code"))
+    val docs = (clean ++ junk).toDF("doc_id", "text", "source")
+
+    // 1. quality gate: gopher rules + compression-ratio band
+    val gated2 = GopherRules.annotate(docs, "text",
+        GopherRules.Thresholds(minWords = 5, minStopWords = 1))
+      .withColumn("_z", deflateSize(col("text")).cast("long"))
+      .withColumn("ratio_ppm",
+        expr("(1000000L * _z) div octet_length(text)"))
+      .withColumn("ratio_ok",
+        col("ratio_ppm") > 100000L && col("ratio_ppm") < 900000L)
+    val kept = gated2.where(col("gopher_ok") && col("ratio_ok"))
+      .select(col("doc_id"), col("text"), col("source"),
+        col("n_words").as("n_tokens"))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.exists(_ >= 900L), "every junk doc must be dropped")
+    assert(keptIds.size > 100, "the clean corpus must survive the gate")
+
+    // 2. temperature mixture under a token budget: subset of the gate's
+    // survivors, and rates honour the sqrt-flattened weights
+    val mixed = Curation.temperatureMixture(kept, "doc_id", "source",
+      "n_tokens", tokenBudget = 1500L)
+    val mixedIds = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixedIds.subsetOf(keptIds))
+    assert(mixedIds.nonEmpty)
+
+    // 3. epoch shuffle: a total partition of the mixture with dense
+    // per-shard positions
+    val shuffled = Curation.epochShuffle(
+      mixed.select("doc_id", "text", "n_tokens"), "doc_id", shards = 4, epoch = 1)
+    val rows = shuffled.select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === mixedIds)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === (0L until g.length).toSeq)
+    }
+
+    // 4. manifest over the same epoch: totals reconcile with the
+    // mixture, and a content change flips exactly one shard fingerprint
+    val manifest = Curation.shardManifest(
+      mixed.select("doc_id", "text", "n_tokens"),
+      "doc_id", "text", "n_tokens", shards = 4, epoch = 1)
+    val m = manifest.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(m.values.map(_._1).sum === mixedIds.size.toLong)
+    val someId = mixedIds.head
+    val tampered = Curation.shardManifest(
+      mixed.select(col("doc_id"),
+        when(col("doc_id") === someId, lit("tampered")).otherwise(col("text"))
+          .as("text"),
+        col("n_tokens")),
+      "doc_id", "text", "n_tokens", shards = 4, epoch = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(m.count { case (s, (_, fp)) => tampered(s) != fp } === 1)
+  }
 }
