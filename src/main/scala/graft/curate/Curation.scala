@@ -529,6 +529,40 @@ object Curation {
     * @param accuracy approx_percentile accuracy knob (only read when
     *                 `exact = false`): rank error is at most
     *                 n/accuracy rows */
+  /** Per-stratum head/middle/tail bucketing at the tertile boundaries —
+    * the CCNet corpus-split shape (lower value = better when the value
+    * is a perplexity/NLL): each row gets `bucket` ∈ head ≤ q(1/3) <
+    * middle ≤ q(2/3) < tail, boundaries computed per stratum and
+    * rounded once to 6 places (the q62 cross-engine percentile
+    * contract). The cuts table is |strata| rows and broadcasts back;
+    * the assignment is a narrow projection. `exact = false` switches to
+    * `approx_percentile` — the 100 TB tier, since exact `percentile`
+    * buffers a stratum's values (same trade [[quantileCutoff]]
+    * documents). */
+  def tertileBuckets(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(valueCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"valueCol '$valueCol' must match [A-Za-z_][A-Za-z0-9_]*")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    def pct(p: Double): Column =
+      if (exact) expr(s"percentile($valueCol, CAST($p AS DOUBLE))")
+      else expr(s"approx_percentile($valueCol, CAST($p AS DOUBLE), $accuracy)")
+        .cast("double")
+    val cuts = df.groupBy(col(stratumCol)).agg(
+      round(pct(1.0 / 3), 6).as("_q1"),
+      round(pct(2.0 / 3), 6).as("_q2"))
+    df.join(broadcast(cuts), stratumCol)
+      .withColumn("bucket",
+        when(col(valueCol) <= col("_q1"), "head")
+          .when(col(valueCol) <= col("_q2"), "middle")
+          .otherwise("tail"))
+      .drop("_q1", "_q2")
+  }
+
   def quantileCutoff(
       df: DataFrame,
       stratumCol: String,

@@ -1097,6 +1097,65 @@ object PipelineQueries {
       |    // sum(n_char) AS BIGINT) AS saved_ppm
       |FROM e3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------------- q112
+  /** CCNet-style perplexity bucketing: the q35 hashed-bigram LM scores
+    * split per source into head/middle/tail at the tertile boundaries
+    * ([[graft.curate.Curation.tertileBuckets]] — the exact tier here;
+    * approx_percentile is the registered 100 TB path), rolled up to
+    * (source, bucket) doc counts + mean NLL. The corpus-mixing split
+    * CCNet feeds downstream (keep head, subsample tail). Integer
+    * micro-nat scores + 6-place-rounded tertiles + exact integer mean
+    * division → hash-exact oracle. */
+  def q112PplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.text.NgramLm
+      .perplexityFilter(docsSpread(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("avg_nll_micro"))
+    val withSrc = scored.join(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    graft.curate.Curation.tertileBuckets(withSrc, "source", "avg_nll_micro")
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("avg_nll_micro")).as("_s"))
+      .withColumn("mean_nll_micro", expr("_s div n_docs"))
+      .drop("_s")
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val q112Oracle: String =
+    """WITH toks AS (SELECT doc_id, list_filter(
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |    t -> len(t) > 0) AS l
+      |  FROM documents),
+      |bl AS (SELECT doc_id, list_transform(l,
+      |    t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT) % 256) AS b
+      |  FROM toks WHERE len(l) >= 2),
+      |pairs AS (SELECT doc_id,
+      |    unnest(b[1:len(b)-1]) AS b1, unnest(b[2:len(b)]) AS b2 FROM bl),
+      |bi AS (SELECT b1, b2, count(*) AS c_bi FROM pairs GROUP BY b1, b2),
+      |uni AS (SELECT b1, sum(c_bi) AS c_uni FROM bi GROUP BY b1),
+      |score AS (SELECT bi.b1, bi.b2,
+      |    CAST(round(-1e6 * ln((bi.c_bi + 1.0) / (uni.c_uni + 256))) AS BIGINT) AS nll_micro
+      |  FROM bi JOIN uni ON bi.b1 = uni.b1),
+      |agg AS (SELECT pairs.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(score.nll_micro) AS BIGINT) AS nll_micro_sum
+      |  FROM pairs JOIN score ON pairs.b1 = score.b1 AND pairs.b2 = score.b2
+      |  GROUP BY pairs.doc_id),
+      |d AS (SELECT agg.doc_id, documents.source,
+      |    agg.nll_micro_sum // agg.n_bigrams AS v
+      |  FROM agg JOIN documents USING (doc_id)),
+      |q AS (SELECT source,
+      |    round(quantile_cont(CAST(v AS DOUBLE), 0.3333333333333333), 6) AS q1,
+      |    round(quantile_cont(CAST(v AS DOUBLE), 0.6666666666666666), 6) AS q2
+      |  FROM d GROUP BY source),
+      |b AS (SELECT d.source,
+      |    CASE WHEN d.v <= q.q1 THEN 'head'
+      |      WHEN d.v <= q.q2 THEN 'middle' ELSE 'tail' END AS bucket, d.v
+      |  FROM d JOIN q USING (source))
+      |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(v) // count(*) AS BIGINT) AS mean_nll_micro
+      |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
   // ------------------------------------------------------------------ q26
   /** Near-dup pairs → clusters → canonical doc: connected components
     * over the q23 similarity graph ([[Dedup.connectedComponents]]).

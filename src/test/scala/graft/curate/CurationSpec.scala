@@ -356,6 +356,24 @@ class CurationSpec extends SparkSpec {
     assert(order(1) === e1)
   }
 
+  test("tertileBuckets: boundaries partition each stratum head/middle/tail") {
+    // stratum a: values 1..9 -> q1/3 = 3.666667, q2/3 = 6.333333
+    // head {1,2,3}, middle {4,5,6}, tail {7,8,9}
+    val df = ((1 to 9).map(v => ("a", v.toLong)) ++
+      Seq(("b", 100L), ("b", 200L), ("b", 300L))).toDF("src", "v")
+    val got = Curation.tertileBuckets(df, "src", "v")
+      .select("src", "v", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert((1 to 3).forall(v => got(("a", v.toLong)) == "head"))
+    assert((4 to 6).forall(v => got(("a", v.toLong)) == "middle"))
+    assert((7 to 9).forall(v => got(("a", v.toLong)) == "tail"))
+    assert(got(("b", 100L)) === "head" && got(("b", 300L)) === "tail")
+    // approx tier: same schema, buckets still a total partition
+    val approx = Curation.tertileBuckets(df, "src", "v", exact = false)
+      .groupBy("bucket").count().collect().map(_.getLong(1)).sum
+    assert(approx === 12L)
+  }
+
   test("shardManifest: XOR fingerprint is order-independent and flips on any content change") {
     val docs = (1L to 200L).map(i => (i, s"content of doc $i", 3L))
       .toDF("id", "text", "toks")
