@@ -2704,4 +2704,166 @@ object PipelineQueries {
       |SELECT n.fp, min(n.doc_id) AS keep_id, count(*) AS n_batch
       |FROM new_docs n ANTI JOIN old_fps o ON n.fp = o.fp
       |GROUP BY n.fp ORDER BY n.fp""".stripMargin
+
+  // ------------------------------------------------------------------ q113
+  /** BM25 "more like this" keyword retrieval
+    * ([[graft.retrieval.Bm25.moreLikeThis]]): each probe doc (id < 12)
+    * queries the corpus with its 3 rarest tokens; top-5 other docs by
+    * Okapi BM25 (Lucene idf, k1 = 1.2, b = 0.75) — the sparse/lexical
+    * retrieval tier next to the q30 dense tier. All per-document
+    * arithmetic is BIGINT (idf rounded ONCE to micro-nats on the
+    * vocabulary table, tf-normalization as exact integer division), so
+    * the ranking is engine-exact. */
+  def q113Bm25Retrieval(s: SparkSession, dir: String): DataFrame =
+    graft.retrieval.Bm25.moreLikeThis(
+        docsSpread(s, dir), "doc_id", "text",
+        probeFilter = _ < 12, nTerms = 3, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
+  private val bm25Ctes: String =
+    """toks AS (SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |       WHERE len(token) > 0 GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, CAST(len(list_filter(
+      |      string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+      |      x -> len(x) > 0)) AS BIGINT) AS dl
+      |  FROM documents),
+      |st AS (SELECT count(*) AS n_docs,
+      |    CAST((100 * sum(dl)) // count(*) AS BIGINT) AS ac FROM dl),
+      |idf AS (SELECT token, df, st.ac,
+      |    CAST(round(1e6 * ln(1 + (st.n_docs - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_micro
+      |  FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), st)""".stripMargin
+
+  private def bm25RankSql(maxProbe: Int, nTerms: Int, depth: Int): String =
+    s"""qt AS (SELECT query_id, token, idf_micro, ac FROM (
+       |    SELECT tf.doc_id AS query_id, tf.token, idf.idf_micro, idf.ac,
+       |      row_number() OVER (PARTITION BY tf.doc_id
+       |        ORDER BY idf.df ASC, tf.token ASC) AS tr
+       |    FROM tf JOIN idf USING (token) WHERE tf.doc_id < $maxProbe)
+       |  WHERE tr <= $nTerms),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |    CAST(sum((qt.idf_micro * ((1000000 * 22 * tf.tf * qt.ac)
+       |        // (10 * tf.tf * qt.ac + 3 * qt.ac + 900 * dl.dl))) // 1000000)
+       |      AS BIGINT) AS bm25_micro
+       |  FROM tf JOIN qt USING (token) JOIN dl ON tf.doc_id = dl.doc_id
+       |  WHERE tf.doc_id != qt.query_id
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |bm AS (SELECT query_id, doc_id, bm25_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY bm25_micro DESC, doc_id ASC) AS rnk
+       |  FROM sc QUALIFY rnk <= $depth)""".stripMargin
+
+  val q113Oracle: String =
+    s"""WITH $bm25Ctes,
+       |${bm25RankSql(maxProbe = 12, nTerms = 3, depth = 5)}
+       |SELECT query_id, rnk, doc_id, bm25_micro FROM bm
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------ q114
+  /** Hybrid retrieval by reciprocal-rank fusion
+    * ([[graft.retrieval.Fusion.rrf]]): the q113 BM25 lexical ranking and
+    * the q30 dense cosine ranking (same probe ids < 8, both at depth
+    * 20, doc/vec id spaces joined by the shared id convention) fused
+    * with RRF c = 60 to a top-10 — the standard two-tower retrieval
+    * merge, integer-exact (1e6 div (60 + rank) contributions). */
+  def q114RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lexical = graft.retrieval.Bm25.moreLikeThis(
+        docsSpread(s, dir), "doc_id", "text",
+        probeFilter = _ < 8, nTerms = 3, k = 20)
+      .withColumnRenamed("doc_id", "cand_id")
+    val e = embSpread(s, dir)
+    val dense = Ann.bruteForceTopK(
+        e.where(col("vec_id") < 8), e, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("rank").as("rnk"))
+    graft.retrieval.Fusion.rrf(Seq(lexical, dense), c = 60, k = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val q114Oracle: String =
+    s"""WITH $bm25Ctes,
+       |${bm25RankSql(maxProbe = 8, nTerms = 3, depth = 20)},
+       |w AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS self_dot
+       |  FROM embeddings),
+       |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_inner_product(q.v, c.v) / sqrt(q.self_dot * c.self_dot) DESC,
+       |               c.vec_id ASC) AS rnk
+       |  FROM w q JOIN w c ON q.vec_id < 8 AND q.vec_id != c.vec_id
+       |  QUALIFY rnk <= 20),
+       |u AS (SELECT query_id, doc_id AS cand_id, rnk FROM bm
+       |      UNION ALL SELECT query_id, cand_id, rnk FROM cs),
+       |fused AS (SELECT query_id, cand_id,
+       |    CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro,
+       |    count(*) AS n_rankers
+       |  FROM u GROUP BY query_id, cand_id)
+       |SELECT query_id, rnk, cand_id, rrf_micro, n_rankers FROM (
+       |  SELECT query_id, cand_id, rrf_micro, n_rankers,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_micro DESC, cand_id ASC) AS rnk
+       |  FROM fused) WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------ q115
+  /** Unicode script-mix profile ([[graft.text.ScriptMix.rollup]]):
+    * per-(source, dominant-script) codepoint-class counts plus the
+    * Latin↔Cyrillic adjacency flag (the confusable-spoof / mojibake
+    * signature language ID misses). The generated corpus is ASCII, so
+    * the query plants deterministic multilingual noise the q103 way —
+    * Cyrillic confusables (e→е) on doc_id % 7 = 3, a CJK suffix on
+    * % 11 = 5, Greek alphas (a→α) on % 13 = 8 — before profiling; all
+    * metrics are class-removal regex codepoint counts, hash-exact. */
+  def q115ScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val planted = docsSpread(s, dir)
+      .withColumn("p",
+        when(col("doc_id") % 7 === 3,
+          regexp_replace(col("text"), "e", "е")).otherwise(col("text")))
+      .withColumn("p",
+        when(col("doc_id") % 11 === 5,
+          concat(col("p"), lit(" 模型訓練資料"))).otherwise(col("p")))
+      .withColumn("p",
+        when(col("doc_id") % 13 === 8,
+          regexp_replace(col("p"), "a", "α")).otherwise(col("p")))
+    graft.text.ScriptMix.rollup(planted, "doc_id", "source", "p")
+      .orderBy(col("source"), col("script"))
+  }
+
+  val q115Oracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CASE WHEN doc_id % 13 = 8 THEN replace(p2, 'a', 'α') ELSE p2 END AS p
+      |  FROM (SELECT doc_id, source,
+      |      CASE WHEN doc_id % 11 = 5 THEN p1 || ' 模型訓練資料' ELSE p1 END AS p2
+      |    FROM (SELECT doc_id, source,
+      |        CASE WHEN doc_id % 7 = 3 THEN replace(text, 'e', 'е') ELSE text END AS p1
+      |      FROM documents))),
+      |m AS (SELECT doc_id, source,
+      |    length(p) - length(regexp_replace(p, '[A-Za-z]', '', 'g')) AS latin_cp,
+      |    length(p) - length(regexp_replace(p, '[Ѐ-ӿ]', '', 'g')) AS cyr_cp,
+      |    length(p) - length(regexp_replace(p, '[Ͱ-Ͽ]', '', 'g')) AS greek_cp,
+      |    length(p) - length(regexp_replace(p, '[一-鿿]', '', 'g')) AS cjk_cp,
+      |    length(p) - length(regexp_replace(p, '[0-9]', '', 'g')) AS digit_cp,
+      |    length(p) AS n_cp,
+      |    regexp_matches(p, '[A-Za-z][Ѐ-ӿ]|[Ѐ-ӿ][A-Za-z]') AS mixed
+      |  FROM d),
+      |c AS (SELECT source, latin_cp, cyr_cp, greek_cp, cjk_cp, digit_cp, mixed,
+      |    n_cp - latin_cp - cyr_cp - greek_cp - cjk_cp - digit_cp AS other_cp,
+      |    CASE WHEN latin_cp >= cyr_cp AND latin_cp >= greek_cp
+      |              AND latin_cp >= cjk_cp AND latin_cp > 0 THEN 'latin'
+      |         WHEN cyr_cp >= greek_cp AND cyr_cp >= cjk_cp
+      |              AND cyr_cp > 0 THEN 'cyrillic'
+      |         WHEN greek_cp >= cjk_cp AND greek_cp > 0 THEN 'greek'
+      |         WHEN cjk_cp > 0 THEN 'cjk' ELSE 'none' END AS script
+      |  FROM m)
+      |SELECT source, script, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN mixed THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+      |  CAST(sum(latin_cp) AS BIGINT) AS latin_cp,
+      |  CAST(sum(cyr_cp) AS BIGINT) AS cyr_cp,
+      |  CAST(sum(greek_cp) AS BIGINT) AS greek_cp,
+      |  CAST(sum(cjk_cp) AS BIGINT) AS cjk_cp,
+      |  CAST(sum(digit_cp) AS BIGINT) AS digit_cp,
+      |  CAST(sum(other_cp) AS BIGINT) AS other_cp
+      |FROM c GROUP BY source, script ORDER BY source, script""".stripMargin
 }

@@ -1,0 +1,126 @@
+package graft.retrieval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the sparse/lexical
+  * tier of a retrieval stack (the dense tier is [[graft.sim.Ann]]).
+  * Okapi BM25 with the Lucene-style non-negative idf,
+  * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`, k1 = 1.2, b = 0.75.
+  *
+  * Engine-exact arithmetic: every floating-point quantity is rounded
+  * ONCE on a metadata-sized table and all per-document work is BIGINT —
+  * the q34/q35 micro-nat discipline:
+  *
+  *   - `idf_micro`  = round(1e6 · idf) on the VOCABULARY-sized df table
+  *   - `ac`         = (100 · total_tokens) div N  (avg doc length in
+  *                    centi-tokens, one row)
+  *   - `tfnorm_micro` = (1e6 · 22·tf·ac) div (10·tf·ac + 3·ac + 900·dl)
+  *     — exactly 1e6 · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+  *     k1 = 12/10, b = 3/4 cleared to integers (all terms positive, so
+  *     Spark's truncating `div` and DuckDB's flooring `//` agree)
+  *   - per-(query, doc) score = Σ (idf_micro · tfnorm_micro) div 1e6,
+  *     an order-independent BIGINT sum
+  *
+  * Scale shape (100 TB corpus, 1000 executors):
+  *   - tf and df are map-side-combinable aggregates over the exploded
+  *     token table; dl is a NARROW per-row projection (no shuffle).
+  *   - The query-term table is (probes × terms) rows — broadcast. The
+  *     candidate set is the posting lists of those terms only (an
+  *     inverted-index probe, never a corpus scan): tf joins the
+  *     broadcast term table, so no corpus-side shuffle materializes
+  *     candidates.
+  *   - Candidate scoring joins the SLIM candidate set back to the
+  *     per-doc length table as a broadcast build side, so the
+  *     corpus-sized dl table is streamed, not shuffled.
+  *   - Top-k ranking windows partition by `query_id` — per-query
+  *     cardinality, never a dim-cardinality funnel.
+  *
+  * Reference behavior: the reference's BI layer has no text retrieval;
+  * this is part of the mandated LLM-pipeline surface (SURVEY.md §2).
+  */
+object Bm25 {
+
+  /** Canonical (doc, token, tf) term-frequency table. */
+  private[retrieval] def termFreq(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.text.WordGrams.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc token count — narrow, no shuffle (`size(filter(...))`
+    * over the split array, not an explode + groupBy round trip). */
+  private[retrieval] def docLen(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      size(filter(graft.text.WordGrams.tokens(col(textCol)),
+        t => length(t) > 0)).cast("long").as("dl"))
+
+  /** "More like this": for each probe document (rows matching
+    * `probeFilter`), take its `nTerms` RAREST distinct tokens (df asc,
+    * token asc — rare terms carry the signal and keep posting lists
+    * short) and retrieve the top-`k` other documents by BM25.
+    *
+    * Output: (query_id, rnk, doc_id, bm25_micro), rnk 1..k per query,
+    * ties broken by doc_id asc. Probe docs never retrieve themselves.
+    */
+  def moreLikeThis(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeFilter: Column => Column,
+      nTerms: Int,
+      k: Int): DataFrame = {
+    require(nTerms >= 1, s"nTerms must be >= 1, got $nTerms")
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    val tf = termFreq(docs, idCol, textCol)
+    val dl = docLen(docs, idCol, textCol)
+
+    // vocabulary-sized: df + the ONE rounding of idf to integer micro-nats
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .select(col("n_docs"),
+        expr("(100 * total_tokens) div n_docs").as("ac")))
+    val idf = dfreq.crossJoin(stats)
+      .select(col("token"), col("df"), col("ac"),
+        round(lit(1e6) * log(lit(1.0)
+          + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .cast("long").as("idf_micro"))
+
+    // probe query terms: the nTerms rarest distinct tokens per probe doc
+    // — probes × nTerms rows, broadcast everywhere below
+    val wTerm = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("token").asc)
+    val qterms = broadcast(
+      tf.where(probeFilter(col("doc_id")))
+        .select(col("doc_id").as("query_id"), col("token"))
+        .join(idf, "token")
+        .withColumn("_tr", row_number().over(wTerm))
+        .where(col("_tr") <= nTerms)
+        .select(col("query_id"), col("token"), col("idf_micro"), col("ac")))
+
+    // inverted-index probe: posting lists of the query terms only
+    val cands = tf.join(qterms, "token")
+      .where(col("doc_id") =!= col("query_id"))
+
+    // candidate scoring: slim candidate set broadcast against the
+    // corpus-sized per-doc length table (dl streams, never shuffles)
+    val scored = dl.join(broadcast(cands), "doc_id")
+      .withColumn("tfnorm_micro",
+        expr("(1000000 * 22 * tf * ac) div (10 * tf * ac + 3 * ac + 900 * dl)"))
+      .withColumn("w_micro", expr("(idf_micro * tfnorm_micro) div 1000000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_micro")).as("bm25_micro"))
+
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(wRank))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("bm25_micro"))
+  }
+}
