@@ -443,8 +443,11 @@ object PipelineQueries {
       .withColumnRenamed("id", "vec_id")
       .orderBy(col("vec_id"))
 
-  val q36Oracle: String =
-    """WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+  /** The q36 integer-k-means assignment CTE chain (seeding + two Lloyd
+    * rounds + final scored assignment table `s3`), shared with q116's
+    * diversity-cap oracle. */
+  private val kmeansCtes: String =
+    """q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> CAST(round(x * 1000000) AS BIGINT)) AS qv FROM embeddings),
       |seed AS (SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl
       |  FROM q QUALIFY cl < 8),
@@ -467,10 +470,13 @@ object PipelineQueries {
       |c2 AS (SELECT c1.cl, c1.d, coalesce(m2.mv, c1.cv) AS cv
       |  FROM c1 LEFT JOIN m2 ON c1.cl = m2.cl AND c1.d = m2.d),
       |s3 AS (SELECT p.vec_id, c2.cl, CAST(sum((p.v - c2.cv) * (p.v - c2.cv)) AS BIGINT) AS d2
-      |  FROM p JOIN c2 ON p.d = c2.d GROUP BY 1, 2)
-      |SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d2 AS dist2 FROM s3
-      |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
-      |ORDER BY vec_id""".stripMargin
+      |  FROM p JOIN c2 ON p.d = c2.d GROUP BY 1, 2)""".stripMargin
+
+  val q36Oracle: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, CAST(cl AS INTEGER) AS cluster, d2 AS dist2 FROM s3
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1
+       |ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------------ q38
   /** Cross-source contamination matrix
@@ -2866,4 +2872,98 @@ object PipelineQueries {
       |  CAST(sum(digit_cp) AS BIGINT) AS digit_cp,
       |  CAST(sum(other_cp) AS BIGINT) AS other_cp
       |FROM c GROUP BY source, script ORDER BY source, script""".stripMargin
+
+  // ------------------------------------------------------------------ q117
+  /** KMV-sketch cross-source overlap ([[graft.sketch.Kmv]]): the SCALE
+    * TIER of q38 — per-source bottom-256 sketches over the distinct
+    * word-8-gram hashes, pairwise Jaccard / union / intersection
+    * estimates computed on the |sources| × 256 metadata table alone.
+    * Unlike the HLL tier (q87) the KMV sketch is fully deterministic
+    * (md5 bottom-k + integer rationals), so the ESTIMATES themselves
+    * are hash-exact against a DuckDB oracle computing the identical
+    * sketch; KmvSpec separately bounds them against q38's exact
+    * answers. */
+  def q117OverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.text.WordGrams.grams(
+        docsSpread(s, dir), "doc_id", "text", n = 8)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    val sk = graft.sketch.Kmv.minK(grams, "source", "gram", k = 256)
+    graft.sketch.Kmv.pairwiseOverlap(sk, k = 256)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q117Oracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |g AS (SELECT source, t, unnest(generate_series(1, len(t) - 7)) AS i FROM d),
+      |hs AS (SELECT DISTINCT source,
+      |    CAST(('0x' || substring(md5(array_to_string(t[i:i+7], ' ') || 'kmv'), 1, 15)) AS BIGINT) AS h
+      |  FROM g),
+      |sk AS (SELECT source, h FROM (
+      |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r
+      |    FROM hs) WHERE r <= 256),
+      |px AS (SELECT a.source AS src_a, b.source AS src_b
+      |  FROM (SELECT DISTINCT source FROM sk) a
+      |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+      |u AS (SELECT src_a, src_b, h, count(*) AS n_sides FROM (
+      |    SELECT px.src_a, px.src_b, sk.h FROM px JOIN sk ON sk.source = px.src_a
+      |    UNION ALL
+      |    SELECT px.src_a, px.src_b, sk.h FROM px JOIN sk ON sk.source = px.src_b)
+      |  GROUP BY src_a, src_b, h),
+      |agg AS (SELECT src_a, src_b,
+      |    list(struct_pack(h := h, in_both := n_sides = 2) ORDER BY h) AS hs
+      |  FROM u GROUP BY src_a, src_b),
+      |e AS (SELECT src_a, src_b,
+      |    CAST(least(len(hs), 256) AS BIGINT) AS k_used,
+      |    CAST(len(list_filter(hs[1:256], x -> x.in_both)) AS BIGINT) AS n_both,
+      |    hs[least(len(hs), 256)].h AS theta,
+      |    CASE WHEN len(hs) >= 256
+      |      THEN CAST(floor(255.0 * 1152921504606846976.0
+      |             / CAST(hs[256].h AS DOUBLE)) AS BIGINT)
+      |      ELSE CAST(len(hs) AS BIGINT) END AS union_est
+      |  FROM agg)
+      |SELECT src_a, src_b, k_used, n_both, theta, union_est,
+      |  CAST((1000000 * n_both) // k_used AS BIGINT) AS jaccard_est_ppm,
+      |  CAST((n_both * union_est) // k_used AS BIGINT) AS inter_est
+      |FROM e ORDER BY src_a, src_b""".stripMargin
+
+  // ------------------------------------------------------------------ q116
+  /** Semantic diversity-cap sampling (the DC2/SemDeDup-adjacent
+    * "cluster-cap" curation step): the q36 auditable k-means assigns
+    * every embedding to a topic cluster, then at most 40 vectors per
+    * cluster survive in deterministic hash order — over-represented
+    * semantic regions are capped instead of near-dup-pruned. The
+    * assignment is materialized ONCE (lazy checkpoint) and feeds both
+    * the cluster-size report and the two-phase per-cluster top-k;
+    * everything downstream of the corpus scan is engine-exact, so the
+    * oracle walks the same k-means rounds plus the same capped window. */
+  def q116DiversityCap(s: SparkSession, dir: String): DataFrame = {
+    val asg = graft.util.Blocks.lazyCheckpoint(
+      graft.sim.IntKMeans.cluster(embSpread(s, dir), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster")))
+    val sizes = broadcast(asg.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_in_cluster")))
+    graft.curate.Curation.sampleFixedK(asg, "vec_id", "cluster",
+        k = 40, salt = "divcap")
+      .join(sizes, "cluster")
+      .select(col("cluster"), col("vec_id"), col("sample_rank"),
+        col("n_in_cluster"))
+      .orderBy(col("cluster"), col("sample_rank"))
+  }
+
+  val q116Oracle: String =
+    s"""WITH $kmeansCtes,
+       |asg AS (SELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM s3
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+       |sz AS (SELECT cluster, count(*) AS n_in_cluster FROM asg GROUP BY cluster),
+       |r AS (SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(vec_id::VARCHAR || 'divcap'), vec_id) AS sample_rank
+       |  FROM asg)
+       |SELECT r.cluster, r.vec_id, r.sample_rank, sz.n_in_cluster
+       |FROM r JOIN sz USING (cluster) WHERE sample_rank <= 40
+       |ORDER BY cluster, sample_rank""".stripMargin
 }

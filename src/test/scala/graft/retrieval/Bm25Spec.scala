@@ -1,0 +1,65 @@
+package graft.retrieval
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with controlled term statistics:
+  //  - "zebra" appears only in docs 0 and 3 (rare — the retrieval signal)
+  //  - "common" appears everywhere (high df — near-zero idf)
+  private def corpus = Seq(
+    (0L, "zebra quartz common word word"),
+    (1L, "common word filler filler filler"),
+    (2L, "common word other text here"),
+    (3L, "zebra common word word word"),
+    (4L, "quartz common filler filler filler")
+  ).toDF("doc_id", "text")
+
+  test("rare shared term dominates retrieval; probe never retrieves itself") {
+    val out = Bm25.moreLikeThis(corpus, "doc_id", "text",
+      probeFilter = _ === 0L, nTerms = 2, k = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+    assert(out.forall(_.getAs[Long]("doc_id") != 0L), "self-retrieval")
+    // probe 0's two rarest tokens are zebra (df 2) and quartz (df 2);
+    // docs 3 and 4 each share one of them and must outrank doc 1/2
+    val ranked = out.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("doc_id"))
+    assert(ranked.take(2).toSet == Set(3L, 4L),
+      s"expected zebra/quartz carriers first, got ${ranked.mkString(",")}")
+  }
+
+  test("scores are positive BIGINTs and ranks are dense from 1") {
+    val out = Bm25.moreLikeThis(corpus, "doc_id", "text",
+      probeFilter = _ < 2, nTerms = 3, k = 5).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, rows) =>
+      val rnks = rows.map(_.getAs[Int]("rnk")).sorted
+      assert(rnks.toSeq == (1 to rnks.length).toSeq, "ranks not dense")
+    }
+    assert(out.forall(_.getAs[Long]("bm25_micro") >= 0L))
+  }
+
+  test("longer document with the same tf scores lower (length normalization)") {
+    val docs = Seq(
+      (0L, "needle"),
+      (1L, "needle beta gamma"), // short carrier
+      (2L, "needle beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = Bm25.moreLikeThis(docs, "doc_id", "text",
+      probeFilter = _ === 0L, nTerms = 1, k = 2).collect()
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L),
+      "short doc must outrank long doc at equal tf")
+    assert(out(0).getAs[Long]("bm25_micro") > out(1).getAs[Long]("bm25_micro"))
+  }
+
+  test("deterministic across repartitionings") {
+    val a = Bm25.moreLikeThis(corpus.repartition(7), "doc_id", "text",
+      probeFilter = _ < 3, nTerms = 2, k = 4).collect().toSet
+    val b = Bm25.moreLikeThis(corpus.coalesce(1), "doc_id", "text",
+      probeFilter = _ < 3, nTerms = 2, k = 4).collect().toSet
+    assert(a == b)
+  }
+}
