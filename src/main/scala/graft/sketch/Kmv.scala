@@ -78,12 +78,17 @@ object Kmv {
     * floor-of-double arithmetic only — engine-exact. */
   def pairwiseOverlap(sketch: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val groups = sketch.select(col("grp")).distinct()
+    // the sketch is consumed three times (group list + both pair sides);
+    // without a materialization point each consumer would re-run the
+    // corpus-side bottom-k — one lazy checkpoint makes the sketch the
+    // |groups|·k-row table it is supposed to be (GC-released handle)
+    val sk = graft.util.Blocks.lazyCheckpoint(sketch)
+    val groups = sk.select(col("grp")).distinct()
     val pairs = broadcast(groups.select(col("grp").as("src_a")))
       .crossJoin(broadcast(groups.select(col("grp").as("src_b"))))
       .where(col("src_a") < col("src_b"))
-    val sidesA = pairs.join(sketch.withColumnRenamed("grp", "src_a"), "src_a")
-    val sidesB = pairs.join(sketch.withColumnRenamed("grp", "src_b"), "src_b")
+    val sidesA = pairs.join(sk.withColumnRenamed("grp", "src_a"), "src_a")
+    val sidesB = pairs.join(sk.withColumnRenamed("grp", "src_b"), "src_b")
     sidesA.select(col("src_a"), col("src_b"), col("h"))
       .unionByName(sidesB.select(col("src_a"), col("src_b"), col("h")))
       .groupBy(col("src_a"), col("src_b"), col("h"))
