@@ -135,7 +135,26 @@ object Classifier {
       textCol: String,
       clsCol: String,
       model: DataFrame,
-      buckets: Int = DefaultBuckets): DataFrame = {
+      buckets: Int = DefaultBuckets): DataFrame =
+    scoredCandidates(docs, idCol, textCol, clsCol, model, buckets)
+      .select(col(idCol), col("actual"),
+        array_min(col("cands")).as("best"), col("n_tokens"))
+      .select(col(idCol), col("actual"),
+        col("best.cls").as("predicted"),
+        (-col("best.ns")).as("score_micro"),
+        col("n_tokens"))
+
+  /** Per-doc candidate frame shared by [[classify]] and
+    * [[calibration]]: (id, actual, n_tokens, cands) with `cands` the
+    * S-length array of (ns = −score, cls) structs — array_min/array_
+    * sort over it IS the argmax with ties to the lowest class name. */
+  private def scoredCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clsCol: String,
+      model: DataFrame,
+      buckets: Int): DataFrame = {
     // S-row metadata: sorted class names + integer micro-nat priors
     val priorRows = model.select(col("cls"), col("prior_micro"))
       .distinct().orderBy(col("cls")).collect()
@@ -162,13 +181,49 @@ object Classifier {
       struct((-(col(s"s_$i") + lit(priors(i)))).as("ns"),
         lit(classes(i)).as("cls"))
     }: _*)
-    scored
-      .select(col(idCol), col("actual"),
-        array_min(candidates).as("best"), col("n_tokens"))
-      .select(col(idCol), col("actual"),
-        col("best.cls").as("predicted"),
-        (-col("best.ns")).as("score_micro"),
-        col("n_tokens"))
+    scored.select(col(idCol), col("actual"), col("n_tokens"),
+      candidates.as("cands"))
+  }
+
+  /** Classifier CALIBRATION curve: how separable the winner is from
+    * the runner-up, and whether that margin predicts accuracy — the
+    * audit run before any classifier threshold goes into a filter
+    * (a well-calibrated filter's accuracy must rise with margin).
+    *
+    * Per doc: margin = winner score − runner-up score (integer
+    * micro-nats ≥ 0), banded at `bandMicro` with everything past
+    * `maxBand` clamped into the top band. Output per band: doc count,
+    * correct count (argmax = actual class), integer-ppm accuracy and
+    * mean margin — a ≤ (maxBand+1)-row table, all BIGINT arithmetic
+    * downstream of the model's round-once cells. */
+  def calibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clsCol: String,
+      model: DataFrame,
+      buckets: Int = DefaultBuckets,
+      bandMicro: Long = 200000L,
+      maxBand: Int = 9): DataFrame = {
+    require(bandMicro > 0, s"bandMicro must be positive, got $bandMicro")
+    require(maxBand >= 0, s"maxBand must be >= 0, got $maxBand")
+    scoredCandidates(docs, idCol, textCol, clsCol, model, buckets)
+      .select(col("actual"), array_sort(col("cands")).as("sorted"))
+      .where(size(col("sorted")) >= 2)
+      .select(col("actual"),
+        element_at(col("sorted"), 1).as("best"),
+        element_at(col("sorted"), 2).as("second"))
+      .select((col("best.cls") === col("actual")).as("correct"),
+        (col("second.ns") - col("best.ns")).as("margin_micro"))
+      .withColumn("band",
+        least(expr(s"margin_micro div $bandMicro"), lit(maxBand.toLong)))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"),
+        sum(col("margin_micro")).as("_sm"))
+      .select(col("band"), col("n_docs"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_docs").as("accuracy_ppm"),
+        expr("_sm div n_docs").as("mean_margin_micro"))
   }
 
   /** Train-and-classify on one corpus, rolled up to the S²-bounded
@@ -177,19 +232,31 @@ object Classifier {
     * are materialized once (they feed the spine, totals, and the
     * probe — without it the corpus-scale counting pass re-executes per
     * consumer: the q34/q56 lesson). */
-  def confusionMatrix(
+  /** Train the dense micro-nat model on one corpus, materialized ONCE
+    * (count/model tables feed the spine, totals and the probe —
+    * without the checkpoints the corpus-scale counting pass
+    * re-executes per consumer: the q34/q56 lesson). */
+  def trainModel(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       clsCol: String,
       buckets: Int = DefaultBuckets): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val spark = docs.sparkSession
     val (counts, docCounts) = classCounts(docs, idCol, textCol, clsCol, buckets)
     val countsM = graft.util.Blocks.lazyCheckpoint(counts)
     val docCountsM = graft.util.Blocks.lazyCheckpoint(docCounts)
-    val model = graft.util.Blocks.lazyCheckpoint(
-      modelFromCounts(spark, countsM, docCountsM, buckets))
+    graft.util.Blocks.lazyCheckpoint(
+      modelFromCounts(docs.sparkSession, countsM, docCountsM, buckets))
+  }
+
+  def confusionMatrix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      clsCol: String,
+      buckets: Int = DefaultBuckets): DataFrame = {
+    val model = trainModel(docs, idCol, textCol, clsCol, buckets)
     classify(docs, idCol, textCol, clsCol, model, buckets)
       .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))

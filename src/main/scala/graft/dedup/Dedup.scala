@@ -369,6 +369,45 @@ object Dedup {
     * coalesces to "" so the one-row-per-document contract holds for it
     * too (`n_kept = 1` — the single empty line, never boilerplate —
     * and an empty `clean_text`). */
+  /** WITHIN-document line dedup — the intra-doc twin of
+    * [[stripCommonLines]] (which strikes lines shared ACROSS docs):
+    * keep only the FIRST occurrence of each distinct trimmed line
+    * inside a document, preserving blank lines and original order —
+    * the "remove self-repetition" cleanup crawl text needs before
+    * repetition metrics (q47) stop dominating quality scores.
+    *
+    * Shape: one (id, norm)-keyed shuffle for the first-occurrence
+    * window (plain min over the partition — no rank, no funnel: the
+    * partition is per-(doc, line) cardinality), one id-keyed
+    * reassembly aggregation. Both scale with line volume, nothing is
+    * corpus-global. Returns (idCol, n_kept, n_dropped, clean_text). */
+  def dedupLinesWithinDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
+      .withColumn("norm", trim(col("line")))
+    val w = Window.partitionBy(col(idCol), col("norm"))
+    lines
+      .withColumn("first_pos", min(col("pos")).over(w))
+      .withColumn("keep",
+        col("norm") === "" || col("pos") === col("first_pos"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        concat_ws("\n",
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("line"),
+                col("keep")))),
+              x => x.getField("keep")),
+            x => x.getField("line"))).as("clean_text"))
+  }
+
   def stripCommonLines(
       df: DataFrame,
       idCol: String,

@@ -586,8 +586,10 @@ object PipelineQueries {
         docsSpread(s, dir), "doc_id", "text", "source")
       .orderBy(col("actual"), col("predicted"))
 
-  val q100Oracle: String =
-    """WITH toks AS (SELECT doc_id, source,
+  /** The q100 hashed-NB CTE chain through the per-(doc, class) score
+    * table `perclass`, shared with q120's calibration oracle. */
+  private val nbCtes: String =
+    """toks AS (SELECT doc_id, source,
       |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
       |  FROM documents),
       |t AS (SELECT doc_id, source AS cls,
@@ -611,14 +613,17 @@ object PipelineQueries {
       |perclass AS (SELECT hist.doc_id, hist.actual, model.cls,
       |    sum(hist.nb * model.lp) + any_value(model.pr) AS score
       |  FROM hist JOIN model ON hist.b = model.b
-      |  GROUP BY hist.doc_id, hist.actual, model.cls),
-      |ranked AS (SELECT doc_id, actual, cls,
-      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
-      |  FROM perclass)
-      |SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
-      |FROM ranked WHERE rn = 1
-      |GROUP BY actual, cls
-      |ORDER BY actual, predicted""".stripMargin
+      |  GROUP BY hist.doc_id, hist.actual, model.cls)""".stripMargin
+
+  val q100Oracle: String =
+    s"""WITH $nbCtes,
+       |ranked AS (SELECT doc_id, actual, cls,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+       |  FROM perclass)
+       |SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM ranked WHERE rn = 1
+       |GROUP BY actual, cls
+       |ORDER BY actual, predicted""".stripMargin
 
   // ----------------------------------------------------------------- q101
   /** Per-source token-distribution drift ([[graft.curate.Drift]]):
@@ -2928,6 +2933,112 @@ object PipelineQueries {
       |  CAST((1000000 * n_both) // k_used AS BIGINT) AS jaccard_est_ppm,
       |  CAST((n_both * union_est) // k_used AS BIGINT) AS inter_est
       |FROM e ORDER BY src_a, src_b""".stripMargin
+
+  // ------------------------------------------------------------------ q120
+  /** Classifier calibration curve ([[graft.curate.Classifier
+    * .calibration]]): the q100 NB model's winner-vs-runner-up margin
+    * banded at 0.2 nats, with per-band accuracy — the audit a
+    * score-thresholded quality filter needs before its threshold means
+    * anything. Integer micro-nat margins over the round-once model
+    * cells, so the whole curve is hash-exact. */
+  def q120NbCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+    val model = graft.curate.Classifier.trainModel(
+      docs, "doc_id", "text", "source")
+    graft.curate.Classifier.calibration(
+        docs, "doc_id", "text", "source", model)
+      .orderBy(col("band"))
+  }
+
+  val q120Oracle: String =
+    s"""WITH $nbCtes,
+       |ranked AS (SELECT doc_id, actual, cls, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+       |  FROM perclass),
+       |md AS (SELECT r1.actual, r1.cls AS predicted,
+       |    r1.score - r2.score AS margin
+       |  FROM ranked r1 JOIN ranked r2
+       |    ON r1.doc_id = r2.doc_id AND r1.rn = 1 AND r2.rn = 2),
+       |b AS (SELECT CAST(least(margin // 200000, 9) AS BIGINT) AS band,
+       |    (predicted = actual) AS correct, margin FROM md)
+       |SELECT band, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST((1000000 * sum(CASE WHEN correct THEN 1 ELSE 0 END)) // count(*)
+       |    AS BIGINT) AS accuracy_ppm,
+       |  CAST(sum(margin) // count(*) AS BIGINT) AS mean_margin_micro
+       |FROM b GROUP BY band ORDER BY band""".stripMargin
+
+  // ------------------------------------------------------------------ q119
+  /** Approximate k-NN graph over the WHOLE corpus
+    * ([[Ann.knnGraph]]): every embedding's top-5 cosine neighbors from
+    * symmetric capped LSH buckets — the edge set graph-based dedup /
+    * clustering walks. Approximate by design (no oracle): the planted
+    * identical pair must be each other's rank-1 neighbor, and recall@5
+    * is measured for the probe block (ids < 8) against inline
+    * brute-force truth. */
+  def q119KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = embSpread(s, dir)
+    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(plantedVecs(s, dim))
+    withPlantedAndRecall(
+        Ann.knnGraph(corpus, "vec_id", "embedding", dim = dim,
+          numPlanes = 6, k = 5, numTables = 4, multiProbe = 1,
+          maxBucketSize = 2000)
+          .withColumnRenamed("rank", "rnk"),
+        plantedTopKCond,
+        Ann.bruteForceTopK(corpus.where(col("vec_id") < 8), corpus,
+          "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), floor = 0.4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------ q118
+  /** Within-document line dedup ([[Dedup.dedupLinesWithinDoc]]): strike
+    * every repeat of a trimmed line INSIDE its own document (blank
+    * lines and original order preserved) — the intra-doc
+    * self-repetition cleanup, next to q98's cross-corpus strike. Docs
+    * with planted 3× repeated lines prove the op bites; clean docs
+    * pass through with n_dropped = 0 and an unchanged fingerprint. */
+  def q118LineSelfDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = (0 until 6).map { i =>
+      (-300L + i,
+        s"unique heading $i\nrepeated promo line\nbody text $i\n" +
+          "repeated promo line\n\nrepeated promo line")
+    }.toDF("doc_id", "text")
+    val corpus = docsSpread(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(planted)
+    Dedup.dedupLinesWithinDoc(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        md5(col("clean_text")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q118Oracle: String =
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -300 + i,
+      |      'unique heading ' || i::VARCHAR || chr(10) || 'repeated promo line'
+      |      || chr(10) || 'body text ' || i::VARCHAR || chr(10)
+      |      || 'repeated promo line' || chr(10) || chr(10) || 'repeated promo line'
+      |    FROM generate_series(0, 5) AS g(i)),
+      |l0 AS (SELECT doc_id,
+      |    unnest(string_split(coalesce(text, ''), chr(10))) AS line,
+      |    unnest(range(1, len(string_split(coalesce(text, ''), chr(10))) + 1)) AS i
+      |  FROM u),
+      |l AS (SELECT doc_id, i, line, trim(line) AS norm,
+      |    min(i) OVER (PARTITION BY doc_id, trim(line)) AS first_i
+      |  FROM l0),
+      |f AS (SELECT doc_id, i, line,
+      |    (norm = '' OR i = first_i) AS keep FROM l)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |  md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+      |    chr(10) ORDER BY i), '')) AS clean_fp
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------ q116
   /** Semantic diversity-cap sampling (the DC2/SemDeDup-adjacent

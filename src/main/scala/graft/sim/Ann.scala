@@ -216,6 +216,43 @@ object Ann {
         numTables, maxBucketSize, multiProbe),
       maxPairsPerId)
 
+  /** Approximate k-NN GRAPH over the whole corpus — every node's top-k
+    * cosine neighbors from the symmetric LSH candidate pairs (the edge
+    * set SemDeDup-style graph clustering and graph-based dedup walk).
+    * Unlike [[lshTopK]] (few probes against a corpus), EVERY node is a
+    * query here, so candidates come from the symmetric bucket join of
+    * [[nearDupPairsLsh]] — banded, `maxBucketSize`-capped, each pair
+    * scored once then emitted in both directions — and the per-node
+    * top-k is the two-phase [[perQueryTopK]] (no per-node funnel).
+    *
+    * Scale shape: candidate volume is Σ bucket² bounded by the cap;
+    * nothing is ever quadratic in the corpus, and the output is
+    * |corpus| · k edges by construction. */
+  def knnGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int,
+      k: Int,
+      numTables: Int = 4,
+      multiProbe: Int = 0,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // threshold -1 keeps every scored candidate (cos ≥ -1 always; NaN
+    // from a zero vector drops, which is the right verdict for it)
+    val pairs = nearDupPairsLsh(df, idCol, vecCol, dim, numPlanes,
+      threshold = -1.0, numTables, maxBucketSize, multiProbe)
+    val sym = pairs
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
+        col("cos_sim"))
+      .unionByName(pairs.select(col("id_b").as("query_id"),
+        col("id_a").as("neighbor_id"), col("cos_sim")))
+    perQueryTopK(sym, Seq(col("cos_sim").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"))
+  }
+
   /** Exact per-query top-k over a scored candidate frame WITHOUT a
     * one-task-per-query funnel — the [[graft.curate.Curation]]
     * twoPhaseTopK shape, keyed by query: a rank window partitioned by

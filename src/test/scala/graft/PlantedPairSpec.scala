@@ -11,7 +11,8 @@ class PlantedPairSpec extends SparkSpec {
   private val approximate = Seq("q21_dedup_minhash", "q22_dedup_simhash",
     "q25_dedup_embedding_lsh", "q31_ann_lsh", "q32_ann_ivf",
     "q51_multimodal_frame_dedup", "q54_cluster_collapse", "q66_ann_pq",
-    "q85_semantic_dedup", "q96_ann_sq", "q107_compress_ratio")
+    "q85_semantic_dedup", "q96_ann_sq", "q107_compress_ratio",
+    "q119_knn_graph")
 
   for (name <- approximate) {
     test(s"$name recovers the planted identical pair") {

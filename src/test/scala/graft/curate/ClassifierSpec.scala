@@ -77,4 +77,33 @@ class ClassifierSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"model join should broadcast the dense S*B table:\n$plan")
   }
+
+  test("calibration: bands partition the docs, counts and ppm are exact") {
+    val model = Classifier.trainModel(docs, "doc_id", "text", "source", 64)
+    val cal = Classifier.calibration(docs, "doc_id", "text", "source",
+      model, buckets = 64, bandMicro = 200000L, maxBand = 9).collect()
+    // every evidence-bearing doc lands in exactly one band
+    assert(cal.map(_.getAs[Long]("n_docs")).sum == 96L)
+    cal.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_correct"))
+      assert(c <= n)
+      assert(r.getAs[Long]("accuracy_ppm") == 1000000L * c / n)
+      val band = r.getAs[Long]("band")
+      val mean = r.getAs[Long]("mean_margin_micro")
+      assert(band == 9L || (mean >= band * 200000L && mean < (band + 1) * 200000L),
+        s"band $band mean margin $mean outside its band")
+    }
+    // exactly the 90 separable docs are correct overall (the 6 mixed
+    // docs predict fruit — wrong by construction, whatever their band)
+    assert(cal.map(_.getAs[Long]("n_correct")).sum == 90L)
+  }
+
+  test("calibration is partition-independent") {
+    val model = Classifier.trainModel(docs, "doc_id", "text", "source", 64)
+    val a = Classifier.calibration(docs, "doc_id", "text", "source",
+      model, 64).collect().toSet
+    val b = Classifier.calibration(docs.repartition(5), "doc_id", "text",
+      "source", model, 64).collect().toSet
+    assert(a == b)
+  }
 }

@@ -205,4 +205,28 @@ class AnnSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
     assert(a.length === 2 * 2 * 2)
   }
+
+  test("knnGraph: every node gets edges, identical pair is mutual rank-1") {
+    val out = Ann.knnGraph(vecs, "vec_id", "embedding", dim = 4,
+      numPlanes = 2, k = 2, numTables = 4, multiProbe = 1).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    // identical vectors 1 and 4 co-bucket in every table: mutual rank-1
+    assert(byQ(1L).find(_.getAs[Int]("rank") == 1).get
+      .getAs[Long]("neighbor_id") == 4L)
+    assert(byQ(4L).find(_.getAs[Int]("rank") == 1).get
+      .getAs[Long]("neighbor_id") == 1L)
+    // degree bounded by k, no self-edges
+    byQ.values.foreach(es => assert(es.length <= 2))
+    assert(out.forall(r =>
+      r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("knnGraph edges are symmetric candidates: both directions scored equally") {
+    val out = Ann.knnGraph(vecs, "vec_id", "embedding", dim = 4,
+      numPlanes = 1, k = 3, numTables = 4, multiProbe = 1).collect()
+    val score = out.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim")).toMap
+    for (((a, b), s) <- score; if score.contains((b, a)))
+      assert(score((b, a)) == s, s"asymmetric score for $a<->$b")
+  }
 }
