@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
 object Bm25 {
 
   /** Canonical (doc, token, tf) term-frequency table. */
-  private[retrieval] def termFreq(
+  private[graft] def termFreq(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(graft.text.WordGrams.tokens(col(textCol))).as("token"))
@@ -53,7 +53,7 @@ object Bm25 {
 
   /** Per-doc token count — narrow, no shuffle (`size(filter(...))`
     * over the split array, not an explode + groupBy round trip). */
-  private[retrieval] def docLen(
+  private[graft] def docLen(
       docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       size(filter(graft.text.WordGrams.tokens(col(textCol)),
