@@ -2983,8 +2983,7 @@ object PipelineQueries {
       .unionByName(plantedVecs(s, dim))
     withPlantedAndRecall(
         Ann.knnGraph(corpus, "vec_id", "embedding", dim = dim,
-          numPlanes = 6, k = 5, numTables = 4, multiProbe = 1,
-          maxBucketSize = 2000)
+          k = 5, numTables = 8, maxBucketSize = 2000)
           .withColumnRenamed("rank", "rnk"),
         plantedTopKCond,
         Ann.bruteForceTopK(corpus.where(col("vec_id") < 8), corpus,
@@ -3077,4 +3076,39 @@ object PipelineQueries {
        |SELECT r.cluster, r.vec_id, r.sample_rank, sz.n_in_cluster
        |FROM r JOIN sz USING (cluster) WHERE sample_rank <= 40
        |ORDER BY cluster, sample_rank""".stripMargin
+
+  // ------------------------------------------------------------------ q121
+  /** PMI collocation mining ([[graft.text.WordGrams.collocations]]):
+    * adjacent word pairs occurring >= 5 times ranked by pointwise
+    * mutual information in integer micro-nats — the phrase /
+    * multi-word-expression signal a tokenizer-vocab or phrase-table
+    * build consumes. Engine-exact: counts are integers, the PMI ratio
+    * is all-double left-to-right arithmetic rounded once (the q113
+    * idf convention). */
+  def q121PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.text.WordGrams.collocations(docsSpread(s, dir), "doc_id", "text",
+        minPairCount = 5)
+      .orderBy(desc("pmi_micro"), col("w1"), col("w2"))
+
+  val q121Oracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS tok FROM d),
+      |tok2 AS (SELECT tok FROM tok WHERE tok <> ''),
+      |g AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM d),
+      |pr AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM g
+      |  WHERE t[i] <> '' AND t[i + 1] <> ''),
+      |pc AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2
+      |  HAVING count(*) >= 5),
+      |un AS (SELECT tok, count(*) AS n FROM tok2 GROUP BY 1),
+      |tt AS (SELECT count(*) AS t_tok FROM tok2),
+      |tp AS (SELECT count(*) AS t_pair FROM pr)
+      |SELECT w1, w2, n_pair, u1.n AS n_w1, u2.n AS n_w2,
+      |  CAST(round(1e6 * ln(CAST(n_pair AS DOUBLE) * CAST(t_tok AS DOUBLE)
+      |      * CAST(t_tok AS DOUBLE)
+      |      / (CAST(t_pair AS DOUBLE) * CAST(u1.n AS DOUBLE)
+      |        * CAST(u2.n AS DOUBLE)))) AS BIGINT) AS pmi_micro
+      |FROM pc JOIN un u1 ON pc.w1 = u1.tok JOIN un u2 ON pc.w2 = u2.tok, tt, tp
+      |ORDER BY pmi_micro DESC, w1, w2""".stripMargin
 }

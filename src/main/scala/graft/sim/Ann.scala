@@ -217,40 +217,78 @@ object Ann {
       maxPairsPerId)
 
   /** Approximate k-NN GRAPH over the whole corpus — every node's top-k
-    * cosine neighbors from the symmetric LSH candidate pairs (the edge
-    * set SemDeDup-style graph clustering and graph-based dedup walk).
-    * Unlike [[lshTopK]] (few probes against a corpus), EVERY node is a
-    * query here, so candidates come from the symmetric bucket join of
-    * [[nearDupPairsLsh]] — banded, `maxBucketSize`-capped, each pair
-    * scored once then emitted in both directions — and the per-node
-    * top-k is the two-phase [[perQueryTopK]] (no per-node funnel).
+    * cosine neighbors from capped LSH buckets (the edge set
+    * SemDeDup-style graph clustering and graph-based dedup walk).
     *
-    * Scale shape: candidate volume is Σ bucket² bounded by the cap;
-    * nothing is ever quadratic in the corpus, and the output is
-    * |corpus| · k edges by construction. */
+    * Scale shape, measured the hard way at 100×:
+    *   - Vectors ride ONLY the bucket-entry shuffle (n · tables rows).
+    *     Scoring happens INSIDE the bucket self-join's projection, so
+    *     everything downstream — cross-table dedup, two-phase
+    *     [[perQueryTopK]] — shuffles slim (query, neighbor, cos) rows.
+    *     The [[nearDupPairsLsh]] pair-list shape instead re-attaches
+    *     vectors to the pair list through two more joins, which puts
+    *     the FULL candidate volume × vector width through the shuffle
+    *     (measured: disk-spill blowout at 100×).
+    *   - The plane count GROWS with the corpus: candidate volume is
+    *     n · E[bucket] · tables, so fixed planes make the graph
+    *     quadratic in corpus density (measured 18× wall for 10× data
+    *     at 6 planes). Auto-size holds E[bucket] at `targetBucketSize`:
+    *     planes = ⌈log2(n / target)⌉, volume LINEAR in n; the
+    *     `maxBucketSize` cap is only a skew backstop. The count() is a
+    *     parquet-metadata-cheap plan-time probe (the q31 dim-probe
+    *     spirit); pass numPlanes > 0 to pin instead.
+    *   - No hamming multi-probe: probe amplification costs
+    *     (planes+1)× on a side that is the WHOLE corpus here; the
+    *     `numTables` OR-amplification carries the recall instead
+    *     (measured recall@5 at the registered setting: 1.0 at sf0.01,
+    *     0.9 at sf0.1). */
   def knnGraph(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       dim: Int,
-      numPlanes: Int,
       k: Int,
       numTables: Int = 4,
-      multiProbe: Int = 0,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 100000,
+      numPlanes: Int = 0,
+      targetBucketSize: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // threshold -1 keeps every scored candidate (cos ≥ -1 always; NaN
-    // from a zero vector drops, which is the right verdict for it)
-    val pairs = nearDupPairsLsh(df, idCol, vecCol, dim, numPlanes,
-      threshold = -1.0, numTables, maxBucketSize, multiProbe)
-    val sym = pairs
-      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
-        col("cos_sim"))
-      .unionByName(pairs.select(col("id_b").as("query_id"),
-        col("id_a").as("neighbor_id"), col("cos_sim")))
-    perQueryTopK(sym, Seq(col("cos_sim").desc, col("neighbor_id").asc), k)
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    require(targetBucketSize >= 2,
+      s"targetBucketSize must be >= 2, got $targetBucketSize")
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = df.count().max(1L)
+        val raw = math.ceil(
+          math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+        raw.max(2).min(24)
+      }
+    val base = withNorm(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v")
+    val entries = base
+      .select(col("id"), col("v"), col("self_dot"),
+        explode(array((0 until numTables).map { t =>
+          struct(lit(t).as("tbl"),
+            lshBucket(col("v"), dim, planes, table = t).as("bkt"))
+        }: _*)).as("e"))
+      .select(col("id"), col("v"), col("self_dot"),
+        col("e.tbl").as("tbl"), col("e.bkt").as("bkt"))
+    val capped =
+      graft.dedup.Dedup.capBuckets(entries, maxBucketSize, Seq("tbl", "bkt"))
+    // score in the join projection; only slim rows leave this stage
+    val scored = capped.as("l")
+      .join(capped.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+          col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("query_id"), col("r.id").as("neighbor_id"),
+        (dot(col("l.v"), col("r.v"))
+          / sqrt(col("l.self_dot") * col("r.self_dot"))).as("cos_sim"))
+      // a pair can collide in several tables — score each once
+      .dropDuplicates("query_id", "neighbor_id")
+    perQueryTopK(scored, Seq(col("cos_sim").desc, col("neighbor_id").asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos_sim"))
+        round(col("cos_sim"), 6).as("cos_sim"))
   }
 
   /** Exact per-query top-k over a scored candidate frame WITHOUT a

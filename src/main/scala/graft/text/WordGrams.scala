@@ -134,6 +134,62 @@ object WordGrams {
         countDistinct(col(idCol)).as("n_docs"))
       .where(col("n_occurrences") >= minCount)
 
+  /** PMI collocation mining: adjacent word pairs whose pointwise
+    * mutual information `ln(p(w1,w2) / (p(w1)·p(w2)))` marks them as a
+    * unit ("new york", "machine learning") — the classic phrase /
+    * multi-word-expression signal a tokenizer-vocab or phrase-table
+    * build consumes (Church & Hanks 1990).
+    *
+    * Determinism contract (the hash-exact oracle): PMI is computed in
+    * DOUBLE with every count cast to double FIRST (the six-way integer
+    * product would overflow BIGINT at real corpus scale) and the same
+    * left-to-right operation order the oracle SQL spells, then rounded
+    * ONCE to integer micro-nats — the q113-idf convention; IEEE
+    * mult/div are exact-rounded on every engine and the ≤ 1 ulp libm
+    * `ln` divergence is absorbed by the rounding.
+    *
+    * Scale shape: unigram and bigram counts are map-side-combinable
+    * aggregates keyed on token text; after them everything is
+    * VOCAB-bounded — the two scalar totals broadcast via crossJoin,
+    * and the n1/n2 lookups join the (already `minPairCount`-floored)
+    * pair table against the unigram table, never the corpus. The only
+    * corpus-scale shuffles are the doc-keyed window that forms
+    * adjacent pairs and the two count aggregates. */
+  def collocations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minPairCount: Long): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(length(col("tok")) > 0)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val pairs = toks
+      .select(col(idCol), col("tok").as("w1"),
+        lead(col("tok"), 1).over(w).as("w2"))
+      .where(col("w2").isNotNull)
+      .select(col("w1"), col("w2"))
+    val pairCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairCount)
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val totTok = toks.agg(count(lit(1)).as("t_tok"))
+    val totPair = pairs.agg(count(lit(1)).as("t_pair"))
+    val ratio =
+      col("n_pair").cast("double") * col("t_tok").cast("double") *
+        col("t_tok").cast("double") /
+        (col("t_pair").cast("double") * col("n_w1").cast("double") *
+          col("n_w2").cast("double"))
+    pairCounts
+      .join(uni.select(col("tok").as("w1"), col("n").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(totTok))
+      .crossJoin(broadcast(totPair))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(lit(1e6) * log(ratio)).cast("long").as("pmi_micro"))
+  }
+
   /** Corpus-frequency gram mining: n-grams occurring in at least
     * `minDocs` DISTINCT documents, with their document frequency —
     * the input to boilerplate stripping / common-gram filters. */

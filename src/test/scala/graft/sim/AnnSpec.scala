@@ -208,7 +208,7 @@ class AnnSpec extends SparkSpec {
 
   test("knnGraph: every node gets edges, identical pair is mutual rank-1") {
     val out = Ann.knnGraph(vecs, "vec_id", "embedding", dim = 4,
-      numPlanes = 2, k = 2, numTables = 4, multiProbe = 1).collect()
+      k = 2, numTables = 4, numPlanes = 2).collect()
     val byQ = out.groupBy(_.getAs[Long]("query_id"))
     // identical vectors 1 and 4 co-bucket in every table: mutual rank-1
     assert(byQ(1L).find(_.getAs[Int]("rank") == 1).get
@@ -223,7 +223,7 @@ class AnnSpec extends SparkSpec {
 
   test("knnGraph edges are symmetric candidates: both directions scored equally") {
     val out = Ann.knnGraph(vecs, "vec_id", "embedding", dim = 4,
-      numPlanes = 1, k = 3, numTables = 4, multiProbe = 1).collect()
+      k = 3, numTables = 4, numPlanes = 1).collect()
     val score = out.map(r => (r.getAs[Long]("query_id"),
       r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_sim")).toMap
     for (((a, b), s) <- score; if score.contains((b, a)))

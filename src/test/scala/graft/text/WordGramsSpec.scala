@@ -88,4 +88,33 @@ class WordGramsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq === Seq(("x y", 3L)))
   }
+
+  test("collocations: hand-computed PMI in micro-nats, floor applied") {
+    val docs = Seq(
+      (1L, "new york new york"), // pairs: (new,york) x2, (york,new)
+      (2L, "a new day"),         // (a,new), (new,day)
+      (3L, "york a a")           // (york,a), (a,a)
+    ).toDF("doc_id", "text")
+    val got = WordGrams.collocations(docs, "doc_id", "text", minPairCount = 2)
+      .collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_pair"), r.getAs[Long]("n_w1"),
+        r.getAs[Long]("n_w2"), r.getAs[Long]("pmi_micro")))
+    // T = 10 tokens, B = 7 pairs; counts: new 3, york 3, a 3, day 1.
+    // only (new, york) clears the floor of 2
+    val expected = math.round(
+      1e6 * math.log(2.0 * 10 * 10 / (7.0 * 3 * 3)))
+    assert(got.toSeq === Seq(("new", "york", 2L, 3L, 3L, expected)))
+  }
+
+  test("collocations: blank docs contribute nothing; cross-doc pairs never form") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "beta alpha"), // adjacency is WITHIN doc: no (beta, beta) pair
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val got = WordGrams.collocations(docs, "doc_id", "text", minPairCount = 1)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"))).toSet
+    assert(got === Set(("alpha", "beta"), ("beta", "alpha")))
+  }
 }
