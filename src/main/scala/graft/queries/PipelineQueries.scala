@@ -3111,4 +3111,41 @@ object PipelineQueries {
       |        * CAST(u2.n AS DOUBLE)))) AS BIGINT) AS pmi_micro
       |FROM pc JOIN un u1 ON pc.w1 = u1.tok JOIN un u2 ON pc.w2 = u2.tok, tt, tp
       |ORDER BY pmi_micro DESC, w1, w2""".stripMargin
+
+  // ------------------------------------------------------------------ q122
+  /** Zipf rank-frequency audit ([[graft.text.Zipf.zipfFit]]): per
+    * source, the integer-OLS log-log slope of the token-frequency head
+    * (top 1000 ranks) in ppm — natural prose fits s ≈ −1e6 ppm; a
+    * source that drifts far off is template spam or non-prose. Milli-
+    * nat points + pure integer least squares keep it hash-exact. */
+  def q122ZipfFit(s: SparkSession, dir: String): DataFrame =
+    graft.text.Zipf.zipfFit(docsSpread(s, dir), "source", "text",
+        topRanks = 1000)
+      .orderBy(col("source"))
+
+  val q122Oracle: String =
+    """WITH tok AS (SELECT source,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT source, tok, count(*) AS freq FROM tok
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |r AS (SELECT source, freq,
+      |    row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok) AS rnk
+      |  FROM tf QUALIFY rnk <= 1000),
+      |p AS (SELECT source,
+      |    CAST(round(1e3 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+      |    CAST(round(1e3 * ln(CAST(freq AS DOUBLE))) AS BIGINT) AS y
+      |  FROM r),
+      |s AS (SELECT source, count(*) AS n_ranks,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM p GROUP BY 1 HAVING count(*) >= 2),
+      |f AS (SELECT source, n_ranks, sy,
+      |    1000 * (n_ranks * sxy - sx * sy) AS num,
+      |    (n_ranks * sxx - sx * sx) // 1000 AS den
+      |  FROM s)
+      |SELECT source, n_ranks,
+      |  CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS slope_ppm,
+      |  CAST(sy // n_ranks AS BIGINT) AS mean_log_freq_milli
+      |FROM f ORDER BY source""".stripMargin
 }
