@@ -62,6 +62,28 @@ object Kmv {
       .select(col("grp"), col("h"))
   }
 
+  /** Merge two [[minK]] sketch tables into the sketch of the UNION of
+    * the underlying item sets. For distinct-hash sets the bottom-k is a
+    * lossless mergeable summary — `bottomK(bottomK(A) ∪ bottomK(B)) =
+    * bottomK(A ∪ B)` exactly (any of the true union's k minima is a
+    * minimum of its own side, so it survives the inner bottom-k) — so
+    * incremental maintenance is BIT-IDENTICAL to a one-shot build, not
+    * an approximation of it.
+    *
+    * Both inputs are ≤ |groups|·k rows by construction (metadata), so
+    * the distinct + re-bottom-k here never touches corpus scale; the
+    * two-phase top-k is kept anyway for the pathological many-groups
+    * case. */
+  def mergeSketches(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val u = a.select(col("grp"), col("h"))
+      .unionByName(b.select(col("grp"), col("h")))
+      .distinct()
+      .withColumn("_bkt", pmod(col("h"), lit(32)))
+    graft.curate.Curation.twoPhaseTopK(u, "grp", Seq(col("h").asc), k)
+      .select(col("grp"), col("h"))
+  }
+
   /** Pairwise overlap estimates from a [[minK]] sketch table: for every
     * group pair (a < b), the union sketch's prefix statistics →
     * Jaccard, union-cardinality and intersection estimates.

@@ -68,6 +68,20 @@ class KmvSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("mergeSketches is the lossless union: merge(minK(A), minK(B)) == minK(A ∪ B)") {
+    val k = 32
+    val a = (0 until 400).map(i => (s"s${i % 2}", s"ma$i"))
+    val b = (0 until 300).map(i => (s"s${i % 3}", s"mb$i")) ++
+      (0 until 100).map(i => (s"s${i % 2}", s"ma$i")) // overlap with a
+    val merged = Kmv.mergeSketches(
+        Kmv.minK(a.toDF("grp", "item"), "grp", "item", k),
+        Kmv.minK(b.toDF("grp", "item"), "grp", "item", k), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = Kmv.minK((a ++ b).toDF("grp", "item"), "grp", "item", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged === direct)
+  }
+
   test("deterministic across partitionings") {
     val items = (0 until 2000).map(i => (s"s${i % 3}", s"it$i"))
     val x = Kmv.pairwiseOverlap(
