@@ -3112,6 +3112,72 @@ object PipelineQueries {
       |FROM pc JOIN un u1 ON pc.w1 = u1.tok JOIN un u2 ON pc.w2 = u2.tok, tt, tp
       |ORDER BY pmi_micro DESC, w1, w2""".stripMargin
 
+  // ------------------------------------------------------------------ q123
+  /** Contrastive triple mining ([[Ann.contrastiveTriples]]): per
+    * anchor embedding, one in-band positive (cos ∈ [0.8, 0.999] —
+    * similar but not a duplicate) and the hardest negative (best
+    * candidate below 0.5) from the knnGraph edge set — the
+    * (anchor, positive, hard-negative) training rows a DPR/SimCSE-
+    * style embedding trainer consumes. Approximate by design (no
+    * oracle): a planted geometric triple (anchor −2, a cos-0.98
+    * rotation −1, a cos-0.2 rotation −3) must mine (−2, −1) as its
+    * positive, and recall of the mined positives is measured for the
+    * probe block against exact in-band brute-force truth. */
+  def q123ContrastiveTriples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = embSpread(s, dir)
+    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    val v = (0 until dim).map(j => ((j * 31 + 7) % 13 - 6).toDouble)
+    val w0 = (0 until dim).map(j => ((j * 17 + 3) % 11 - 5).toDouble)
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    val vh = v.map(_ / vn)
+    val proj = w0.zip(vh).map { case (w, a) => w * a }.sum
+    val wr = w0.zip(vh).map { case (w, a) => w - proj * a }
+    val wn = math.sqrt(wr.map(x => x * x).sum)
+    val wh = wr.map(_ / wn)
+    def mix(a: Double, b: Double): Seq[Float] =
+      vh.zip(wh).map { case (x, y) => (a * x + b * y).toFloat }
+    val planted = Seq(
+      (-2L, vh.map(_.toFloat)),
+      (-1L, mix(0.98, math.sqrt(1 - 0.98 * 0.98))),
+      (-3L, mix(0.2, math.sqrt(1 - 0.04)))).toDF("vec_id", "embedding")
+    // the corpus embeddings are near-random (max natural cos ≈ 0.5), so
+    // the in-band positives are PLANTED: a cos-0.95 rotation of every
+    // probe vector (ids −100−i), built distributed with higher-order
+    // array functions — 32 rows of interpreted work, never the corpus
+    val pool = e.where(col("vec_id") < 32)
+      .select((lit(-100L) - col("vec_id")).as("vec_id"),
+        col("embedding").as("v"))
+      .withColumn("w", array(wh.map(lit(_)): _*))
+      .withColumn("vn", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, x) -> s + x)")))
+      .withColumn("vh", expr("transform(v, x -> x / vn)"))
+      .withColumn("pj", expr(
+        "aggregate(zip_with(w, vh, (x, y) -> x * y), 0D, (s, x) -> s + x)"))
+      .withColumn("wp", expr("zip_with(w, vh, (x, y) -> x - pj * y)"))
+      .withColumn("wn", sqrt(expr(
+        "aggregate(zip_with(wp, wp, (x, y) -> x * y), 0D, (s, x) -> s + x)")))
+      .select(col("vec_id"), expr(
+        "transform(zip_with(vh, wp, (a, b) -> 0.95 * a + 0.3122499 * b / wn), x -> CAST(x AS FLOAT))")
+        .as("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(planted).unionByName(pool)
+    val mined = Ann.contrastiveTriples(corpus, "vec_id", "embedding", dim,
+      posLo = 0.8, posHi = 0.999, negHi = 0.5, k = 32, numTables = 8)
+    val truth = Ann.bruteForceTopK(
+        corpus.where(col("vec_id").between(0, 31)), corpus,
+        "vec_id", "embedding", k = 200)
+      .where(col("cos_sim").between(0.8, 0.999))
+      .groupBy(col("query_id").as("anchor_id"))
+      .agg(max(struct(col("cos_sim").as("c"),
+        (-col("neighbor_id")).as("negid"))).as("m"))
+      .select(col("anchor_id"), (-col("m.negid")).as("pos_id"))
+    withPlantedAndRecall(mined,
+        col("anchor_id") === -2L && col("pos_id") === -1L,
+        truth, Seq("anchor_id", "pos_id"), floor = 0.5)
+      .orderBy(col("anchor_id"))
+  }
+
   // ------------------------------------------------------------------ q122
   /** Zipf rank-frequency audit ([[graft.text.Zipf.zipfFit]]): per
     * source, the integer-OLS log-log slope of the token-frequency head

@@ -291,6 +291,58 @@ object Ann {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Contrastive triple mining for embedding-model training data —
+    * per anchor, ONE in-band positive (a near neighbor that is similar
+    * but not a duplicate: `posLo ≤ cos ≤ posHi`) and ONE hard negative
+    * (the MOST similar candidate still below `negHi` — the
+    * "hard negative" every DPR/SimCSE-style trainer mines rather than
+    * sampling randomly). Anchors lacking either side are dropped: a
+    * triple is only useful complete.
+    *
+    * Candidates come from [[knnGraph]]'s capped-bucket edge set (top-k
+    * cosine edges per anchor), so both selections read the SAME slim
+    * (anchor, neighbor, cos) frame: the positive is the best in-band
+    * edge, the negative the best sub-`negHi` edge — "hard" by
+    * construction since edges are the anchor's most similar candidates.
+    * Selection is a partial-aggregable `max(struct(cos, -neighbor))`
+    * per anchor (ties → smaller id; no rank window, no funnel), and
+    * the edge set is |corpus|·k rows — nothing here exceeds the
+    * knnGraph scale envelope.
+    *
+    * Caveat (documented, not hidden): an anchor whose top-k edges are
+    * ALL in-band never yields a negative — raise `k` if dense near-dup
+    * clusters starve negatives. */
+  def contrastiveTriples(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      posLo: Double,
+      posHi: Double,
+      negHi: Double,
+      k: Int = 32,
+      numTables: Int = 8,
+      maxBucketSize: Int = 100000,
+      numPlanes: Int = 0,
+      targetBucketSize: Int = 64): DataFrame = {
+    require(posLo < posHi, s"need posLo < posHi, got [$posLo, $posHi]")
+    require(negHi <= posLo,
+      s"negative band must sit below the positive band, got negHi=$negHi > posLo=$posLo")
+    val edges = graft.util.Blocks.lazyCheckpoint(
+      knnGraph(df, idCol, vecCol, dim, k, numTables, maxBucketSize,
+        numPlanes, targetBucketSize))
+    def bestIn(cond: Column, outId: String, outCos: String): DataFrame =
+      edges.where(cond)
+        .groupBy(col("query_id").as("anchor_id"))
+        .agg(max(struct(col("cos_sim").as("c"),
+          (-col("neighbor_id")).as("negid"))).as("m"))
+        .select(col("anchor_id"), (-col("m.negid")).as(outId),
+          col("m.c").as(outCos))
+    bestIn(col("cos_sim").between(posLo, posHi), "pos_id", "pos_cos")
+      .join(bestIn(col("cos_sim") < negHi, "neg_id", "neg_cos"),
+        Seq("anchor_id"))
+  }
+
   /** Exact per-query top-k over a scored candidate frame WITHOUT a
     * one-task-per-query funnel — the [[graft.curate.Curation]]
     * twoPhaseTopK shape, keyed by query: a rank window partitioned by

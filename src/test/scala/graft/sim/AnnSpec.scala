@@ -221,6 +221,39 @@ class AnnSpec extends SparkSpec {
       r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
   }
 
+  test("contrastiveTriples: in-band positive + hardest sub-band negative per anchor") {
+    val s = math.sqrt(1 - 0.98 * 0.98).toFloat
+    val tri = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),            // anchor
+      (2L, Seq(0.98f, s, 0.0f, 0.0f)),              // cos .98 -> positive
+      (3L, Seq(0.5f, 0.8660254f, 0.0f, 0.0f)),      // cos .5  -> in no band
+      (4L, Seq(0.2f, 0.9797959f, 0.0f, 0.0f))       // cos .2  -> negative
+    ).toDF("vec_id", "embedding")
+    val out = Ann.contrastiveTriples(tri, "vec_id", "embedding", dim = 4,
+        posLo = 0.8, posHi = 0.99, negHi = 0.4,
+        k = 3, numTables = 8, numPlanes = 1)
+      .collect().map(r => r.getAs[Long]("anchor_id") ->
+        (r.getAs[Long]("pos_id"), r.getAs[Double]("pos_cos"),
+          r.getAs[Long]("neg_id"), r.getAs[Double]("neg_cos"))).toMap
+    val (posId, posCos, negId, negCos) = out(1L)
+    assert(posId === 2L && math.abs(posCos - 0.98) < 1e-3)
+    assert(negId === 4L && math.abs(negCos - 0.2) < 1e-3)
+    // vec 3 (cos .5) is in neither band: never a positive nor a negative of 1
+    assert(!out.contains(3L) || out(3L)._1 != 1L)
+  }
+
+  test("contrastiveTriples: anchors missing either side are dropped") {
+    // only two far-apart vectors: no in-band positive exists for either
+    val two = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.contrastiveTriples(two, "vec_id", "embedding", dim = 4,
+      posLo = 0.8, posHi = 0.99, negHi = 0.4,
+      k = 2, numTables = 8, numPlanes = 1)
+    assert(out.count() === 0L)
+  }
+
   test("knnGraph edges are symmetric candidates: both directions scored equally") {
     val out = Ann.knnGraph(vecs, "vec_id", "embedding", dim = 4,
       k = 3, numTables = 4, numPlanes = 1).collect()
