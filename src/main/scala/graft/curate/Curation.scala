@@ -202,6 +202,55 @@ object Curation {
       .drop("_hk")
   }
 
+  /** Bounded-memory deterministic quantile profile — the SCALE TIER of
+    * [[quantileCutoff]]'s exact mode. Per stratum: exact interpolated
+    * quantiles of a FIXED-k deterministic hash sample
+    * ([[sampleFixedK]] — md5 bottom-k is a uniform sample of the
+    * stratum, mergeable and engine-portable) plus the exact stratum
+    * count.
+    *
+    * Why a third tier exists: exact `percentile` buffers a whole
+    * stratum per task (O(stratum) memory — dim scale only), and
+    * `approx_percentile`'s GK sketch is bounded but NOT cross-engine
+    * deterministic, so it can never be hash-gated. The bottom-k sample
+    * is both at once — memory O(k), determinism by md5 value — at the
+    * cost of the standard √(p(1−p)/k) sampling error on the quantile
+    * RANK (declared, not hidden: `n_sampled` rides along so a reader
+    * can see what the estimate stands on).
+    *
+    * Scale shape: the sample is the [[sampleFixedK]] two-phase bounded
+    * top-k (no stratum funnel); the quantile aggregate then buffers
+    * ≤ k values per stratum, and the exact-count join is
+    * |strata| × |strata| metadata. */
+  def sampleQuantileProfile(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      valueCol: String,
+      k: Int,
+      loP: Double,
+      midP: Double,
+      hiP: Double,
+      salt: String = "graft"): DataFrame = {
+    require(Seq(loP, midP, hiP).forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1], got ($loP, $midP, $hiP)")
+    require(valueCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"valueCol '$valueCol' must match [A-Za-z_][A-Za-z0-9_]*")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val sample = sampleFixedK(
+      df.select(col(idCol), col(stratumCol), col(valueCol)),
+      idCol, stratumCol, k, salt)
+    def pct(p: Double): Column =
+      round(expr(s"percentile($valueCol, CAST($p AS DOUBLE))"), 6)
+    val q = sample.groupBy(col(stratumCol)).agg(
+      pct(loP).as("p_lo"), pct(midP).as("p_mid"), pct(hiP).as("p_hi"),
+      count(lit(1)).as("n_sampled"))
+    counts.join(q, stratumCol)
+      .select(col(stratumCol), col("n_rows"), col("n_sampled"),
+        col("p_lo"), col("p_mid"), col("p_hi"))
+  }
+
   /** Weighted fixed-size sample per stratum — priority sampling
     * (Duffield–Lund–Thorup): each row's priority is w/u with u its
     * [[hashKey]] fraction in (0, 1]; the k LARGEST priorities win, so

@@ -3112,6 +3112,33 @@ object PipelineQueries {
       |FROM pc JOIN un u1 ON pc.w1 = u1.tok JOIN un u2 ON pc.w2 = u2.tok, tt, tp
       |ORDER BY pmi_micro DESC, w1, w2""".stripMargin
 
+  // ------------------------------------------------------------------ q124
+  /** Bounded-memory deterministic quantile profile
+    * ([[graft.curate.Curation.sampleQuantileProfile]]): per-source
+    * p10/p50/p90 of doc length over a fixed-256 md5 bottom-k sample +
+    * the exact source count — the hash-gateable scale tier between
+    * exact `percentile` (O(stratum) memory) and `approx_percentile`
+    * (bounded but engine-varying). */
+  def q124SampleQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Curation.sampleQuantileProfile(
+        Tables.documents(s, dir), "doc_id", "source", "n_chars",
+        k = 256, loP = 0.1, midP = 0.5, hiP = 0.9, salt = "sqp")
+      .orderBy(col("source"))
+
+  val q124Oracle: String =
+    """WITH s AS (SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id::VARCHAR || 'sqp'), doc_id) AS r
+      |  FROM documents),
+      |c AS (SELECT source, count(*) AS n_rows FROM documents GROUP BY 1),
+      |q AS (SELECT source, count(*) AS n_sampled,
+      |    round(quantile_cont(n_chars, 0.1), 6) AS p_lo,
+      |    round(quantile_cont(n_chars, 0.5), 6) AS p_mid,
+      |    round(quantile_cont(n_chars, 0.9), 6) AS p_hi
+      |  FROM s WHERE r <= 256 GROUP BY 1)
+      |SELECT c.source, n_rows, n_sampled, p_lo, p_mid, p_hi
+      |FROM c JOIN q USING (source) ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------ q123
   /** Contrastive triple mining ([[Ann.contrastiveTriples]]): per
     * anchor embedding, one in-band positive (cos ∈ [0.8, 0.999] —

@@ -450,4 +450,38 @@ class CurationSpec extends SparkSpec {
         s"$s weight ${out(s)} outside ($lo, $hi)")
     }
   }
+
+  test("sampleQuantileProfile: k >= stratum collapses to exact quantiles") {
+    val df = (1L to 9L).map(i => (i, "s", i * 10L))
+      .toDF("id", "src", "v")
+    val Array(row) = Curation.sampleQuantileProfile(
+      df, "id", "src", "v", k = 100, loP = 0.0, midP = 0.5, hiP = 1.0)
+      .collect()
+    assert(row.getAs[Long]("n_rows") === 9L)
+    assert(row.getAs[Long]("n_sampled") === 9L)
+    assert(row.getAs[Double]("p_lo") === 10.0)   // min
+    assert(row.getAs[Double]("p_mid") === 50.0)  // exact median
+    assert(row.getAs[Double]("p_hi") === 90.0)   // max
+  }
+
+  test("sampleQuantileProfile: undersampled stratum reports n_sampled = k " +
+      "and quantiles of the deterministic sample") {
+    val df = (1L to 50L).map(i => (i, "s", i)).toDF("id", "src", "v")
+    val Array(row) = Curation.sampleQuantileProfile(
+      df, "id", "src", "v", k = 8, loP = 0.1, midP = 0.5, hiP = 0.9,
+      salt = "t")
+    .collect()
+    assert(row.getAs[Long]("n_rows") === 50L)
+    assert(row.getAs[Long]("n_sampled") === 8L)
+    // the sample is the md5 bottom-8 — recompute it and its median
+    val sampled = Curation.sampleFixedK(df, "id", "src", 8, salt = "t")
+      .collect().map(_.getAs[Long]("v")).sorted
+    val exp = (sampled(3) + sampled(4)) / 2.0
+    assert(row.getAs[Double]("p_mid") === exp)
+    // rerun is bit-identical (determinism by value, not by partitioning)
+    val again = Curation.sampleQuantileProfile(
+      df.repartition(7), "id", "src", "v", k = 8, loP = 0.1, midP = 0.5,
+      hiP = 0.9, salt = "t").collect()
+    assert(again.map(_.toSeq).toSeq === Seq(row.toSeq))
+  }
 }
