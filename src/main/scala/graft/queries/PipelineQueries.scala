@@ -3112,6 +3112,28 @@ object PipelineQueries {
       |FROM pc JOIN un u1 ON pc.w1 = u1.tok JOIN un u2 ON pc.w2 = u2.tok, tt, tp
       |ORDER BY pmi_micro DESC, w1, w2""".stripMargin
 
+  // ------------------------------------------------------------------ q125
+  /** BM25 hard-negative mining ([[graft.retrieval.Bm25.hardNegatives]]):
+    * per probe, the top-1 BM25 retrieval as positive and ranks 4–8 as
+    * hard negatives — the lexical counterpart of q123's embedding
+    * triples, fully deterministic (integer micro-nat scores) and so
+    * hash-gateable end to end. */
+  def q125Bm25HardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.retrieval.Bm25.hardNegatives(
+        docsSpread(s, dir), "doc_id", "text",
+        probeFilter = _ < 12, nTerms = 3, negFrom = 4, negTo = 8)
+      .orderBy(col("query_id"), col("neg_rank"))
+
+  val q125Oracle: String =
+    s"""WITH $bm25Ctes,
+       |${bm25RankSql(maxProbe = 12, nTerms = 3, depth = 8)}
+       |SELECT p.query_id, p.doc_id AS pos_id,
+       |  p.bm25_micro AS pos_bm25_micro, n.rnk AS neg_rank,
+       |  n.doc_id AS neg_id, n.bm25_micro AS neg_bm25_micro
+       |FROM bm p JOIN bm n ON p.query_id = n.query_id
+       |  AND p.rnk = 1 AND n.rnk BETWEEN 4 AND 8
+       |ORDER BY p.query_id, neg_rank""".stripMargin
+
   // ------------------------------------------------------------------ q124
   /** Bounded-memory deterministic quantile profile
     * ([[graft.curate.Curation.sampleQuantileProfile]]): per-source

@@ -123,4 +123,38 @@ object Bm25 {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("bm25_micro"))
   }
+
+  /** DPR-style hard-negative mining from the BM25 ranking: per probe,
+    * the top-1 retrieval plays the positive and ranks
+    * [`negFrom`, `negTo`] play the hard negatives — lexically close
+    * enough to fool a weak model, ranked far enough to be (near-)
+    * certainly non-duplicates. The lexical counterpart of the
+    * embedding-space [[graft.sim.Ann.contrastiveTriples]]; BM25's
+    * integer micro-nat scores make THIS one fully deterministic, so it
+    * is hash-gateable end to end.
+    *
+    * The ranking is materialized ONCE (lazy checkpoint) and read by
+    * both the positive and negative selections — the
+    * single-materialization lesson; everything here is probe-sized
+    * (|probes| · negTo rows) after the moreLikeThis scoring. */
+  def hardNegatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeFilter: Column => Column,
+      nTerms: Int,
+      negFrom: Int,
+      negTo: Int): DataFrame = {
+    require(negFrom >= 2, s"negFrom must be >= 2 (rank 1 is the positive), got $negFrom")
+    require(negTo >= negFrom, s"need negFrom <= negTo, got [$negFrom, $negTo]")
+    val ranked = graft.util.Blocks.lazyCheckpoint(
+      moreLikeThis(docs, idCol, textCol, probeFilter, nTerms, k = negTo))
+    val pos = ranked.where(col("rnk") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_id"),
+        col("bm25_micro").as("pos_bm25_micro"))
+    val neg = ranked.where(col("rnk").between(negFrom, negTo))
+      .select(col("query_id"), col("rnk").as("neg_rank"),
+        col("doc_id").as("neg_id"), col("bm25_micro").as("neg_bm25_micro"))
+    pos.join(neg, Seq("query_id"))
+  }
 }

@@ -62,4 +62,29 @@ class Bm25Spec extends SparkSpec {
       probeFilter = _ < 3, nTerms = 2, k = 4).collect().toSet
     assert(a == b)
   }
+
+  test("hardNegatives pairs the rank-1 positive with the declared rank band") {
+    val ranked = Bm25.moreLikeThis(corpus, "doc_id", "text",
+        probeFilter = _ < 3, nTerms = 2, k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_micro"))).toMap
+    val out = Bm25.hardNegatives(corpus, "doc_id", "text",
+      probeFilter = _ < 3, nTerms = 2, negFrom = 2, negTo = 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      assert((r.getAs[Long]("pos_id"), r.getAs[Long]("pos_bm25_micro"))
+        === ranked((q, 1)), "positive must be the rank-1 retrieval")
+      val nr = r.getAs[Int]("neg_rank")
+      assert(nr >= 2 && nr <= 4)
+      assert((r.getAs[Long]("neg_id"), r.getAs[Long]("neg_bm25_micro"))
+        === ranked((q, nr)))
+      assert(r.getAs[Long]("pos_bm25_micro") >= r.getAs[Long]("neg_bm25_micro"))
+    }
+    // a query with NO candidate at the negative band yields no triples
+    val none = Bm25.hardNegatives(corpus, "doc_id", "text",
+      probeFilter = _ < 3, nTerms = 2, negFrom = 1000, negTo = 1001)
+    assert(none.count() === 0L)
+  }
 }
