@@ -405,6 +405,26 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(partialIdx >= 0 && exchangeIdx >= 0, plan)
   }
 
+  test("q121 PMI: scalar totals broadcast; no cartesian product") {
+    // the two 1-row totals must ride BroadcastNestedLoopJoin (broadcast
+    // crossJoin); a CartesianProduct means a broadcast was dropped and
+    // the vocab table would shuffle against totals at corpus scale
+    val plan = finalPlan(SparkEntry.queries("q121_pmi_collocations")(spark, sfDir))
+    assert(countOf(plan, "BroadcastNestedLoopJoin") === 2,
+      s"expected the two scalar totals as broadcast crossJoins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("q124 sample quantiles: strata-sized tables never sort-merge") {
+    // counts ⋈ quantiles joins two |strata|-row aggregates — it must
+    // resolve to a broadcast join, and the only windows in the plan are
+    // the two-phase sample ranks (registry-wide audit covers the funnel)
+    val plan = finalPlan(SparkEntry.queries("q124_sample_quantiles")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"strata-metadata join degraded to a sort-merge:\n$plan")
+    assert(countOf(plan, "BroadcastHashJoin") >= 1, plan)
+  }
+
   test("q38 source-overlap: gram meet is the ONLY possible shuffle join") {
     val plan = finalPlan(SparkEntry.queries("q38_source_overlap")(spark, sfDir))
     // matrix skeleton + size lookups are source²-metadata: broadcast
