@@ -3172,7 +3172,51 @@ object PipelineQueries {
     * rotation −1, a cos-0.2 rotation −3) must mine (−2, −1) as its
     * positive, and recall of the mined positives is measured for the
     * probe block against exact in-band brute-force truth. */
-  def q123ContrastiveTriples(s: SparkSession, dir: String): DataFrame = {
+  // ------------------------------------------------------------------ q126
+  /** SemDeDup-style semantic cluster walk over the kNN graph: q119's
+    * edge set thresholded at cos ≥ 0.9, contracted by
+    * [[Dedup.connectedComponents]] (labels converge to the cluster's
+    * MIN id), one row per clustered vector with its label and the
+    * canonical-keep verdict (`is_kept` = the min-id member). The
+    * graph-based variant next to q85's centroid blocking and q54's
+    * MinHash text collapse — cluster-first, so nothing ever pays for
+    * the quadratic pair list. Approximate (no oracle): the planted
+    * cos-0.98 pair must share a cluster, and recovery of the 32
+    * planted (probe, cos-0.95 copy) pairs is the measured recall. */
+  def q126SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (corpus, dim) = plantedSimilarityCorpus(s, dir)
+    val edges = Ann.knnGraph(corpus, "vec_id", "embedding", dim,
+        k = 8, numTables = 8)
+      .where(col("cos_sim") >= 0.9 && col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val labels = graft.util.Blocks.lazyCheckpoint(
+      graft.dedup.Dedup.connectedComponents(edges)
+        .select(col("id").as("vec_id"), col("comp").as("cluster_id")))
+    val sizes = broadcast(labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members")))
+    val out = labels.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("is_kept"),
+        col("n_members"))
+    val truth = (0L until 32L).map(i => (i, -100L - i))
+      .toDF("vec_id", "cluster_id")
+    withPlantedAndRecall(out,
+        col("vec_id") === -1L && col("cluster_id") === -2L,
+        truth, Seq("vec_id", "cluster_id"), floor = 0.5)
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  /** Shared corpus assembly for q123/q126: the embeddings plus a
+    * deterministic planted triple (anchor −2, a cos-0.98 rotation −1,
+    * a cos-0.2 rotation −3) and a cos-0.95 rotated copy of every probe
+    * vector (ids −100−i) — the corpus embeddings are near-random (max
+    * natural cos ≈ 0.5), so in-band similar pairs must be PLANTED for
+    * either query to have anything real to find. The pool is built
+    * DISTRIBUTED with higher-order array functions — 32 rows of
+    * interpreted work, never the corpus. Returns (corpus, dim). */
+  private def plantedSimilarityCorpus(
+      s: SparkSession, dir: String): (DataFrame, Int) = {
     import s.implicits._
     val e = embSpread(s, dir)
     val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
@@ -3190,10 +3234,6 @@ object PipelineQueries {
       (-2L, vh.map(_.toFloat)),
       (-1L, mix(0.98, math.sqrt(1 - 0.98 * 0.98))),
       (-3L, mix(0.2, math.sqrt(1 - 0.04)))).toDF("vec_id", "embedding")
-    // the corpus embeddings are near-random (max natural cos ≈ 0.5), so
-    // the in-band positives are PLANTED: a cos-0.95 rotation of every
-    // probe vector (ids −100−i), built distributed with higher-order
-    // array functions — 32 rows of interpreted work, never the corpus
     val pool = e.where(col("vec_id") < 32)
       .select((lit(-100L) - col("vec_id")).as("vec_id"),
         col("embedding").as("v"))
@@ -3209,8 +3249,12 @@ object PipelineQueries {
       .select(col("vec_id"), expr(
         "transform(zip_with(vh, wp, (a, b) -> 0.95 * a + 0.3122499 * b / wn), x -> CAST(x AS FLOAT))")
         .as("embedding"))
-    val corpus = e.select(col("vec_id"), col("embedding"))
-      .unionByName(planted).unionByName(pool)
+    (e.select(col("vec_id"), col("embedding"))
+      .unionByName(planted).unionByName(pool), dim)
+  }
+
+  def q123ContrastiveTriples(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, dim) = plantedSimilarityCorpus(s, dir)
     val mined = Ann.contrastiveTriples(corpus, "vec_id", "embedding", dim,
       posLo = 0.8, posHi = 0.999, negHi = 0.5, k = 32, numTables = 8)
     val truth = Ann.bruteForceTopK(
