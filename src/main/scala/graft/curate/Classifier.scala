@@ -261,4 +261,83 @@ object Classifier {
       .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Distributed full-batch LOGISTIC regression over hashed binary
+    * unigram features — the discriminative sibling of the NB model
+    * (the shape a trained quality/langid filter actually ships as):
+    * B+1 integer micro-nat weights, gradient-descent trained for a
+    * fixed round count with a DRIVER-HELD model (the q108-BPE /
+    * q36-k-means iterative pattern: per round, one broadcast of B
+    * weights out, one B-row integer gradient back — never a
+    * corpus-sized driver transfer).
+    *
+    * Engine-exact iterative training — the part plain MLlib cannot
+    * give: double gradient SUMS are aggregation-order-dependent, so
+    * the same data can train different models run to run. Here the
+    * per-document residual `y − σ(s)` is computed in double and
+    * rounded ONCE to integer micro (σ's ≤ 1 ulp libm variance absorbed
+    * by the rounding, the one float op per doc per round), and the
+    * gradient is then a BIGINT sum of those integers — identical under
+    * every partitioning, so round-r weights (and the whole trained
+    * model) hash-match a DuckDB re-derivation of the same rounds. The
+    * weight update floors (`Math.floorDiv`, = SQL `//` on the negative
+    * quotients gradients produce).
+    *
+    * Scale shape: the presence table (doc, bucket) is the corpus-scale
+    * stream, aggregated per doc before anything joins it; per round the
+    * score join probes a BROADCAST B-row weight table and the gradient
+    * partial-aggregates on bucket id. Binary features bound |s| by
+    * B · max|w| (no count blow-up). Docs without tokens are excluded
+    * from training (no features, the q34 contract).
+    *
+    * @return the trained dense weight table: (b, w_micro) with
+    *         b = −1 the bias row, `rounds` gradient steps applied,
+    *         deterministic and oracle-checkable. */
+  def logisticRegression(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: Column,
+      buckets: Int = 256,
+      rounds: Int = 2,
+      lrPpm: Long = 1000000L): DataFrame = {
+    require(buckets >= 2 && rounds >= 1 && lrPpm > 0,
+      s"bad hyperparameters: buckets=$buckets rounds=$rounds lrPpm=$lrPpm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lab = graft.util.Blocks.lazyCheckpoint(
+      docs.where(hasToken(col(textCol)))
+        .select(col(idCol).as("id"), labelCol.cast("int").as("y")))
+    val feat = graft.util.Blocks.lazyCheckpoint(
+      docs.select(col(idCol).as("id"),
+          explode(graft.text.WordGrams.tokens(col(textCol))).as("tok"))
+        .where(length(col("tok")) > 0)
+        .select(col("id"), Importance.tokenBucket(col("tok"), buckets).as("b"))
+        .distinct())
+    val n = lab.count()
+    require(n > 0, "no evidence-bearing documents to train on")
+    val w = Array.fill(buckets)(0L)
+    var w0 = 0L
+    for (_ <- 1 to rounds) {
+      val wDf = broadcast(
+        w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) }
+          .toDF("b", "w_micro"))
+      val sw = feat.join(wDf, "b")
+        .groupBy(col("id")).agg(sum(col("w_micro")).as("sw"))
+      val resid = lab.join(sw, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(1e6) * (col("y") - lit(1.0) / (lit(1.0)
+            + exp(-(lit(w0) + coalesce(col("sw"), lit(0L))).cast("double")
+              / lit(1e6))))).cast("long").as("r"))
+      val g = resid.join(feat, "id")
+        .groupBy(col("b")).agg(sum(col("r")).as("g"))
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val g0 = resid.agg(sum(col("r"))).head().getLong(0)
+      for (b <- 0 until buckets)
+        w(b) += Math.floorDiv(lrPpm * g.getOrElse(b.toLong, 0L), 1000000L * n)
+      w0 += Math.floorDiv(lrPpm * g0, 1000000L * n)
+    }
+    ((-1L, w0) +: w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) })
+      .toDF("b", "w_micro")
+  }
 }

@@ -3172,6 +3172,58 @@ object PipelineQueries {
     * rotation −1, a cos-0.2 rotation −3) must mine (−2, −1) as its
     * positive, and recall of the mined positives is measured for the
     * probe block against exact in-band brute-force truth. */
+  // ------------------------------------------------------------------ q127
+  /** Deterministic distributed logistic regression
+    * ([[graft.curate.Classifier.logisticRegression]]): an is-English
+    * classifier over hashed binary unigram features, 2 full-batch
+    * gradient rounds with integer micro-nat residuals — iterative ML
+    * whose trained weights hash-match a DuckDB re-derivation of the
+    * same rounds (double gradient sums would be aggregation-order-
+    * dependent; per-doc single rounding + BIGINT sums are not). */
+  def q127LogregLangid(s: SparkSession, dir: String): DataFrame =
+    graft.curate.Classifier.logisticRegression(
+        docsSpread(s, dir), "doc_id", "text", col("lang") === "en",
+        buckets = 256, rounds = 2, lrPpm = 1000000L)
+      .orderBy(col("b"))
+
+  val q127Oracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |feat AS (SELECT DISTINCT doc_id,
+      |    CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 256 AS BIGINT) AS b
+      |  FROM toks WHERE tok <> ''),
+      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE doc_id IN (SELECT doc_id FROM feat)),
+      |n AS (SELECT count(*) AS n FROM lab),
+      |r1 AS (SELECT doc_id, CAST(1000000 * y - 500000 AS BIGINT) AS r FROM lab),
+      |g1 AS (SELECT b, CAST(sum(r) AS BIGINT) AS g FROM r1
+      |  JOIN feat USING (doc_id) GROUP BY b),
+      |g10 AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM r1),
+      |spine AS (SELECT unnest(generate_series(0, 255)) AS b),
+      |w1 AS (SELECT s.b,
+      |    CAST((1000000 * COALESCE(g1.g, 0)) // (1000000 * n.n) AS BIGINT) AS w
+      |  FROM spine s LEFT JOIN g1 ON s.b = g1.b, n),
+      |w10 AS (SELECT CAST((1000000 * g) // (1000000 * n.n) AS BIGINT) AS w
+      |  FROM g10, n),
+      |sw2 AS (SELECT feat.doc_id, CAST(sum(w1.w) AS BIGINT) AS sw
+      |  FROM feat JOIN w1 ON feat.b = w1.b GROUP BY feat.doc_id),
+      |r2 AS (SELECT lab.doc_id, CAST(round(1000000 * (lab.y
+      |    - 1 / (1 + exp(-((w10.w + COALESCE(sw2.sw, 0)) / 1000000.0)))))
+      |    AS BIGINT) AS r
+      |  FROM lab LEFT JOIN sw2 USING (doc_id), w10),
+      |g2 AS (SELECT b, CAST(sum(r) AS BIGINT) AS g FROM r2
+      |  JOIN feat USING (doc_id) GROUP BY b),
+      |g20 AS (SELECT CAST(sum(r) AS BIGINT) AS g FROM r2),
+      |w2 AS (SELECT s.b, CAST(w1.w
+      |    + (1000000 * COALESCE(g2.g, 0)) // (1000000 * n.n) AS BIGINT) AS w_micro
+      |  FROM spine s JOIN w1 ON s.b = w1.b LEFT JOIN g2 ON s.b = g2.b, n),
+      |w20 AS (SELECT CAST(w10.w + (1000000 * g20.g) // (1000000 * n.n)
+      |    AS BIGINT) AS w_micro FROM w10, g20, n)
+      |SELECT CAST(-1 AS BIGINT) AS b, w_micro FROM w20
+      |UNION ALL SELECT b, w_micro FROM w2
+      |ORDER BY b""".stripMargin
+
   // ------------------------------------------------------------------ q126
   /** SemDeDup-style semantic cluster walk over the kNN graph: q119's
     * edge set thresholded at cos ≥ 0.9, contracted by

@@ -106,4 +106,52 @@ class ClassifierSpec extends SparkSpec {
       "source", model, 64).collect().toSet
     assert(a == b)
   }
+
+  test("logisticRegression separates a planted vocabulary; bias row present") {
+    val lr = Seq.tabulate(40) { i =>
+      if (i % 2 == 0) (i.toLong, 1, s"shiny great excellent prose item$i")
+      else (i.toLong, 0, s"junk spam garbage noise item$i")
+    }.toDF("doc_id", "y", "text")
+    val w = Classifier.logisticRegression(lr, "doc_id", "text", col("y"),
+        buckets = 64, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size === 65 && w.contains(-1L))
+    def bucketOf(tok: String): Long = spark.sql(
+      s"SELECT CAST(conv(substring(md5('$tok'), 1, 8), 16, 10) AS BIGINT) % 64")
+      .head().getLong(0)
+    // positive-class tokens train positive weights, negative negative
+    for (t <- Seq("shiny", "great", "excellent"))
+      assert(w(bucketOf(t)) > 0L, s"'$t' weight ${w(bucketOf(t))}")
+    for (t <- Seq("junk", "spam", "garbage"))
+      assert(w(bucketOf(t)) < 0L, s"'$t' weight ${w(bucketOf(t))}")
+  }
+
+  test("logisticRegression training is partition-independent (integer gradients)") {
+    val lr = Seq.tabulate(30) { i =>
+      (i.toLong, i % 2, s"token$i alpha beta ${if (i % 2 == 0) "pos" else "neg"}")
+    }.toDF("doc_id", "y", "text")
+    val a = Classifier.logisticRegression(lr, "doc_id", "text", col("y"),
+      buckets = 32, rounds = 3).collect().toSet
+    val b = Classifier.logisticRegression(lr.repartition(7), "doc_id", "text",
+      col("y"), buckets = 32, rounds = 3).collect().toSet
+    assert(a === b)
+  }
+
+  test("logisticRegression round-1 weights from zero init are closed-form") {
+    // w = 0 -> sigma = 0.5 exactly -> resid = +-500000; w1[b] =
+    // floorDiv(500000 * (n_pos_b - n_neg_b), n)
+    // buckets mod 16: up=12, down=10, left=14, north=7 — no collisions
+    val lr = Seq(
+      (1L, 1, "up left"), (2L, 1, "up north"), (3L, 0, "down left")
+    ).toDF("doc_id", "y", "text")
+    val w = Classifier.logisticRegression(lr, "doc_id", "text", col("y"),
+        buckets = 16, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucketOf(tok: String): Long = spark.sql(
+      s"SELECT CAST(conv(substring(md5('$tok'), 1, 8), 16, 10) AS BIGINT) % 16")
+      .head().getLong(0)
+    assert(w(bucketOf("up")) === Math.floorDiv(500000L * 2, 3))
+    assert(w(bucketOf("down")) === Math.floorDiv(-500000L, 3))
+    assert(w(-1L) === Math.floorDiv(500000L * (2 - 1), 3))
+  }
 }
