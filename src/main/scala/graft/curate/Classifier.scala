@@ -340,4 +340,43 @@ object Classifier {
     ((-1L, w0) +: w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) })
       .toDF("b", "w_micro")
   }
+
+  /** Apply a [[logisticRegression]]-trained weight table to a corpus —
+    * the serving path of the quality/langid filter: per document the
+    * integer score `s = bias + Σ w[b present]`, the probability
+    * `p_ppm = round(1e6·σ(s))` (ONE rounding, the same contract as
+    * training), and the keep verdict at p ≥ 0.5 ⇔ s ≥ 0 (decided on
+    * the INTEGER score, so the verdict never hinges on a float).
+    * Documents without tokens score on the bias alone — a filter must
+    * pass verdict on every row it is shown (unlike training, where a
+    * featureless doc carries no gradient).
+    *
+    * Scale shape: the weight table is B+1 rows broadcast; the presence
+    * stream aggregates per doc before the verdict projection. */
+  def logisticScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    val bias = weights.where(col("b") === -1L)
+      .select(col("w_micro").as("bias_micro"))
+    val feat = docs
+      .select(col(idCol),
+        explode(graft.text.WordGrams.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col(idCol), Importance.tokenBucket(col("tok"), buckets).as("b"))
+      .distinct()
+    val sw = feat.join(broadcast(weights.where(col("b") >= 0L)), "b")
+      .groupBy(col(idCol)).agg(sum(col("w_micro")).as("sw"))
+    docs.select(col(idCol))
+      .join(sw, Seq(idCol), "left")
+      .crossJoin(broadcast(bias))
+      .select(col(idCol),
+        (col("bias_micro") + coalesce(col("sw"), lit(0L))).as("s_micro"))
+      .withColumn("p_ppm",
+        round(lit(1e6) * (lit(1.0) / (lit(1.0)
+          + exp(-col("s_micro").cast("double") / lit(1e6))))).cast("long"))
+      .withColumn("keep", col("s_micro") >= 0L)
+  }
 }

@@ -3224,6 +3224,34 @@ object PipelineQueries {
       |UNION ALL SELECT b, w_micro FROM w2
       |ORDER BY b""".stripMargin
 
+  // ------------------------------------------------------------------ q128
+  /** The q127 filter APPLIED ([[graft.curate.Classifier.logisticScore]]):
+    * every document scored by the trained is-English weights —
+    * integer score, once-rounded p_ppm, keep verdict decided on the
+    * INTEGER score — the serving half of the train→filter pair. */
+  def q128LogregFilter(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.curate.Classifier.logisticRegression(
+      docsSpread(s, dir), "doc_id", "text", col("lang") === "en",
+      buckets = 256, rounds = 2, lrPpm = 1000000L)
+    graft.curate.Classifier.logisticScore(
+        Tables.documents(s, dir), "doc_id", "text", w, buckets = 256)
+      .orderBy(col("doc_id"))
+  }
+
+  val q128Oracle: String = q127Oracle.replace(
+    """SELECT CAST(-1 AS BIGINT) AS b, w_micro FROM w20
+      |UNION ALL SELECT b, w_micro FROM w2
+      |ORDER BY b""".stripMargin,
+    """, sw3 AS (SELECT feat.doc_id, CAST(sum(w2.w_micro) AS BIGINT) AS sw
+      |  FROM feat JOIN w2 ON feat.b = w2.b GROUP BY feat.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(w20.w_micro + COALESCE(sw3.sw, 0) AS BIGINT) AS s_micro,
+      |  CAST(round(1000000 * (1 / (1 + exp(-((w20.w_micro + COALESCE(sw3.sw, 0))
+      |    / 1000000.0))))) AS BIGINT) AS p_ppm,
+      |  (w20.w_micro + COALESCE(sw3.sw, 0)) >= 0 AS keep
+      |FROM documents d LEFT JOIN sw3 USING (doc_id), w20
+      |ORDER BY d.doc_id""".stripMargin)
+
   // ------------------------------------------------------------------ q126
   /** SemDeDup-style semantic cluster walk over the kNN graph: q119's
     * edge set thresholded at cos ≥ 0.9, contracted by

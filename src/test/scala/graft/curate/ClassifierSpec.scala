@@ -137,6 +137,30 @@ class ClassifierSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("logisticScore: verdict rides the integer score; featureless docs score bias") {
+    val lr = Seq.tabulate(40) { i =>
+      if (i % 2 == 0) (i.toLong, 1, s"shiny great excellent prose item$i")
+      else (i.toLong, 0, s"junk spam garbage noise item$i")
+    }.toDF("doc_id", "y", "text")
+    val w = Classifier.logisticRegression(lr, "doc_id", "text", col("y"),
+      buckets = 64, rounds = 2)
+    val toScore = lr.select(col("doc_id"), col("text"))
+      .unionByName(Seq((999L, "   ")).toDF("doc_id", "text"))
+    val got = Classifier.logisticScore(toScore, "doc_id", "text", w, 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // the training rows separate: positives keep, negatives drop
+    for (i <- 0 until 40) {
+      val keep = got(i.toLong)._3
+      assert(keep === (i % 2 == 0), s"doc $i keep=$keep")
+      assert(got(i.toLong)._3 === (got(i.toLong)._1 >= 0L),
+        "verdict must equal the integer-score sign")
+    }
+    // the blank doc scores exactly the bias
+    val bias = w.where(col("b") === -1L).head().getLong(1)
+    assert(got(999L)._1 === bias)
+  }
+
   test("logisticRegression round-1 weights from zero init are closed-form") {
     // w = 0 -> sigma = 0.5 exactly -> resid = +-500000; w1[b] =
     // floorDiv(500000 * (n_pos_b - n_neg_b), n)
