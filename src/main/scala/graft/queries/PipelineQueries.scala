@@ -3252,6 +3252,68 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN sw3 USING (doc_id), w20
       |ORDER BY d.doc_id""".stripMargin)
 
+  // ------------------------------------------------------------------ q129
+  /** The END-TO-END training-data pipeline as ONE hash-gated query:
+    * LR quality filter (q127's trained weights, integer keep verdict)
+    * → exact text dedup (min doc_id per md5) → per-source token budget
+    * (1 500 tokens each, deterministic hash order) → the q109 shard
+    * manifest over the survivors. Every stage is an already-verified
+    * library operator; the point of the composition is that the WHOLE
+    * pipeline — including the trained model inside it — stays
+    * engine-deterministic, so one DuckDB re-derivation hash-checks the
+    * final manifest a training run would consume. */
+  def q129PipelineManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val w = graft.curate.Classifier.logisticRegression(
+      docsSpread(s, dir), "doc_id", "text", col("lang") === "en",
+      buckets = 256, rounds = 2, lrPpm = 1000000L)
+    val kept = graft.curate.Classifier.logisticScore(
+        docs, "doc_id", "text", w, buckets = 256)
+      .where(col("keep")).select(col("doc_id"))
+    val corpus = docs.join(kept, "doc_id")
+    val keepIds = corpus.groupBy(md5(col("text")).as("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = corpus.join(keepIds, "doc_id")
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    val budgets = deduped.select(col("source")).distinct()
+      .collect().map(_.getString(0) -> 1500L).toMap
+    val selected = graft.curate.Curation.tokenBudget(
+      deduped, "doc_id", "source", "n_tokens", budgets)
+    graft.curate.Curation.shardManifest(
+        selected, "doc_id", "text", "n_tokens", shards = 8, epoch = 1)
+      .orderBy(col("shard"))
+  }
+
+  val q129Oracle: String = q127Oracle.replace(
+    """SELECT CAST(-1 AS BIGINT) AS b, w_micro FROM w20
+      |UNION ALL SELECT b, w_micro FROM w2
+      |ORDER BY b""".stripMargin,
+    """, sw3 AS (SELECT feat.doc_id, CAST(sum(w2.w_micro) AS BIGINT) AS sw
+      |  FROM feat JOIN w2 ON feat.b = w2.b GROUP BY feat.doc_id),
+      |kept AS (SELECT d.doc_id, d.source, d.text
+      |  FROM documents d LEFT JOIN sw3 USING (doc_id), w20
+      |  WHERE w20.w_micro + COALESCE(sw3.sw, 0) >= 0),
+      |dd AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+      |ded AS (SELECT k.doc_id, k.source, k.text,
+      |    CAST(len(regexp_extract_all(k.text, '[^ \t\n\r]+')) AS BIGINT) AS n_tokens,
+      |    md5(k.doc_id::VARCHAR || 'graft') AS hk
+      |  FROM kept k JOIN dd USING (doc_id)),
+      |run AS (SELECT doc_id, source, text, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id) AS running
+      |  FROM ded),
+      |sel AS (SELECT doc_id, text, n_tokens,
+      |    CAST(CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft-epoch-1'), 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard,
+      |    CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || md5(text)), 1, 15)) AS BIGINT) AS fp
+      |  FROM run WHERE running <= 1500)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  bit_xor(fp) AS content_fp,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM sel GROUP BY shard ORDER BY shard""".stripMargin)
+
   // ------------------------------------------------------------------ q126
   /** SemDeDup-style semantic cluster walk over the kNN graph: q119's
     * edge set thresholded at cos ≥ 0.9, contracted by
