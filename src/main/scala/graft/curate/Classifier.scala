@@ -333,12 +333,27 @@ object Classifier {
         .groupBy(col("b")).agg(sum(col("r")).as("g"))
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
       val g0 = resid.agg(sum(col("r"))).head().getLong(0)
+      // |g| reaches 1e6·n, so lrPpm·g overflows Long once n exceeds
+      // ~1e7 docs at the default lrPpm. The update is B+1 driver-side
+      // values per round — do it in BigInt (flooring like floorDiv /
+      // SQL //), cost-free and exact at any corpus size.
       for (b <- 0 until buckets)
-        w(b) += Math.floorDiv(lrPpm * g.getOrElse(b.toLong, 0L), 1000000L * n)
-      w0 += Math.floorDiv(lrPpm * g0, 1000000L * n)
+        w(b) += floorDivBig(BigInt(lrPpm) * BigInt(g.getOrElse(b.toLong, 0L)),
+          BigInt(1000000L) * n)
+      w0 += floorDivBig(BigInt(lrPpm) * g0, BigInt(1000000L) * n)
     }
     ((-1L, w0) +: w.toSeq.zipWithIndex.map { case (wv, b) => (b.toLong, wv) })
       .toDF("b", "w_micro")
+  }
+
+  /** Floored division on BigInt (the `Math.floorDiv` / SQL `//`
+    * contract; BigInt `/` truncates toward zero). Result must fit a
+    * Long — true by construction for the weight update, whose quotient
+    * is bounded by lrPpm. */
+  private def floorDivBig(a: BigInt, b: BigInt): Long = {
+    val q = a / b
+    val r = a % b
+    (if (r.signum != 0 && (r.signum != b.signum)) q - 1 else q).toLong
   }
 
   /** Apply a [[logisticRegression]]-trained weight table to a corpus —
@@ -359,8 +374,14 @@ object Classifier {
       textCol: String,
       weights: DataFrame,
       buckets: Int = 256): DataFrame = {
-    val bias = weights.where(col("b") === -1L)
-      .select(col("w_micro").as("bias_micro"))
+    // The model table is B+1 rows by contract — read the bias row
+    // eagerly and FAIL LOUDLY on a malformed model: a silently empty
+    // bias frame would otherwise drop every document via the join.
+    val biasRows = weights.where(col("b") === -1L)
+      .select(col("w_micro")).collect()
+    require(biasRows.length == 1,
+      s"weight table must contain exactly one bias row (b = -1); found ${biasRows.length}")
+    val biasMicro = biasRows(0).getLong(0)
     val feat = docs
       .select(col(idCol),
         explode(graft.text.WordGrams.tokens(col(textCol))).as("tok"))
@@ -371,9 +392,8 @@ object Classifier {
       .groupBy(col(idCol)).agg(sum(col("w_micro")).as("sw"))
     docs.select(col(idCol))
       .join(sw, Seq(idCol), "left")
-      .crossJoin(broadcast(bias))
       .select(col(idCol),
-        (col("bias_micro") + coalesce(col("sw"), lit(0L))).as("s_micro"))
+        (lit(biasMicro) + coalesce(col("sw"), lit(0L))).as("s_micro"))
       .withColumn("p_ppm",
         round(lit(1e6) * (lit(1.0) / (lit(1.0)
           + exp(-col("s_micro").cast("double") / lit(1e6))))).cast("long"))

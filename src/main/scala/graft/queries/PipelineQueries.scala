@@ -2742,7 +2742,7 @@ object PipelineQueries {
       |      x -> len(x) > 0)) AS BIGINT) AS dl
       |  FROM documents),
       |st AS (SELECT count(*) AS n_docs,
-      |    CAST((100 * sum(dl)) // count(*) AS BIGINT) AS ac FROM dl),
+      |    CAST(least((100 * sum(dl)) // count(*), 4000000) AS BIGINT) AS ac FROM dl),
       |idf AS (SELECT token, df, st.ac,
       |    CAST(round(1e6 * ln(1 + (st.n_docs - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_micro
       |  FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), st)""".stripMargin
@@ -2755,8 +2755,8 @@ object PipelineQueries {
        |    FROM tf JOIN idf USING (token) WHERE tf.doc_id < $maxProbe)
        |  WHERE tr <= $nTerms),
        |sc AS (SELECT qt.query_id, tf.doc_id,
-       |    CAST(sum((qt.idf_micro * ((1000000 * 22 * tf.tf * qt.ac)
-       |        // (10 * tf.tf * qt.ac + 3 * qt.ac + 900 * dl.dl))) // 1000000)
+       |    CAST(sum((qt.idf_micro * ((1000000 * 22 * least(tf.tf, 100000) * qt.ac)
+       |        // (10 * least(tf.tf, 100000) * qt.ac + 3 * qt.ac + 900 * dl.dl))) // 1000000)
        |      AS BIGINT) AS bm25_micro
        |  FROM tf JOIN qt USING (token) JOIN dl ON tf.doc_id = dl.doc_id
        |  WHERE tf.doc_id != qt.query_id

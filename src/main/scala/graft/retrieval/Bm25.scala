@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *
   *   - `idf_micro`  = round(1e6 · idf) on the VOCABULARY-sized df table
   *   - `ac`         = (100 · total_tokens) div N  (avg doc length in
-  *                    centi-tokens, one row)
+  *                    centi-tokens, one row), clamped at 4e6
   *   - `tfnorm_micro` = (1e6 · 22·tf·ac) div (10·tf·ac + 3·ac + 900·dl)
+  *     with tf clamped at 1e5 — both clamps sit deep in BM25's
+  *     saturation region and exist so the BIGINT intermediates can
+  *     never wrap on pathological inputs (multi-million-token
+  *     repeated-word docs); both engines apply the identical clamp
   *     — exactly 1e6 · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
   *     k1 = 12/10, b = 3/4 cleared to integers (all terms positive, so
   *     Spark's truncating `div` and DuckDB's flooring `//` agree)
@@ -31,9 +35,12 @@ import org.apache.spark.sql.functions._
   *     inverted-index probe, never a corpus scan): tf joins the
   *     broadcast term table, so no corpus-side shuffle materializes
   *     candidates.
-  *   - Candidate scoring joins the SLIM candidate set back to the
-  *     per-doc length table as a broadcast build side, so the
-  *     corpus-sized dl table is streamed, not shuffled.
+  *   - Candidate scoring joins the candidate set back to the per-doc
+  *     length table with NO forced broadcast: rare-term posting lists
+  *     usually measure broadcast-small (AQE then streams the
+  *     corpus-sized dl side), but "rarest per probe" does not bound
+  *     df, so a forced hint could pin a corpus-scale build side in
+  *     memory — AQE downgrades that case to a shuffle join instead.
   *   - Top-k ranking windows partition by `query_id` — per-query
   *     cardinality, never a dim-cardinality funnel.
   *
@@ -82,10 +89,13 @@ object Bm25 {
 
     // vocabulary-sized: df + the ONE rounding of idf to integer micro-nats
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // ac saturates at 4e6 (avgdl 40k tokens) so the tfnorm numerator
+    // 22e6·tf·ac stays inside BIGINT with the tf clamp below — BM25's
+    // length normalization is insensitive this deep into the tail.
     val stats = broadcast(dl.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
       .select(col("n_docs"),
-        expr("(100 * total_tokens) div n_docs").as("ac")))
+        expr("least((100 * total_tokens) div n_docs, 4000000)").as("ac")))
     val idf = dfreq.crossJoin(stats)
       .select(col("token"), col("df"), col("ac"),
         round(lit(1e6) * log(lit(1.0)
@@ -108,11 +118,17 @@ object Bm25 {
     val cands = tf.join(qterms, "token")
       .where(col("doc_id") =!= col("query_id"))
 
-    // candidate scoring: slim candidate set broadcast against the
-    // corpus-sized per-doc length table (dl streams, never shuffles)
-    val scored = dl.join(broadcast(cands), "doc_id")
+    // candidate scoring: the candidate set is posting lists of the
+    // probes' rarest terms — usually slim, but "rarest per probe" does
+    // not BOUND df (a probe of only high-df tokens yields corpus-scale
+    // lists), so no broadcast hint here: AQE broadcasts when the built
+    // side measures small and falls back to a shuffle join when not.
+    // tf clamps at 1e5 (tfnorm is saturated ~22e5 long before that) so
+    // 22e6·tf·ac ≤ 8.8e18 never wraps BIGINT on pathological docs.
+    val scored = dl.join(cands, "doc_id")
       .withColumn("tfnorm_micro",
-        expr("(1000000 * 22 * tf * ac) div (10 * tf * ac + 3 * ac + 900 * dl)"))
+        expr("(1000000 * 22 * least(tf, 100000) * ac) " +
+          "div (10 * least(tf, 100000) * ac + 3 * ac + 900 * dl)"))
       .withColumn("w_micro", expr("(idf_micro * tfnorm_micro) div 1000000"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_micro")).as("bm25_micro"))

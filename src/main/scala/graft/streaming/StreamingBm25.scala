@@ -126,7 +126,8 @@ object StreamingBm25 {
     val totals = broadcast(IncrementalPipeline.readLatestDim(
         spark, s"$store/totals", emptyTotals(spark))
       .select(col("n_docs"),
-        expr("(100 * total_tokens) div n_docs").as("ac")))
+        // same saturation clamp as the batch tier (Bm25.moreLikeThis)
+        expr("least((100 * total_tokens) div n_docs, 4000000)").as("ac")))
     val idf = stats.crossJoin(totals)
       .select(col("token"), col("df"), col("ac"),
         round(lit(1e6) * log(lit(1.0)
@@ -152,7 +153,8 @@ object StreamingBm25 {
     val scored = postings.join(qterms, "token")
       .where(col("doc_id") =!= col("query_id"))
       .withColumn("tfnorm_micro",
-        expr("(1000000 * 22 * tf * ac) div (10 * tf * ac + 3 * ac + 900 * dl)"))
+        expr("(1000000 * 22 * least(tf, 100000) * ac) " +
+          "div (10 * least(tf, 100000) * ac + 3 * ac + 900 * dl)"))
       .withColumn("w_micro", expr("(idf_micro * tfnorm_micro) div 1000000"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_micro")).as("bm25_micro"))

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * ranges, so Spark (Java regex) and DuckDB (RE2) agree literally and
   * the rollup is hash-exact. One narrow codegen'd projection per doc —
   * no shuffle until the (source, script)-sized rollup.
+  *
+  * Non-BMP input: Spark's `length()` counts CODEPOINTS (it is
+  * `UTF8String.numChars`, which walks UTF-8 lead bytes — NOT UTF-16
+  * code units), the same contract as a codepoint-native engine's
+  * `length()`, so a supplementary-plane character (emoji, CJK ext-B)
+  * lands in `other_cp` as exactly one codepoint in both engines — no
+  * BMP-only precondition (ScriptMixSpec proves it on astral input).
   */
 object ScriptMix {
 

@@ -161,6 +161,15 @@ class ClassifierSpec extends SparkSpec {
     assert(got(999L)._1 === bias)
   }
 
+  test("logisticScore fails loudly on a model without a bias row") {
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    val noBias = Seq((0L, 5L), (1L, -3L)).toDF("b", "w_micro")
+    val e = intercept[IllegalArgumentException] {
+      Classifier.logisticScore(docs, "doc_id", "text", noBias, 64)
+    }
+    assert(e.getMessage.contains("bias row"))
+  }
+
   test("logisticRegression round-1 weights from zero init are closed-form") {
     // w = 0 -> sigma = 0.5 exactly -> resid = +-500000; w1[b] =
     // floorDiv(500000 * (n_pos_b - n_neg_b), n)

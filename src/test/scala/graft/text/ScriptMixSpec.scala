@@ -27,6 +27,21 @@ class ScriptMixSpec extends SparkSpec {
     assert(p(4L).getAs[String]("dominant") == "none")
   }
 
+  test("non-BMP codepoints count once into other_cp (not twice as UTF-16 units)") {
+    // U+1F600 GRINNING FACE is 2 UTF-16 units; a codepoint-native
+    // engine counts 1 — other_cp must agree with the codepoint count.
+    val docs = Seq(
+      (0L, "ab😀"),                 // 2 latin + 1 emoji
+      (1L, "😀😁")        // 2 emoji, nothing else
+    ).toDF("doc_id", "text")
+    val p = ScriptMix.profile(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(p(0L).getAs[Long]("latin_cp") == 2)
+    assert(p(0L).getAs[Long]("other_cp") == 1, "one emoji = one codepoint")
+    assert(p(1L).getAs[Long]("other_cp") == 2)
+    assert(p(1L).getAs[String]("dominant") == "none")
+  }
+
   test("latin wins ties by priority; mixed flags only adjacency") {
     val docs = Seq(
       (0L, "ab яж"),     // 2 latin, 2 cyrillic, separated -> not mixed
