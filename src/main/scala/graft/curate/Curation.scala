@@ -349,6 +349,24 @@ object Curation {
       .drop("_budget", "_running")
   }
 
+  /** [[tokenBudget]] with ONE budget applied to EVERY stratum present
+    * in the data — the uniform-quota form a composed pipeline wants
+    * (no driver-side stratum enumeration feeding a constant into the
+    * Map API; the lineage stays fully declarative). Identical
+    * semantics to the Map overload with every present stratum mapped
+    * to `budget`. */
+  def tokenBudget(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    withRunningTokens(df, idCol, stratumCol, tokensCol, salt = "graft")
+      .where(col("_running") <= budget)
+      .drop("_running")
+  }
+
   /** Running per-stratum token total (inclusive of the current row) in
     * deterministic md5-hash order — the two-phase bucket prefix-sum
     * shared by [[tokenBudget]] and [[packSequences]]: rows land in 256

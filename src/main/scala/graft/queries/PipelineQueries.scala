@@ -3278,10 +3278,8 @@ object PipelineQueries {
     val deduped = corpus.join(keepIds, "doc_id")
       .withColumn("n_tokens",
         TextAnalysis.tokenCount(col("text")).cast("long"))
-    val budgets = deduped.select(col("source")).distinct()
-      .collect().map(_.getString(0) -> 1500L).toMap
     val selected = graft.curate.Curation.tokenBudget(
-      deduped, "doc_id", "source", "n_tokens", budgets)
+      deduped, "doc_id", "source", "n_tokens", budget = 1500L)
     graft.curate.Curation.shardManifest(
         selected, "doc_id", "text", "n_tokens", shards = 8, epoch = 1)
       .orderBy(col("shard"))

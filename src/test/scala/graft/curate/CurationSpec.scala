@@ -193,6 +193,18 @@ class CurationSpec extends SparkSpec {
     assert(re === packed.map(r => (r._2, r._4, r._5)).toSet)
   }
 
+  test("uniform tokenBudget overload equals the Map form over all present strata") {
+    val strata = docs.select("lang").distinct()
+      .collect().map(_.getString(0))
+    val viaMap = Curation.tokenBudget(docs, "id", "lang", "toks",
+        strata.map(_ -> 200L).toMap)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val uniform = Curation.tokenBudget(docs, "id", "lang", "toks", 200L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(uniform === viaMap)
+    assert(uniform.nonEmpty)
+  }
+
   test("tokenBudget totals respect each stratum's budget") {
     val budgets = Map("en" -> 300L, "de" -> 150L, "zh" -> 5L)
     val out = Curation.tokenBudget(docs, "id", "lang", "toks", budgets)
