@@ -3320,31 +3320,46 @@ object PipelineQueries {
     * canonical-keep verdict (`is_kept` = the min-id member). The
     * graph-based variant next to q85's centroid blocking and q54's
     * MinHash text collapse — cluster-first, so nothing ever pays for
-    * the quadratic pair list. Approximate (no oracle): the planted
+    * the quadratic pair list. Consumes the SHARED persisted edge
+    * snapshot ([[sharedSimilarityEdges]] / [[graft.sim.KnnEdgeStore]])
+    * at rank ≤ 8 — the edge build is paid once per corpus, not per
+    * consumer. Approximate (no oracle): the planted
     * cos-0.98 pair must share a cluster, and recovery of the 32
     * planted (probe, cos-0.95 copy) pairs is the measured recall. */
   def q126SemanticClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (corpus, dim) = plantedSimilarityCorpus(s, dir)
-    val edges = Ann.knnGraph(corpus, "vec_id", "embedding", dim,
-        k = 8, numTables = 8)
-      .where(col("cos_sim") >= 0.9 && col("query_id") < col("neighbor_id"))
-      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-    val labels = graft.util.Blocks.lazyCheckpoint(
-      graft.dedup.Dedup.connectedComponents(edges)
-        .select(col("id").as("vec_id"), col("comp").as("cluster_id")))
-    val sizes = broadcast(labels.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members")))
-    val out = labels.join(sizes, "cluster_id")
-      .select(col("vec_id"), col("cluster_id"),
-        (col("vec_id") === col("cluster_id")).as("is_kept"),
-        col("n_members"))
+    val out = Ann.clustersFromEdges(
+      sharedSimilarityEdges(s, dir), simThreshold = 0.9, maxRank = 8)
     val truth = (0L until 32L).map(i => (i, -100L - i))
       .toDF("vec_id", "cluster_id")
     withPlantedAndRecall(out,
         col("vec_id") === -1L && col("cluster_id") === -2L,
         truth, Seq("vec_id", "cluster_id"), floor = 0.5)
       .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  /** ONE persisted edge snapshot per sf dir, shared by every kNN-graph
+    * consumer in the suite (q123 triples, q126 cluster walk) — the
+    * [[graft.sim.KnnEdgeStore]] materialize-once tier: at 100× the
+    * ~35 s edge build was previously paid independently by each
+    * consumer. Built at the LARGEST k any consumer needs (32; q126
+    * consumes the rank ≤ 8 subgraph, which is exactly the 8-NN graph
+    * by the deterministic rank order). JVM-scoped memoization: the
+    * snapshot lands in a fresh temp directory per process, so a stale
+    * store can never leak across corpora or sessions. */
+  private val edgeStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sharedSimilarityEdges(
+      s: SparkSession, dir: String): DataFrame = {
+    val store = edgeStores.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-knn-edges-").toString
+      val (corpus, dim) = plantedSimilarityCorpus(s, dir)
+      graft.sim.KnnEdgeStore.buildVersion(corpus, "vec_id", "embedding",
+        dim, k = 32, store = path, version = 1L, numTables = 8)
+      path
+    })
+    graft.sim.KnnEdgeStore.readLatest(s, store)
   }
 
   /** Shared corpus assembly for q123/q126: the embeddings plus a
@@ -3395,8 +3410,8 @@ object PipelineQueries {
 
   def q123ContrastiveTriples(s: SparkSession, dir: String): DataFrame = {
     val (corpus, dim) = plantedSimilarityCorpus(s, dir)
-    val mined = Ann.contrastiveTriples(corpus, "vec_id", "embedding", dim,
-      posLo = 0.8, posHi = 0.999, negHi = 0.5, k = 32, numTables = 8)
+    val mined = Ann.triplesFromEdges(sharedSimilarityEdges(s, dir),
+      posLo = 0.8, posHi = 0.999, negHi = 0.5)
     val truth = Ann.bruteForceTopK(
         corpus.where(col("vec_id").between(0, 31)), corpus,
         "vec_id", "embedding", k = 200)

@@ -325,12 +325,27 @@ object Ann {
       maxBucketSize: Int = 100000,
       numPlanes: Int = 0,
       targetBucketSize: Int = 64): DataFrame = {
-    require(posLo < posHi, s"need posLo < posHi, got [$posLo, $posHi]")
-    require(negHi <= posLo,
-      s"negative band must sit below the positive band, got negHi=$negHi > posLo=$posLo")
     val edges = graft.util.Blocks.lazyCheckpoint(
       knnGraph(df, idCol, vecCol, dim, k, numTables, maxBucketSize,
         numPlanes, targetBucketSize))
+    triplesFromEdges(edges, posLo, posHi, negHi)
+  }
+
+  /** [[contrastiveTriples]] over an ALREADY-MATERIALIZED edge set —
+    * the consumer half, reading a [[KnnEdgeStore]] snapshot (or any
+    * (query_id, neighbor_id, cos_sim) frame) so several graph
+    * consumers share ONE edge build. Selection semantics identical to
+    * [[contrastiveTriples]]: best in-band edge is the positive, best
+    * sub-`negHi` edge the hard negative, both via partial-aggregable
+    * max(struct) — no rank window, edge-set-sized work only. */
+  def triplesFromEdges(
+      edges: DataFrame,
+      posLo: Double,
+      posHi: Double,
+      negHi: Double): DataFrame = {
+    require(posLo < posHi, s"need posLo < posHi, got [$posLo, $posHi]")
+    require(negHi <= posLo,
+      s"negative band must sit below the positive band, got negHi=$negHi > posLo=$posLo")
     def bestIn(cond: Column, outId: String, outCos: String): DataFrame =
       edges.where(cond)
         .groupBy(col("query_id").as("anchor_id"))
@@ -341,6 +356,38 @@ object Ann {
     bestIn(col("cos_sim").between(posLo, posHi), "pos_id", "pos_cos")
       .join(bestIn(col("cos_sim") < negHi, "neg_id", "neg_cos"),
         Seq("anchor_id"))
+  }
+
+  /** SemDeDup-style semantic cluster walk over an already-materialized
+    * edge set ([[KnnEdgeStore]]): edges at `cos_sim ≥ simThreshold`
+    * (and optionally `rank ≤ maxRank`, to consume a k'-NN subgraph of
+    * a larger snapshot) contracted by
+    * [[graft.dedup.Dedup.connectedComponents]] — one row per clustered
+    * vector with its cluster label (the cluster's MIN id), member
+    * count, and the canonical-keep verdict (`is_kept` = the min-id
+    * member). Cluster-first: the quadratic near-dup pair list never
+    * materializes; everything past the threshold filter is edge-set
+    * sized. */
+  def clustersFromEdges(
+      edges: DataFrame,
+      simThreshold: Double,
+      maxRank: Int = Int.MaxValue): DataFrame = {
+    val es = edges
+      .where(col("cos_sim") >= simThreshold && col("rank") <= maxRank
+        && col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val labels = graft.util.Blocks.lazyCheckpoint(
+      graft.dedup.Dedup.connectedComponents(es)
+        .select(col("id").as("vec_id"), col("comp").as("cluster_id")))
+    // no broadcast hint: cluster count is corpus-scale on sparse
+    // graphs (mostly 2-member clusters), so AQE decides — it still
+    // broadcasts when the size table measures small
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("cluster_id")).as("is_kept"),
+        col("n_members"))
   }
 
   /** Exact per-query top-k over a scored candidate frame WITHOUT a
