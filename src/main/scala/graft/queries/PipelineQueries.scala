@@ -3312,6 +3312,102 @@ object PipelineQueries {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM sel GROUP BY shard ORDER BY shard""".stripMargin)
 
+  // ------------------------------------------------------------------ q130
+  /** The FULL pretraining-curation pipeline composed end-to-end —
+    * q129's chain with the two stages a production pipeline adds:
+    *
+    *   Gopher rules (q110) → PII scrub (q45) → LR quality filter
+    *   (q127/q128) → MinHash cluster-collapse near-dedup + canonical
+    *   keep (q54/q99) → exact dedup (q20) → uniform token budget
+    *   (q28) → shard manifest (q109)
+    *
+    * Every stage is an already-verified library operator; the
+    * composition's deterministic stages are hash-gated END-TO-END by
+    * the q129 oracle (same chain minus near-dedup), and the near-dup
+    * stage — approximate by design (MinHash banding is not
+    * SQL-expressible) — is covered by a PLANTED near-dup family: four
+    * long English variants of one document (pairwise char-3-gram
+    * J ≈ 0.9) that must survive the filters and then collapse to
+    * exactly ONE canonical survivor; `planted_ok` rides every output
+    * row (PlantedPairSpec asserts it). No oracle → the driver records rows-only; the
+    * audit column and a spec assertion carry the affirmative signal.
+    *
+    * Scale shape: inherits each stage's verified plan — narrow
+    * filter/scrub projections, the broadcast-model LR pass, the
+    * sub-linear cluster-first collapse (16.2 s at 100× in BENCH_NOTES),
+    * the two-phase budget prefix-sum, and the shard rollup. The only
+    * materialization is the near-dedup input (read by the collapse,
+    * the canonical-keep score, and the survivor assembly). */
+  def q130CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val familyBase = "the quick brown fox jumps over the lazy dog and " +
+      "that is the sentence every keyboard test has to offer because it " +
+      "contains most letters of the alphabet while still reading like " +
+      "plain english prose with common words that any quality filter " +
+      "should be happy to keep around for training data purposes"
+    val planted = (0 until 4).map { i =>
+      (-410L - i, "planted", s"$familyBase variant tail number $i")
+    }.toDF("doc_id", "source", "text")
+    val base = docsSpread(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(planted)
+    // 1. Gopher rules (q110 thresholds — the corpus-calibrated pair)
+    val gophered = graft.text.GopherRules.annotate(base, "text",
+        graft.text.GopherRules.Thresholds(minWords = 5, minStopWords = 1))
+      .where(col("gopher_ok"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // 2. PII scrub — deterministic text rewrite, downstream stages see
+    // the scrubbed text (exactly what a shipped pipeline trains on)
+    val scrubbed = gophered.select(col("doc_id"), col("source"),
+      graft.text.Pii.scrub(col("text")).as("text"))
+    // 3. LR quality filter: q127's trained weights, integer verdict
+    val w = graft.curate.Classifier.logisticRegression(
+      docsSpread(s, dir), "doc_id", "text", col("lang") === "en",
+      buckets = 256, rounds = 2, lrPpm = 1000000L)
+    val keepIds = graft.curate.Classifier.logisticScore(
+        scrubbed, "doc_id", "text", w, buckets = 256)
+      .where(col("keep")).select(col("doc_id"))
+    val filtered = graft.util.Blocks.lazyCheckpoint(
+      scrubbed.join(keepIds, "doc_id"))
+    // 4. near-dedup: q54's cluster-first collapse in the canonical
+    // char-3-gram space, q99's canonical keep (longest canonical text,
+    // ties to the smallest id); unclustered docs pass through
+    val labels = Dedup.nearDupCollapseFromShingles(
+      filtered.select(col("doc_id").as("id"),
+        Dedup.charShinglesFrom(TextAnalysis.canonical(col("text")), 3)
+          .as("sh")),
+      numPerm = 32, bands = 8, threshold = 0.5)
+    val canonical = Dedup.keepCanonical(
+        labels.withColumnRenamed("id", "doc_id"),
+        filtered.select(col("doc_id"),
+          length(TextAnalysis.canonical(col("text"))).cast("long")
+            .as("clen")),
+        "doc_id", "clen")
+      .select(col("keep_id").as("doc_id"))
+    val nearDeduped = graft.util.Blocks.lazyCheckpoint(
+      filtered.join(labels.select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .unionByName(filtered.join(canonical, "doc_id")))
+    // planted audit: the four-variant family must collapse to ONE
+    val audit = nearDeduped.agg(
+      (count(when(col("doc_id").between(-413L, -410L), 1)) === 1)
+        .as("planted_ok"))
+    // 5–7. exact dedup → uniform token budget → shard manifest
+    val exactKeep = nearDeduped
+      .groupBy(md5(col("text")).as("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = nearDeduped.join(exactKeep, "doc_id")
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    val selected = graft.curate.Curation.tokenBudget(
+      deduped, "doc_id", "source", "n_tokens", budget = 1500L)
+    graft.curate.Curation.shardManifest(
+        selected, "doc_id", "text", "n_tokens", shards = 8, epoch = 1)
+      .crossJoin(broadcast(audit))
+      .orderBy(col("shard"))
+  }
+
   // ------------------------------------------------------------------ q126
   /** SemDeDup-style semantic cluster walk over the kNN graph: q119's
     * edge set thresholded at cos ≥ 0.9, contracted by
