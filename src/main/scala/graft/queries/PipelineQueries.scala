@@ -144,6 +144,7 @@ object PipelineQueries {
           .otherwise(col("_rc_m").cast("double") / col("_rc_n")), 6)
         .as("measured_recall"))
       .select(col("measured_recall"),
+        lit(floor).as("recall_floor"),
         (col("measured_recall") >= floor).as("recall_ok"))
     o.crossJoin(broadcast(planted)).crossJoin(broadcast(recall))
   }
