@@ -631,6 +631,106 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     graft.expressions.JaccardSim.jaccardSim(a, b)
 
+  /** EXACT asymmetric CONTAINMENT join: ordered pairs where the
+    * contained side's shingles are (near-)subset of the container's —
+    * `containment(A→B) = |A ∩ B| / |A| ≥ threshold`. The dedup signal
+    * symmetric Jaccard structurally misses: a short document pasted
+    * inside a long boilerplate wrapper has J ≈ |A|/|B| (tiny) but
+    * containment ≈ 1. Emits BOTH directions when both clear the
+    * threshold (near-identical docs contain each other).
+    *
+    * Exact tier (this method): the intersection rides an ids-only
+    * token self-join per block — no array ever crosses the shuffle —
+    * aggregated to ordered-pair counts. All-pairs-complete, gate-scale
+    * by declaration (the q23-family contract); the scale path is
+    * [[containmentJoinPrefix]], which returns the IDENTICAL pair set.
+    *
+    * @param shingled columns: `id`, `blk` (only same-block pairs
+    *                 compared), `sh` (distinct-element token array;
+    *                 empty-`sh` docs can never be a contained side)
+    * @return (contained_id, container_id, n_shared, containment) */
+  def containmentJoin(shingled: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentJoin: threshold must be in (0, 1], got $threshold")
+    val t = shingled.select(col("id"), col("blk"), col("sh"))
+      .withColumn("n", size(col("sh")))
+    val toks = t.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+          col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("contained_id"),
+        col("b.id").as("container_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(t.select(col("id").as("contained_id"), col("n")),
+        "contained_id")
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        col("n_shared"), col("containment"))
+  }
+
+  /** [[containmentJoin]] with LOSSLESS prefix filtering — the scale
+    * tier, value-identical output.
+    *
+    * Why it is exact: order all tokens by a global total order (df
+    * ascending, token ascending — rarest first). A contained side A at
+    * threshold t can miss at most (1−t)·|A| of B's tokens, so among
+    * A's first ⌊(1−t)·|A|⌋+1 tokens in that order AT LEAST ONE must
+    * appear in B — candidates are complete from joining only A's
+    * PREFIX tokens against the full token table (the AllPairs/PPJoin
+    * argument, asymmetric form: only the contained side is prefix-
+    * pruned; the container side cannot be, since any superset
+    * qualifies).
+    *
+    * Scale shape: candidate volume = Σ over A-prefix tokens of their
+    * posting-list length — prefix tokens are each doc's RAREST, so the
+    * posting lists probed are the short ones (the q113 inverted-index
+    * economics); candidates are ids-only and distinct before the one
+    * array-carrying verify join, whose volume is the candidate count,
+    * not the pair space. Verification computes the exact intersection
+    * per candidate pair. */
+  def containmentJoinPrefix(
+      shingled: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentJoinPrefix: threshold must be in (0, 1], got $threshold")
+    val t = graft.util.Blocks.lazyCheckpoint(
+      shingled.select(col("id"), col("blk"), col("sh"))
+        .withColumn("n", size(col("sh"))))
+    val toks = t.select(col("id"), col("blk"), explode(col("sh")).as("s"))
+    val dfreq = toks.groupBy(col("blk"), col("s"))
+      .agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("blk"), col("id"))
+      .orderBy(col("df").asc, col("s").asc)
+    val prefix = toks.join(dfreq, Seq("blk", "s"))
+      .join(t.select(col("id"), col("n")), "id")
+      .withColumn("_r", row_number().over(wOrd))
+      .where(col("_r") <= floor((lit(1.0) - threshold)
+        * col("n").cast("double")).cast("int") + 1)
+      .select(col("id"), col("blk"), col("s"))
+    val cands = prefix.as("a")
+      .join(toks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("contained_id"),
+        col("b.id").as("container_id"))
+      .distinct()
+    cands
+      .join(t.select(col("id").as("contained_id"), col("sh").as("_sa"),
+        col("n")), "contained_id")
+      .join(t.select(col("id").as("container_id"), col("sh").as("_sb")),
+        "container_id")
+      .withColumn("n_shared",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+        col("n_shared"), col("containment"))
+  }
+
   /** EXACT all-pairs Jaccard similarity join — tier dispatcher.
     *
     * Both tiers return precisely the pairs an all-pairs scan would

@@ -3409,6 +3409,62 @@ object PipelineQueries {
       .orderBy(col("shard"))
   }
 
+  // ------------------------------------------------------------------ q131
+  /** Asymmetric CONTAINMENT dedup ([[Dedup.containmentJoinPrefix]]):
+    * ordered (contained, container) pairs at word-3-gram containment
+    * |A∩B|/|A| ≥ 0.8 within a language block — the boilerplate-wrapped
+    * copy signal symmetric Jaccard (q23) structurally misses (a short
+    * article pasted inside a long template has J ≈ |A|/|B| but
+    * containment ≈ 1). Runs the LOSSLESS prefix-filtered tier — the
+    * scale shape (contained-side prefix tokens probe short posting
+    * lists; candidates ids-only) — whose output is value-identical to
+    * the all-pairs scan, so the DuckDB oracle is the plain quadratic
+    * formulation. Planted: a core paragraph (−421) wrapped in site
+    * boilerplate (−420) must surface as contained. */
+  def q131ContainmentDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wrapper = "every page of this site carries the same header " +
+      "navigation footer and legal boilerplate text around the content"
+    val core = "the actual article body discusses shuffle partitioning " +
+      "and broadcast joins in considerable depth with measurements"
+    val planted = Seq(
+      (-420L, "en", s"$wrapper $core $wrapper"),
+      (-421L, "en", core)).toDF("doc_id", "lang", "text")
+    val docs = docsSpread(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(planted)
+    val sh = docs
+      .select(col("doc_id").as("id"), col("lang").as("blk"),
+        Dedup.tokensOf(col("text")).as("toks"))
+      .select(col("id"), col("blk"),
+        Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+    Dedup.containmentJoinPrefix(sh, threshold = 0.8)
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  val q131Oracle: String =
+    """WITH u AS (SELECT doc_id, lang, text FROM documents
+      |  UNION ALL SELECT -420, 'en',
+      |    'every page of this site carries the same header navigation footer and legal boilerplate text around the content the actual article body discusses shuffle partitioning and broadcast joins in considerable depth with measurements every page of this site carries the same header navigation footer and legal boilerplate text around the content'
+      |  UNION ALL SELECT -421, 'en',
+      |    'the actual article body discusses shuffle partitioning and broadcast joins in considerable depth with measurements'),
+      |c AS (SELECT doc_id, lang,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      |  FROM u),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS sh
+      |  FROM c)
+      |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / greatest(len(a.sh), 1), 6) AS containment
+      |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id != b.doc_id
+      |WHERE len(a.sh) > 0
+      |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / greatest(len(a.sh), 1), 6) >= 0.8
+      |ORDER BY contained_id, container_id""".stripMargin
+
   // ------------------------------------------------------------------ q126
   /** SemDeDup-style semantic cluster walk over the kNN graph: q119's
     * edge set thresholded at cos ≥ 0.9, contracted by

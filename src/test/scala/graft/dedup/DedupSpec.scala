@@ -529,4 +529,55 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels === exact)
   }
+
+  private def containmentCorpus = {
+    import spark.implicits._
+    val wrapper = "every page of this site carries the same header " +
+      "navigation footer and boilerplate text around the content"
+    val core = "the actual article body discusses shuffle partitioning " +
+      "and broadcast joins in considerable depth"
+    Seq(
+      (1L, "en", s"$wrapper $core $wrapper"),   // container
+      (2L, "en", core),                          // contained in 1
+      (3L, "en", "a completely different note on garden furniture " +
+        "maintenance and seasonal oiling of hardwood surfaces"),
+      (4L, "de", core),                          // same text, other block
+      (5L, "en", "")                             // empty: never contained
+    ).toDF("id", "blk", "text")
+      .select(col("id"), col("blk"), Dedup.tokensOf(col("text")).as("toks"))
+      .select(col("id"), col("blk"),
+        Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+  }
+
+  test("containmentJoin: wrapped copy surfaces, asymmetric, block-scoped") {
+    val got = Dedup.containmentJoin(containmentCorpus, threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // core (2) is fully contained in the wrapped page (1)...
+    assert(got.exists { case (a, b, c) => a == 2L && b == 1L && c == 1.0 })
+    // ...but NOT the other way round (asymmetry), and never cross-block
+    assert(!got.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
+    assert(!got.exists { case (a, b, _) => a == 3L || b == 3L })
+    assert(!got.exists { case (a, b, _) => a == 5L || b == 5L })
+  }
+
+  test("containmentJoinPrefix output is value-identical to the exact tier") {
+    val exact = Dedup.containmentJoin(containmentCorpus, threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    val prefix = Dedup.containmentJoinPrefix(containmentCorpus,
+        threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(prefix === exact)
+    assert(prefix.nonEmpty)
+    // and at a lower threshold where more pairs qualify (both
+    // directions for near-identical docs)
+    val lo = Dedup.containmentJoin(containmentCorpus, threshold = 0.3)
+      .collect().map(_.toSeq).toSet
+    val loP = Dedup.containmentJoinPrefix(containmentCorpus,
+        threshold = 0.3)
+      .collect().map(_.toSeq).toSet
+    assert(loP === lo)
+    assert(lo.size > prefix.size)
+  }
 }
