@@ -3317,21 +3317,29 @@ object PipelineQueries {
   /** The FULL pretraining-curation pipeline composed end-to-end —
     * q129's chain with the two stages a production pipeline adds:
     *
-    *   Gopher rules (q110) → PII scrub (q45) → LR quality filter
-    *   (q127/q128) → MinHash cluster-collapse near-dedup + canonical
-    *   keep (q54/q99) → exact dedup (q20) → uniform token budget
-    *   (q28) → shard manifest (q109)
+    *   Gopher rules (q110) → PII scrub (q45) → RELATIVE LR quality
+    *   cutoff (q127's model + q124's deterministic sample median —
+    *   keep the top half by p_ppm; q128's absolute sign verdict is
+    *   honest model behavior but keeps NOTHING on the perturbed
+    *   chained corpora, emptying everything downstream) → MinHash
+    *   cluster-collapse near-dedup + canonical keep (q54/q99) →
+    *   exact dedup (q20) → uniform token budget (q28) → shard
+    *   manifest (q109)
     *
     * Every stage is an already-verified library operator; the
     * composition's deterministic stages are hash-gated END-TO-END by
-    * the q129 oracle (same chain minus near-dedup), and the near-dup
-    * stage — approximate by design (MinHash banding is not
-    * SQL-expressible) — is covered by a PLANTED near-dup family: four
-    * long English variants of one document (pairwise char-3-gram
-    * J ≈ 0.9) that must survive the filters and then collapse to
-    * exactly ONE canonical survivor; `planted_ok` rides every output
-    * row (PlantedPairSpec asserts it). No oracle → the driver records rows-only; the
-    * audit column and a spec assertion carry the affirmative signal.
+    * the q129 oracle (the absolute-verdict chain minus near-dedup),
+    * and the near-dup stage — approximate by design (MinHash banding
+    * is not SQL-expressible) — is covered by a PLANTED near-dup
+    * family: four long English variants of one document (pairwise
+    * char-3-gram J ≈ 0.9) injected at the COLLAPSE stage's input — it
+    * audits that stage, so it must reach it at every scale (its
+    * absolute quality score is corpus-dependent; the filters' behavior
+    * on real rows is covered by q110/q45/q127/q128's own gates) — and
+    * must collapse to exactly ONE canonical survivor; `planted_ok`
+    * rides every output row (PlantedPairSpec asserts it). No oracle
+    * → the driver records rows-only; the audit column and a spec
+    * assertion carry the affirmative signal.
     *
     * Scale shape: inherits each stage's verified plan — narrow
     * filter/scrub projections, the broadcast-model LR pass, the
@@ -3351,7 +3359,6 @@ object PipelineQueries {
     }.toDF("doc_id", "source", "text")
     val base = docsSpread(s, dir)
       .select(col("doc_id"), col("source"), col("text"))
-      .unionByName(planted)
     // 1. Gopher rules (q110 thresholds — the corpus-calibrated pair)
     val gophered = graft.text.GopherRules.annotate(base, "text",
         graft.text.GopherRules.Thresholds(minWords = 5, minStopWords = 1))
@@ -3361,22 +3368,42 @@ object PipelineQueries {
     // the scrubbed text (exactly what a shipped pipeline trains on)
     val scrubbed = gophered.select(col("doc_id"), col("source"),
       graft.text.Pii.scrub(col("text")).as("text"))
-    // 3. LR quality filter: q127's trained weights, integer verdict
+    // 3. LR quality filter, RELATIVE form: keep the top half by
+    // integer quality score — the DataComp/FineWeb-style "keep the
+    // best X%" cutoff a production pipeline uses instead of the raw
+    // sign verdict (q128's absolute keep is honest model behavior but
+    // degenerates to keep-nothing on the perturbed chained corpora,
+    // emptying everything downstream). The cutoff is the p50 of the
+    // q124-style deterministic md5-bottom-256 sample of p_ppm —
+    // bounded memory, engine-exact, never degenerate.
     val w = graft.curate.Classifier.logisticRegression(
       docsSpread(s, dir), "doc_id", "text", col("lang") === "en",
       buckets = 256, rounds = 2, lrPpm = 1000000L)
-    val keepIds = graft.curate.Classifier.logisticScore(
-        scrubbed, "doc_id", "text", w, buckets = 256)
-      .where(col("keep")).select(col("doc_id"))
+    val scored = graft.curate.Classifier.logisticScore(
+      scrubbed, "doc_id", "text", w, buckets = 256)
+    val cutoff = graft.curate.Curation.sampleQuantileProfile(
+        scored.withColumn("_g", lit("all")), "doc_id", "_g", "p_ppm",
+        k = 256, loP = 0.5, midP = 0.5, hiP = 0.5, salt = "q130cut")
+      .select(col("p_mid"))
+    val keepIds = scored.crossJoin(broadcast(cutoff))
+      .where(col("p_ppm") >= col("p_mid")).select(col("doc_id"))
+    // the planted near-dup family enters HERE — after the filters,
+    // before near-dedup: it audits the COLLAPSE stage, so it must
+    // reach that stage at every scale (its absolute quality score is
+    // corpus-dependent; the filters' behavior on real rows is already
+    // covered by q110/q45/q127/q128's own gates)
     val filtered = graft.util.Blocks.lazyCheckpoint(
-      scrubbed.join(keepIds, "doc_id"))
-    // 4. near-dedup: q54's cluster-first collapse in the canonical
-    // char-3-gram space, q99's canonical keep (longest canonical text,
-    // ties to the smallest id); unclustered docs pass through
+      scrubbed.join(keepIds, "doc_id").unionByName(planted))
+    // 4. near-dedup: q54's cluster-first collapse in WORD-3-gram
+    // space (char 3-grams weld this small-vocab corpus into one giant
+    // component — word shingles keep the clusters to genuine
+    // near-dups), q99's canonical keep (longest canonical text, ties
+    // to the smallest id); unclustered docs pass through
     val labels = Dedup.nearDupCollapseFromShingles(
       filtered.select(col("doc_id").as("id"),
-        Dedup.charShinglesFrom(TextAnalysis.canonical(col("text")), 3)
-          .as("sh")),
+          Dedup.tokensOf(col("text")).as("toks"))
+        .select(col("id"),
+          Dedup.shinglesFromTokens(col("toks"), 3).as("sh")),
       numPerm = 32, bands = 8, threshold = 0.5)
     val canonical = Dedup.keepCanonical(
         labels.withColumnRenamed("id", "doc_id"),
