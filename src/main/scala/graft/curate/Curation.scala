@@ -349,6 +349,37 @@ object Curation {
       .drop("_budget", "_running")
   }
 
+  /** LEAKAGE-SAFE split assignment: near-duplicate clusters go to
+    * train/val/test ATOMICALLY, so a near-dup of a test document can
+    * never sit in train — the PREVENTION counterpart of the q39
+    * leakage AUDIT (which detects straddling after the fact). The
+    * split is [[assignSplit]]'s engine-portable md5 fraction computed
+    * on the CLUSTER id (the [[graft.dedup.Dedup.connectedComponents]]
+    * label — the cluster's min member id); every member inherits it,
+    * and docs absent from `clusters` are their own singleton cluster.
+    *
+    * The cluster frame is caller-supplied, which IS the scale story:
+    * at gate scale feed the pair-exact q23→CC labels (oracle-checkable
+    * end to end); at corpus scale feed
+    * [[graft.dedup.Dedup.nearDupCollapse]]'s cluster-first labels —
+    * the split logic is label-source-agnostic.
+    *
+    * @param clusters `(id, comp)` cluster assignment; ids must share
+    *                 the type of `df`'s id column */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String = "graft-split"): DataFrame = {
+    val withCluster = df
+      .join(clusters.select(col("id").as(idCol), col("comp")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    assignSplit(withCluster, "cluster_id", splits, salt)
+  }
+
   /** [[tokenBudget]] with ONE budget applied to EVERY stratum present
     * in the data — the uniform-quota form a composed pipeline wants
     * (no driver-side stratum enumeration feeding a constant into the

@@ -3492,6 +3492,75 @@ object PipelineQueries {
       |    / greatest(len(a.sh), 1), 6) >= 0.8
       |ORDER BY contained_id, container_id""".stripMargin
 
+  // ------------------------------------------------------------------ q132
+  /** Leakage-SAFE train/val/test split
+    * ([[graft.curate.Curation.leakageSafeSplit]]): near-dup clusters
+    * (the q23 char-3-gram J ≥ 0.5 space contracted by q26's connected
+    * components) are assigned to splits ATOMICALLY via the
+    * engine-portable md5 fraction of the CLUSTER id — the PREVENTION
+    * counterpart of q39's leakage audit (q39 detects near-dups
+    * straddling a split; this makes straddling impossible by
+    * construction). The planted identical pair (−2/−1) lands in one
+    * cluster and therefore one split — implied by the hash-exact
+    * oracle, which re-derives the clusters with the q26 recursive CTE
+    * and the same split CASE. Exact tier at gate scale; at corpus
+    * scale the caller feeds [[Dedup.nearDupCollapse]]'s cluster-first
+    * labels instead — the split logic is label-source-agnostic. */
+  def q132LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(plantedDocs(s).select(col("doc_id"),
+        lit("en").as("lang"), col("text")))
+    val pairs = Dedup.jaccardJoin(
+      docs.select(col("doc_id").as("id"), col("lang").as("blk"),
+          TextAnalysis.canonical(col("text")).as("ct"))
+        .select(col("id"), col("blk"),
+          Dedup.charShinglesFrom(col("ct"), 3).as("sh")),
+      threshold = 0.5)
+    val labels = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    graft.curate.Curation.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+        labels.select(col("id"), col("comp")),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q132Oracle: String =
+    """WITH RECURSIVE u AS (SELECT doc_id, lang, text FROM documents
+      |  UNION ALL SELECT -2, 'en', 'graft planted sentinel document alpha beta gamma delta epsilon zeta eta theta iota kappa lambda'
+      |  UNION ALL SELECT -1, 'en', 'graft planted sentinel document alpha beta gamma delta epsilon zeta eta theta iota kappa lambda'),
+      |c AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ctext
+      |  FROM u),
+      |s AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(length(ctext) - 2, 1)),
+      |      i -> substr(ctext, i, 3))) AS sh
+      |  FROM c),
+      |p AS (SELECT l.doc_id AS a, r.doc_id AS b
+      |  FROM s l JOIN s r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |  WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+      |    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) >= 0.5),
+      |bi(lhs, rhs) AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+      |r(src, reach) AS (
+      |  SELECT lhs, lhs FROM bi
+      |  UNION
+      |  SELECT r.src, b.rhs FROM r JOIN bi b ON r.reach = b.lhs),
+      |comp AS (SELECT src AS doc_id, min(reach) AS cluster_id
+      |  FROM r GROUP BY src),
+      |k AS (SELECT d.doc_id,
+      |    coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+      |  FROM u d LEFT JOIN comp USING (doc_id)),
+      |f AS (SELECT doc_id, cluster_id,
+      |    CAST(CAST(('0x' || substring(md5(cluster_id::VARCHAR || 'graft-split'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      / 4294967296.0 AS frac
+      |  FROM k)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN frac < 0.8 THEN 'train'
+      |       WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+      |FROM f ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q126
   /** SemDeDup-style semantic cluster walk over the kNN graph: q119's
     * edge set thresholded at cos ≥ 0.9, contracted by

@@ -215,6 +215,32 @@ class CurationSpec extends SparkSpec {
     assert(sums.getOrElse("zh", 0L) <= 5L)
   }
 
+  test("leakageSafeSplit: cluster members share one split, singletons default to own id") {
+    val df = (0L until 400L).toDF("id")
+    // clusters: {0..9} -> comp 0, {100..104} -> comp 100
+    val clusters = ((0L until 10L).map(i => (i, 0L))
+      ++ (100L until 105L).map(i => (i, 100L))).toDF("id", "comp")
+    val out = Curation.leakageSafeSplit(df, "id", clusters,
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    // every cluster member inherits the cluster's single split
+    assert((0L until 10L).map(out(_)).toSet.size === 1)
+    assert((100L until 105L).map(out(_)).toSet.size === 1)
+    assert(out(3L)._1 === 0L && out(103L)._1 === 100L)
+    // singletons: own id as cluster, same assignment as plain assignSplit
+    val plain = Curation.assignSplit((200L until 400L).toDF("id"), "id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split"))
+      .toMap
+    for (i <- 200L until 400L) {
+      assert(out(i)._1 === i)
+      assert(out(i)._2 === plain(i))
+    }
+    // total partition: every row assigned
+    assert(out.size === 400)
+  }
+
   test("assignSplit: total partition, deterministic, roughly proportional") {
     val df = (0L until 1000L).toDF("id")
     val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
