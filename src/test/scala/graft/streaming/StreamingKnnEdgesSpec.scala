@@ -75,6 +75,39 @@ class StreamingKnnEdgesSpec extends SparkSpec {
     assert(StreamingKnnEdges.prune(spark, store, keep = 2) === Seq(0L))
   }
 
+  test("lifecycle compose: compaction + prune + crash-replay leave served " +
+      "edges identical to an undisturbed control store") {
+    // control: plain appends + one final refresh, no maintenance
+    val control = Files.createTempDirectory("ske-ctl").toString + "/s"
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      StreamingKnnEdges.appendVectors(b.toDF(), i.toLong, "vec_id",
+        "embedding", control)
+    }
+    StreamingKnnEdges.refresh(spark, control, 2L, dim = 4, k = 3,
+      numTables = 4, numPlanes = 2)
+    val want = StreamingKnnEdges.edges(spark, control).collect()
+      .map(_.toSeq).toSet
+    // lifecycle store: refresh mid-stream, compact the vector tree,
+    // prune snapshots, then the NEXT batch crash-replays before its
+    // refresh lands
+    val store = Files.createTempDirectory("ske-life").toString + "/s"
+    StreamingKnnEdges.appendVectors(b0.toDF(), 0L, "vec_id", "embedding", store)
+    StreamingKnnEdges.refresh(spark, store, 0L, dim = 4, k = 3,
+      numTables = 4, numPlanes = 2)
+    StreamingKnnEdges.appendVectors(b1.toDF(), 1L, "vec_id", "embedding", store)
+    StreamingKnnEdges.refresh(spark, store, 1L, dim = 4, k = 3,
+      numTables = 4, numPlanes = 2)
+    StreamingKnnEdges.compactVectors(spark, store, upto = 1L)
+    StreamingKnnEdges.prune(spark, store, keep = 2)
+    // crash-replay: batch 2 appends, dies, replays, then refreshes
+    StreamingKnnEdges.appendVectors(b2.toDF(), 2L, "vec_id", "embedding", store)
+    StreamingKnnEdges.appendVectors(b2.toDF(), 2L, "vec_id", "embedding", store)
+    StreamingKnnEdges.refresh(spark, store, 2L, dim = 4, k = 3,
+      numTables = 4, numPlanes = 2)
+    assert(StreamingKnnEdges.edges(spark, store).collect()
+      .map(_.toSeq).toSet === want)
+  }
+
   test("graph consumers read the streaming store unchanged") {
     val store = Files.createTempDirectory("ske3").toString + "/s"
     StreamingKnnEdges.appendVectors((b0 ++ b1).toDF(), 0L, "vec_id",
