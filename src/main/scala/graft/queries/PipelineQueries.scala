@@ -3262,7 +3262,14 @@ object PipelineQueries {
     * library operator; the point of the composition is that the WHOLE
     * pipeline — including the trained model inside it — stays
     * engine-deterministic, so one DuckDB re-derivation hash-checks the
-    * final manifest a training run would consume. */
+    * final manifest a training run would consume. The data lineage is
+    * fully declarative — the only driver-side transfers are the LR
+    * pattern's model-sized ones (per-round 256-value gradients, the
+    * 1-row bias read), bounded by construction. Corpus note: on the
+    * perturbed chained corpora the ABSOLUTE keep verdict legitimately
+    * keeps nothing (both engines derive the same empty manifest — the
+    * 10× hash gate is green); q130 is the production-style composition
+    * with a relative cutoff that never degenerates. */
   def q129PipelineManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
