@@ -55,6 +55,30 @@ class Bm25Spec extends SparkSpec {
     assert(out(0).getAs[Long]("bm25_micro") > out(1).getAs[Long]("bm25_micro"))
   }
 
+  test("pathological repeated-word doc cannot wrap BIGINT (saturation clamps)") {
+    // a ~200k-term spam doc: unclamped, 1e6·22·tf·ac wraps Long once
+    // tf·ac ≳ 4e11 and the score silently flips sign. The tf clamp at
+    // 1e5 sits deep inside BM25's saturation region, so scores stay
+    // positive, finite and properly ordered.
+    val spamTf = 200000
+    // quartz df 2 (probe + spam), zebra df 2 (probe + doc 2) — the
+    // probe's two rarest tokens, so the spam doc IS a candidate
+    val spam = (3L, ("quartz " * 64) + ("spamword " * spamTf))
+    val docs = Seq(
+      (0L, "zebra quartz common word word"),
+      (1L, "common word filler filler filler"),
+      (2L, "zebra common word here")
+    ).toDF("doc_id", "text").unionByName(Seq(spam).toDF("doc_id", "text"))
+    val out = Bm25.moreLikeThis(docs, "doc_id", "text",
+      probeFilter = _ === 0L, nTerms = 2, k = 3).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("bm25_micro") > 0L),
+      "a wrapped intermediate would surface as a negative score")
+    // the spam doc still retrieves (it carries the rare quartz term)
+    // — bounded, not dropped
+    assert(out.exists(_.getAs[Long]("doc_id") == 3L))
+  }
+
   test("deterministic across repartitionings") {
     val a = Bm25.moreLikeThis(corpus.repartition(7), "doc_id", "text",
       probeFilter = _ < 3, nTerms = 2, k = 4).collect().toSet
