@@ -202,6 +202,49 @@ object Curation {
       .drop("_hk")
   }
 
+  /** Cluster-balanced (proportional-quota) sampling: split a GLOBAL
+    * budget of `totalK` rows across the values of `groupCol` in
+    * proportion to group size — `quota(g) = max(1, (totalK·n_g) div
+    * n_total)` — then draw each group's quota in deterministic md5
+    * order. With `groupCol` = a learned cluster id (q36's integer
+    * k-means, a near-dup component) this is the SemDeDup-style
+    * "keep a proportional, diverse slice of every semantic region"
+    * selection; with a metadata column it is proportional allocation
+    * over strata. The realized total can exceed `totalK` by at most
+    * |groups| (every non-empty group keeps ≥ 1 row; floors round down)
+    * — declared, not hidden, via the `n_quota` column.
+    *
+    * Scale shape: group sizes and quotas are |groups|-bounded metadata
+    * (broadcast); the draw itself is [[twoPhaseTopK]] — per-group
+    * ranking inside 256 hash-prefix buckets first, so no group ever
+    * funnels through one task — with the quota filter applied after
+    * the global per-group rank. Deterministic by md5 value: stable
+    * under repartitioning and engine-portable, so the selection is
+    * hash-exact.
+    *
+    * Output adds `sample_rank` (1-based within the group) and
+    * `n_quota` (the group's quota). */
+  def proportionalSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      totalK: Int,
+      salt: String = "graft"): DataFrame = {
+    require(totalK > 0, s"totalK must be positive, got $totalK")
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val quotas = sizes
+      .crossJoin(broadcast(sizes.agg(sum(col("_n")).as("_tot"))))
+      .select(col(groupCol),
+        greatest(lit(1L), expr(s"($totalK * _n) div _tot")).as("n_quota"))
+    val keyed = df
+      .withColumn("_hk", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("_bkt", substring(col("_hk"), 1, 2))
+    twoPhaseTopK(keyed, groupCol, Seq(col("_hk"), col(idCol)), totalK)
+      .drop("_hk")
+      .join(broadcast(quotas), Seq(groupCol))
+      .where(col("sample_rank") <= col("n_quota"))
+  }
+
   /** Bounded-memory deterministic quantile profile — the SCALE TIER of
     * [[quantileCutoff]]'s exact mode. Per stratum: exact interpolated
     * quantiles of a FIXED-k deterministic hash sample

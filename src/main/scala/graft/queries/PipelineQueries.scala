@@ -3718,4 +3718,160 @@ object PipelineQueries {
       |  CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS slope_ppm,
       |  CAST(sy // n_ranks AS BIGINT) AS mean_log_freq_milli
       |FROM f ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------ q133
+  /** Onion-style first-occurrence novelty
+    * ([[graft.text.WordGrams.noveltyProfile]]): per document, the
+    * share of its distinct word 3-grams whose corpus-wide FIRST
+    * occurrence (min doc id — arrival order) is this document. Late
+    * re-crawls of boilerplate score near 0, genuinely new text near 1
+    * — the incremental-dedup signal as a per-doc SCORE. Integer-ppm
+    * ratio of positives → hash-exact oracle. */
+  def q133NoveltyOnion(s: SparkSession, dir: String): DataFrame =
+    graft.text.WordGrams.noveltyProfile(docsSpread(s, dir), "doc_id", "text",
+        n = 3, keepFloorPpm = 500000L)
+      .orderBy(col("doc_id"))
+
+  val q133Oracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM d),
+      |gr AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram FROM g),
+      |f AS (SELECT gram, min(doc_id) AS first_id FROM gr GROUP BY gram),
+      |nov AS (SELECT gr.doc_id, count(*) AS n_grams,
+      |    count(*) FILTER (f.first_id = gr.doc_id) AS n_novel
+      |  FROM gr JOIN f USING (gram) GROUP BY gr.doc_id)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(n_novel AS BIGINT) AS n_novel,
+      |  CAST((1000000 * n_novel) // n_grams AS BIGINT) AS novelty_ppm,
+      |  (1000000 * n_novel) // n_grams >= 500000 AS kept
+      |FROM nov ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q134
+  /** Token-entropy repetitiveness filter
+    * ([[graft.text.TokenEntropy.entropyProfile]]): per-doc Shannon
+    * entropy of the doc's own token distribution in integer micro-nats
+    * (H = ln n − (1/n)·Σ c·ln c, each ln rounded once pre-sum — the
+    * q34/q35 convention) plus the type-token ratio; `kept` = entropy ≥
+    * ln 16 ≈ 2.7726 nats. The distribution-shape quality signal next
+    * to q41's ratio heuristics and q47's n-gram repetition shares. */
+  def q134TokenEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.text.TokenEntropy.entropyProfile(docsSpread(s, dir),
+        "doc_id", "text", keepFloorMicroNats = 2772589L)
+      .orderBy(col("doc_id"))
+
+  val q134Oracle: String =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM toks
+      |  WHERE len(tok) > 0 GROUP BY doc_id, tok),
+      |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(c * CAST(round(1e6 * ln(c)) AS BIGINT)) AS BIGINT) AS s
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types,
+      |  CAST(round(1e6 * ln(n_tokens)) AS BIGINT) - s // n_tokens AS entropy_micro,
+      |  CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
+      |  (CAST(round(1e6 * ln(n_tokens)) AS BIGINT) - s // n_tokens) >= 2772589 AS kept
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q135
+  /** Integer PageRank over the near-dup similarity graph
+    * ([[graft.graph.PageRank]]): q23's lang-blocked char-3-gram
+    * Jaccard ≥ 0.5 pairs as undirected edges, 2 propagation rounds at
+    * damping 0.85 — the canonical-document/centrality score a curation
+    * pipeline uses to rank duplicate neighborhoods. All-integer
+    * (micro-unit ranks, floored sends), so the SCORES are hash-exact,
+    * not just the ordering. Gate scale rides the exact pair tier
+    * (quadratic oracle — sf0.01 only, like q131/q132); at corpus scale
+    * the caller feeds the persisted kNN edge store or q54's spanning
+    * edges — the module is edge-source-agnostic by signature. */
+  def q135GraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val pairs = Dedup.jaccardJoin(
+      docs.select(col("doc_id").as("id"), col("lang").as("blk"),
+          TextAnalysis.canonical(col("text")).as("ct"))
+        .select(col("id"), col("blk"),
+          Dedup.charShinglesFrom(col("ct"), 3).as("sh")),
+      threshold = 0.5)
+    graft.graph.PageRank.pageRank(docs.select(col("doc_id")), "doc_id",
+        pairs.select(col("id_a"), col("id_b")), iters = 2, dampPpm = 850000L)
+      .orderBy(col("doc_id"))
+  }
+
+  val q135Oracle: String =
+    """WITH c AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ctext
+      |  FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      generate_series(1, greatest(length(ctext) - 2, 1)),
+      |      i -> substr(ctext, i, 3))) AS sh
+      |  FROM c),
+      |p AS (SELECT l.doc_id AS a, r.doc_id AS b
+      |  FROM sh l JOIN sh r ON l.lang = r.lang AND l.doc_id < r.doc_id
+      |  WHERE round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+      |    / CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6) >= 0.5),
+      |bi AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+      |deg AS (SELECT src, count(*) AS d FROM bi GROUP BY src),
+      |c1 AS (SELECT bi.dst AS node, CAST(sum(1000000 // deg.d) AS BIGINT) AS inflow
+      |  FROM bi JOIN deg ON bi.src = deg.src GROUP BY bi.dst),
+      |r1 AS (SELECT d.doc_id AS node,
+      |    150000 + (850000 * coalesce(c1.inflow, 0)) // 1000000 AS r
+      |  FROM documents d LEFT JOIN c1 ON d.doc_id = c1.node),
+      |c2 AS (SELECT bi.dst AS node, CAST(sum(r1.r // deg.d) AS BIGINT) AS inflow
+      |  FROM bi JOIN deg ON bi.src = deg.src JOIN r1 ON bi.src = r1.node
+      |  GROUP BY bi.dst),
+      |r2 AS (SELECT d.doc_id AS node,
+      |    150000 + (850000 * coalesce(c2.inflow, 0)) // 1000000 AS r
+      |  FROM documents d LEFT JOIN c2 ON d.doc_id = c2.node)
+      |SELECT r2.node AS doc_id,
+      |  CAST(coalesce(deg.d, 0) AS BIGINT) AS degree,
+      |  CAST(r2.r AS BIGINT) AS pr_micro
+      |FROM r2 LEFT JOIN deg ON r2.node = deg.src
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q136
+  /** Cluster-balanced proportional sampling
+    * ([[graft.curate.Curation.proportionalSample]] over
+    * [[graft.sim.IntKMeans]] assignments): a global budget of 200
+    * vectors split across q36's 8 learned topic clusters in proportion
+    * to cluster size, each cluster's quota drawn in deterministic md5
+    * order — the SemDeDup-style "keep a proportional, diverse slice of
+    * every semantic region" selection (q116 CAPS clusters at a fixed
+    * per-cluster max; this ALLOCATES a global budget proportionally).
+    * K-means assignment, quotas and the md5 draw are all integer/
+    * hash-deterministic → hash-exact oracle walking the identical
+    * three assignment rounds. */
+  def q136ClusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.sim.IntKMeans.cluster(embSpread(s, dir),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .withColumnRenamed("id", "vec_id")
+    graft.curate.Curation.proportionalSample(
+        assigned.select(col("vec_id"), col("cluster")),
+        "vec_id", "cluster", totalK = 200)
+      .select(col("vec_id"), col("cluster"), col("sample_rank"),
+        col("n_quota"))
+      .orderBy(col("cluster"), col("sample_rank"))
+  }
+
+  val q136Oracle: String =
+    s"""WITH $kmeansCtes,
+       |a AS (SELECT vec_id, CAST(cl AS INTEGER) AS cluster FROM s3
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) = 1),
+       |sz AS (SELECT cluster, count(*) AS n FROM a GROUP BY cluster),
+       |tot AS (SELECT sum(n) AS t FROM sz),
+       |qt AS (SELECT cluster, CAST(greatest(1, (200 * n) // t) AS BIGINT) AS n_quota
+       |  FROM sz, tot),
+       |rk AS (SELECT a.vec_id, a.cluster,
+       |    row_number() OVER (PARTITION BY a.cluster
+       |      ORDER BY md5(a.vec_id::VARCHAR || 'graft'), a.vec_id) AS sample_rank
+       |  FROM a)
+       |SELECT rk.vec_id, rk.cluster, rk.sample_rank, qt.n_quota
+       |FROM rk JOIN qt ON rk.cluster = qt.cluster
+       |WHERE rk.sample_rank <= qt.n_quota
+       |ORDER BY rk.cluster, rk.sample_rank""".stripMargin
 }

@@ -202,4 +202,48 @@ object WordGrams {
     grams(docs, idCol, textCol, n).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("doc_freq"))
       .where(col("doc_freq") >= minDocs)
+
+  /** Onion-style first-occurrence novelty: per document, the share of
+    * its DISTINCT word n-grams whose corpus-wide FIRST occurrence (the
+    * minimum `idCol` over every document containing the gram — ids are
+    * the corpus's arrival order) is this document. A crawl-snapshot /
+    * dump-ordered corpus scores late boilerplate re-crawls near 0 and
+    * genuinely new text near 1 — the incremental-dedup signal expressed
+    * as a per-document SCORE instead of a drop verdict (the onion-dedup
+    * family; complements q47's within-doc repetition and the q20/q64
+    * whole-doc dedup tiers with a sub-document cross-doc measure).
+    *
+    * `novelty_ppm = 1e6·n_novel div n_grams` (integer division of
+    * positives — floor on every engine); `kept = novelty_ppm >=
+    * keepFloorPpm`. Documents with fewer than `n` tokens have no grams
+    * and emit nothing (callers wanting them keep a left join on ids).
+    *
+    * Scale shape: the distinct (doc, gram) table is built once and
+    * consumed twice — first-occurrence attribution is ONE map-side-
+    * combinable `min` keyed on the gram string, and the join back to
+    * (doc, gram) is gram-keyed too, so the aggregate's exchange is
+    * reusable for the probe side; the per-doc rollup shuffles ids-only
+    * rows. Nothing buffers a vocabulary anywhere: every shuffle keys on
+    * gram or doc id and partial-aggregates, the q71-vocabulary
+    * economics. */
+  def noveltyProfile(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      keepFloorPpm: Long): DataFrame = {
+    require(keepFloorPpm >= 0 && keepFloorPpm <= 1000000,
+      s"keepFloorPpm must be in [0, 1e6], got $keepFloorPpm")
+    val g = grams(docs, idCol, textCol, n).distinct()
+    val firsts = g.groupBy(col("gram")).agg(min(col(idCol)).as("_first"))
+    g.join(firsts, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        expr("(1000000 * n_novel) div n_grams").as("novelty_ppm"))
+      .withColumn("kept", col("novelty_ppm") >= keepFloorPpm)
+  }
 }
