@@ -604,11 +604,12 @@ object Dedup {
           i => when(i + k <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(k))))),
         x => x.isNotNull))
 
-  /** Distinct word-shingle array (k consecutive lowercase tokens).
-    * Convenience single-expression form — see [[shinglesFromTokens]] for
-    * the plan-shape caveat; operators materialize tokens first. */
+  /** Distinct word-shingle array (k consecutive lowercase tokens) —
+    * the native codegen kernel; value-identical to
+    * `shinglesFromTokens(tokensOf(text), k)` without the interpreted
+    * per-shingle lambda or the token-materialization plan-shape dance. */
   def wordShingles(text: Column, k: Int): Column =
-    shinglesFromTokens(tokensOf(text), k)
+    array_distinct(graft.expressions.WordNGrams.wsNGrams(text, k))
 
   /** Distinct character n-grams from a pre-materialized canonical-text
     * ATTRIBUTE column (same plan-shape contract as
@@ -1310,8 +1311,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleK: Int): DataFrame =
-    df.select(col(idCol).as("id"), tokensOf(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+    // native byte-pass kernel (WordNGramsParitySpec proves it
+    // shingle-for-shingle equal to shinglesFromTokens∘tokensOf): one
+    // codegen'd projection, no interpreted lambda per shingle and no
+    // token-array materialization step
+    df.select(col(idCol).as("id"),
+      array_distinct(graft.expressions.WordNGrams
+        .wsNGrams(col(textCol), shingleK)).as("sh"))
 
   /** [[minHashSignatures]] over a PRE-BUILT shingle table (`id`, `sh` —
     * the [[shingleTable]] shape). */

@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{AudioMeta, BitmapFromIds, BitmapJaccard, DeflateSize, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, NfcNormalize, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader}
+import graft.expressions.{AudioMeta, BitmapFromIds, BitmapJaccard, DeflateSize, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, NfcNormalize, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader, WordNGrams}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
@@ -51,6 +51,9 @@ object GraftExtensions {
     ("rolling_windows", classOf[RollingWindows],
       (children: Seq[Expression]) => RollingWindows(
         children(0), litInt(children(1), "rolling_windows", "k"))),
+    ("word_ngrams", classOf[WordNGrams],
+      (children: Seq[Expression]) => WordNGrams(
+        children(0), litInt(children(1), "word_ngrams", "n"))),
     ("dot_product", classOf[DotProduct],
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     ("lsh_bucket", classOf[LshBucket],

@@ -3408,9 +3408,7 @@ object PipelineQueries {
     // to the smallest id); unclustered docs pass through
     val labels = Dedup.nearDupCollapseFromShingles(
       filtered.select(col("doc_id").as("id"),
-          Dedup.tokensOf(col("text")).as("toks"))
-        .select(col("id"),
-          Dedup.shinglesFromTokens(col("toks"), 3).as("sh")),
+        Dedup.wordShingles(col("text"), 3).as("sh")),
       numPerm = 32, bands = 8, threshold = 0.5)
     val canonical = Dedup.keepCanonical(
         labels.withColumnRenamed("id", "doc_id"),
@@ -3469,9 +3467,7 @@ object PipelineQueries {
       .unionByName(planted)
     val sh = docs
       .select(col("doc_id").as("id"), col("lang").as("blk"),
-        Dedup.tokensOf(col("text")).as("toks"))
-      .select(col("id"), col("blk"),
-        Dedup.shinglesFromTokens(col("toks"), 3).as("sh"))
+        Dedup.wordShingles(col("text"), 3).as("sh"))
     Dedup.containmentJoinPrefix(sh, threshold = 0.8)
       .orderBy(col("contained_id"), col("container_id"))
   }

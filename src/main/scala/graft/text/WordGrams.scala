@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Word n-gram operators over a document corpus: benchmark
@@ -14,13 +13,19 @@ import org.apache.spark.sql.functions._
   * collapsed to single spaces, whitespace-split — cheap, deterministic
   * and expressible in ANSI SQL so both operators stay oracle-checkable.
   *
-  * Plan shape: grams are built with per-document window `lead`s over
-  * the exploded token list — everything stays codegen'd column work
-  * (an equivalent higher-order `transform(sequence(...), slice)` form
-  * is interpreted per element, the q44 mistake). The window shuffle is
-  * keyed on doc id; all downstream joins/aggregates key on the gram
-  * string, so corpus size scales horizontally and no token list ever
-  * needs to fit anywhere but its own document's task.
+  * Plan shape: grams are built SHUFFLE-FREE by the native
+  * [[graft.expressions.WordNGrams]] kernel — one codegen'd byte pass
+  * per document emitting the gram array in place, then a plain explode.
+  * (The original posexplode + per-document window `lead` pipeline paid
+  * a full-corpus token-level exchange before a single gram existed —
+  * the dominant shuffle at 100 TB; the higher-order
+  * `transform(sequence(...), slice)` alternative is interpreted per
+  * element, the q44 mistake. The native expression is the
+  * preference-order fix: shuffle-free AND inside whole-stage codegen;
+  * WordNGramsParitySpec proves gram-for-gram equality with the window
+  * pipeline.) All downstream joins/aggregates key on the gram string,
+  * so corpus size scales horizontally and no token list ever needs to
+  * fit anywhere but its own document's task.
   */
 object WordGrams {
 
@@ -30,21 +35,13 @@ object WordGrams {
     split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
 
   /** One row per complete word n-gram: (`idCol`, `gram`) with the gram
-    * as a space-joined string. Documents with fewer than `n` tokens
-    * emit nothing. */
+    * as a space-joined string, in document order with multiplicity.
+    * Documents with fewer than `n` tokens emit nothing. */
   def grams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .where(length(col("tok")) > 0)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val leadCols = (1 until n).map(k => lead(col("tok"), k).over(w).as(s"_t$k"))
-    val withLeads = toks.select(
-      (col(idCol) +: col("tok").as("_t0") +: leadCols): _*)
-    val complete =
-      if (n == 1) withLeads else withLeads.where(col(s"_t${n - 1}").isNotNull)
-    complete.select(col(idCol),
-      concat_ws(" ", (0 until n).map(k => col(s"_t$k")): _*).as("gram"))
+    docs.select(col(idCol),
+      explode(graft.expressions.WordNGrams.wordNGrams(col(textCol), n))
+        .as("gram"))
   }
 
   /** Per-training-doc contamination report against `eval`: how many
@@ -161,15 +158,17 @@ object WordGrams {
       textCol: String,
       minPairCount: Long): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    val toks = docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .where(length(col("tok")) > 0)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val pairs = toks
-      .select(col(idCol), col("tok").as("w1"),
-        lead(col("tok"), 1).over(w).as("w2"))
-      .where(col("w2").isNotNull)
-      .select(col("w1"), col("w2"))
+    // both tables come straight off the native gram kernel — no
+    // token-level window shuffle; tokens never contain spaces, so the
+    // bigram splits exactly at its single joining space
+    val toks = docs.select(
+      explode(graft.expressions.WordNGrams.wordNGrams(col(textCol), 1))
+        .as("tok"))
+    val pairs = docs
+      .select(explode(
+        graft.expressions.WordNGrams.wordNGrams(col(textCol), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
     val pairCounts = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))
       .where(col("n_pair") >= minPairCount)
