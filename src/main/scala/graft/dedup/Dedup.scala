@@ -611,14 +611,16 @@ object Dedup {
   def wordShingles(text: Column, k: Int): Column =
     array_distinct(graft.expressions.WordNGrams.wsNGrams(text, k))
 
-  /** Distinct character n-grams from a pre-materialized canonical-text
-    * ATTRIBUTE column (same plan-shape contract as
-    * [[shinglesFromTokens]]). */
+  /** Distinct character n-grams of a canonical-text column — the
+    * native one-pass kernel ([[graft.expressions.CharNGrams]]); value-
+    * and-order identical to the replaced interpreted
+    * `array_distinct(transform(sequence, substr))` form (which
+    * re-seeked the string per window — O(len²) per doc), including the
+    * short-text and empty-text clamping quirks the family's oracles
+    * spell. No plan-shape caveat: the kernel is a plain codegen'd
+    * expression, safe on complex inputs. */
   def charShinglesFrom(ct: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(ct) - (n - 1), lit(1))),
-        i => ct.substr(i, lit(n))))
+    graft.expressions.CharNGrams.charNGrams(ct, n)
 
   /** Distinct character n-gram array of the canonical text (convenience
     * single-expression form). */

@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{AudioMeta, BitmapFromIds, BitmapJaccard, DeflateSize, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, NfcNormalize, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader, WordNGrams}
+import graft.expressions.{AudioMeta, BitmapFromIds, BitmapJaccard, CharNGrams, DeflateSize, DotProduct, ImageMeta, JaccardSim, LshBucket, Mp4Header, NfcNormalize, PngHeader, RollingHash, RollingWindows, SqDot, SqEncode, VideoMeta, WavHeader, WordNGrams}
 
 /** Session extension wiring for graft's native expressions: configure
   * `spark.sql.extensions=graft.extensions.GraftExtensions` and SQL users
@@ -54,6 +54,9 @@ object GraftExtensions {
     ("word_ngrams", classOf[WordNGrams],
       (children: Seq[Expression]) => WordNGrams(
         children(0), litInt(children(1), "word_ngrams", "n"))),
+    ("char_ngrams", classOf[CharNGrams],
+      (children: Seq[Expression]) => CharNGrams(
+        children(0), litInt(children(1), "char_ngrams", "n"))),
     ("dot_product", classOf[DotProduct],
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     ("lsh_bucket", classOf[LshBucket],
