@@ -480,15 +480,18 @@ object Dedup {
     * pairs collapsing to ~2.9 k clusters — the pair LIST, not the
     * candidates, is what a pair-output operator chokes on).
     *
-    * Shape: MinHash banding generates candidates (geometric bucket
-    * decay + `maxBucketSize` — sub-linear, measured ~12× wall for
-    * 100× data in BENCH_NOTES), exact-Jaccard verification runs as a
-    * STREAM into one spanning-edge aggregation — per doc keep the
-    * `edgesPerDoc` SMALLEST verified partners below it — and only
-    * that ≤ n·edgesPerDoc edge set is checkpointed and fed to
-    * [[connectedComponents]]. The quadratic pair stream exists only
-    * inside one shuffle (ids-only rows, absorbed by the aggregation);
-    * no checkpoint, no output contract carries it.
+    * Shape: MinHash banding buckets the corpus, each member links to
+    * its bucket's `2·edgesPerDoc + 1` smallest ids (bit-identical to
+    * the full per-bucket pair stream after the global smallest-`2e`
+    * cut per doc — a surviving partner is necessarily among the
+    * bucket's smallest below the member — but LINEAR in bucket
+    * membership, so a dense boilerplate family costs size·2e rows
+    * instead of size²), exact-Jaccard verification runs over those
+    * ≤ n·2·edgesPerDoc candidates, and per doc the `edgesPerDoc`
+    * SMALLEST verified partners below it form the spanning edge set
+    * checkpointed and fed to [[connectedComponents]]. No stage is
+    * quadratic in family size; `maxBucketSize` remains only a skew
+    * backstop for degenerate signature collisions.
     *
     * Connectivity trade, stated honestly: inside a DENSE cluster every
     * member links to its `edgesPerDoc` smallest verified partners, so
@@ -537,22 +540,37 @@ object Dedup {
       explode(bandKeys(bands, numPerm / bands)).as("bk"))
     val capped = graft.util.Blocks.checkpoint(
       capBuckets(buckets, maxBucketSize))
-    // Candidates stay IDS-ONLY and are capped BEFORE verification:
-    // on a dense-cluster corpus the banded candidate set is
-    // cluster-quadratic (measured: the 100× char-gram space generates
-    // ~10⁸ candidates whose array-carrying verify join spills hundreds
-    // of GB if taken whole), so the spanning cap must bound what the
-    // verify kernel ever sees, not just what it emits. Per higher id
-    // keep the `2·edgesPerDoc` SMALLEST candidate partners (headroom:
-    // band collisions below the similarity threshold fail verification
-    // and consume cap slots), verify only those ≤ n·2·edgesPerDoc
-    // pairs exactly, and keep the surviving `edgesPerDoc` per doc.
-    val candEdges = capped.df.as("l")
-      .join(capped.df.as("r"),
-        col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    // Candidates stay IDS-ONLY and the stream is LINEAR in bucket
+    // membership, not quadratic: the global cut below keeps per id_b
+    // only the `2·edgesPerDoc` SMALLEST partners (headroom: band
+    // collisions below the similarity threshold fail verification and
+    // consume cap slots), and any partner that survives that cut is
+    // necessarily among the `2·edgesPerDoc` smallest ids below id_b
+    // WITHIN its own bucket — so each member need only be linked to
+    // its bucket's `2·edgesPerDoc + 1` smallest ids (those below
+    // itself), which is bit-identical to the full per-bucket pair
+    // stream after the cut. The old bucket self-join was
+    // family-quadratic before the cut could absorb anything
+    // (measured: a dense replica family made the verify stage ~125 s
+    // of q130's 160 s at 100×); this form is Σ_buckets size·2e rows.
+    // Bucket-low ids come from a salted two-phase rank so no single
+    // task ever sorts a whole dense-family bucket.
+    val e2 = 2 * edgesPerDoc
+    val wSalt = Window.partitionBy(col("bk"), col("_salt"))
+      .orderBy(col("id"))
+    val bucketLow = capped.df
+      .withColumn("_salt", pmod(xxhash64(col("id").cast("string")), lit(256)))
+      .withColumn("_r", row_number().over(wSalt))
+      .where(col("_r") <= e2 + 1)
+      .groupBy(col("bk"))
+      .agg(slice(array_sort(collect_set(col("id"))), 1, e2 + 1).as("_blo"))
+    val candEdges = capped.df
+      .join(bucketLow, "bk")
+      .select(col("id").as("id_b"),
+        explode(slice(filter(col("_blo"), x => x < col("id")), 1, e2))
+          .as("id_a"))
       .groupBy(col("id_b"))
-      .agg(slice(array_sort(collect_set(col("id_a"))), 1, 2 * edgesPerDoc)
+      .agg(slice(array_sort(collect_set(col("id_a"))), 1, e2)
         .as("_ndc_lo"))
       .select(explode(col("_ndc_lo")).as("id_a"), col("id_b"))
     val sh = shCp.df.select(col("id"), col("sh"))

@@ -530,6 +530,56 @@ class DedupSpec extends SparkSpec {
     assert(labels === exact)
   }
 
+  test("nearDupCollapse candidate stream is bit-identical to the " +
+      "quadratic per-bucket pair form") {
+    // A 30-member dense family (≫ 2·edgesPerDoc+1, so the bucket-low
+    // shortcut is actually exercised), a 3-member chain, band
+    // colliders that FAIL verification (headroom slots), singletons.
+    def fam(i: Int): (Long, String) = {
+      val base = (0 until 40).map(t => s"fam-tok${t % 31}").mkString(" ")
+      (100L + i, s"$base tail$i")
+    }
+    val docs = ((0 until 30).map(fam) ++ Seq(
+      (500L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (501L, "alpha beta gamma delta epsilon zeta eta theta iota prime"),
+      (502L, "beta gamma delta epsilon zeta eta theta iota prime omega"),
+      (900L, "wholly unrelated prose regarding tide tables and moons"),
+      (901L, "other disjoint text about volcanic soil composition")))
+      .toDF("id", "text")
+    val edgesPerDoc = 2
+    val shingled =
+      Dedup.shingleTable(docs, "id", "text", 3).persist()
+    val got = Dedup.nearDupCollapseFromShingles(
+        shingled, threshold = 0.5, edgesPerDoc = edgesPerDoc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // legacy quadratic candidate stream, verbatim: per-bucket full
+    // self-join, then the global smallest-2e cut per id_b
+    val sig = Dedup.minHashSignaturesFromShingles(shingled, 32)
+    val capped = Dedup.capBuckets(
+      sig.select(col("id"), explode(Dedup.bandKeys(8, 4)).as("bk")), 100000)
+    val candEdges = capped.as("l")
+      .join(capped.as("r"),
+        col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .groupBy(col("id_b"))
+      .agg(slice(array_sort(collect_set(col("id_a"))), 1, 2 * edgesPerDoc)
+        .as("_lo"))
+      .select(explode(col("_lo")).as("id_a"), col("id_b"))
+    val sh = shingled.select(col("id"), col("sh"))
+    val legacyEdges = candEdges
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .where(round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6) >= 0.5)
+      .groupBy(col("id_b"))
+      .agg(slice(array_sort(collect_set(col("id_a"))), 1, edgesPerDoc)
+        .as("_lo"))
+      .select(explode(col("_lo")).as("id_a"), col("id_b"))
+    val want = Dedup.connectedComponents(legacyEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    shingled.unpersist()
+    assert(got === want)
+  }
+
   private def containmentCorpus = {
     import spark.implicits._
     val wrapper = "every page of this site carries the same header " +
