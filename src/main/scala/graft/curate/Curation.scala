@@ -210,9 +210,14 @@ object Curation {
     * k-means, a near-dup component) this is the SemDeDup-style
     * "keep a proportional, diverse slice of every semantic region"
     * selection; with a metadata column it is proportional allocation
-    * over strata. The realized total can exceed `totalK` by at most
-    * |groups| (every non-empty group keeps ≥ 1 row; floors round down)
-    * — declared, not hidden, via the `n_quota` column.
+    * over strata. The realized total is APPROXIMATE in both
+    * directions: it can exceed `totalK` by at most |groups| (every
+    * non-empty group keeps ≥ 1 row), and floors can also UNDERSHOOT —
+    * with many similar-sized groups Σ floor(totalK·n_g/n_tot) can fall
+    * up to |groups|−1 below `totalK`. Callers needing an exact budget
+    * apply a largest-remainder top-up over the |groups|-sized quota
+    * frame; here the realized quota is declared, not hidden, via the
+    * `n_quota` column.
     *
     * Scale shape: group sizes and quotas are |groups|-bounded metadata
     * (broadcast); the draw itself is [[twoPhaseTopK]] — per-group

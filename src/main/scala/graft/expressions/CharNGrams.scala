@@ -70,11 +70,10 @@ object CharNGrams {
         offs = java.util.Arrays.copyOf(offs, nCps * 2)
       offs(nCps) = i
       nCps += 1
-      val b0 = bytes(i) & 0xff
-      i += (if (b0 < 0x80) 1
-            else if ((b0 & 0xe0) == 0xc0) 2
-            else if ((b0 & 0xf0) == 0xe0) 3
-            else 4)
+      // Spark's own width table (invalid lead/continuation bytes → 1),
+      // so stepping matches length()/substr() even on malformed UTF-8
+      // smuggled in via binary cast — not just on well-formed text.
+      i += UTF8String.numBytesForFirstByte(bytes(i))
     }
     if (nCps == 0)
       return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))

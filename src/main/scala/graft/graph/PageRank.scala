@@ -42,7 +42,9 @@ object PageRank {
   /** @param nodes one row per node (`idCol` — every id that should be
     *              scored, including isolated ones)
     * @param edges undirected DISTINCT pairs (`id_a`, `id_b`), id_a ≠
-    *              id_b; both endpoints should appear in `nodes`
+    *              id_b; edges with an endpoint absent from `nodes` are
+    *              DROPPED before degree computation (the graph scored
+    *              is exactly the one induced on `nodes`)
     * @return (`idCol`, `degree`, `pr_micro`) — degree 0 and the
     *         teleport-base rank for isolated nodes
     */
@@ -56,8 +58,20 @@ object PageRank {
     require(dampPpm >= 0 && dampPpm <= 1000000,
       s"dampPpm must be in [0, 1e6], got $dampPpm")
     val basePpm = 1000000L - dampPpm
-    val bi = edges.select(col("id_a").as("_src"), col("id_b").as("_dst"))
-      .unionByName(edges.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+    val skeletonKeys = nodes.select(col(idCol).as("_k"))
+    // Clamp edges to the node skeleton BEFORE degrees: an endpoint
+    // absent from `nodes` would otherwise inflate its neighbors'
+    // divisors while never sending (it has no rank row) — a violated
+    // contract would deflate inflow quietly. Two ids-only semi-joins,
+    // paid once (the result is what gets checkpointed); when the
+    // contract holds the plan drops nothing and the output is
+    // unchanged.
+    val clamped = edges
+      .join(skeletonKeys, edges("id_a") === col("_k"), "left_semi")
+      .join(skeletonKeys, edges("id_b") === col("_k"), "left_semi")
+    val bi = clamped.select(col("id_a").as("_src"), col("id_b").as("_dst"))
+      .unionByName(
+        clamped.select(col("id_b").as("_src"), col("id_a").as("_dst")))
     val deg = bi.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
     // (src, dst, deg(src)) — materialized once, read every round
     val adj = graft.util.Blocks.lazyCheckpoint(bi.join(deg, Seq("_src")))

@@ -43,7 +43,13 @@ object StreamingNovelty {
   /** The per-batch kernel `start` wires into foreachBatch: score the
     * batch against segments < batchId, write the verdict segment to
     * `outPath/v<batchId>` and the new-gram segment to
-    * `storePath/v<batchId>` (both overwrite — replay-idempotent). */
+    * `storePath/v<batchId>` (both overwrite — replay-idempotent).
+    *
+    * Contract: `idCol` must be a LongType column (enforced here) and
+    * is written out under the CANONICAL names the readers declare —
+    * `doc_id` in verdict segments, `first_id` in store segments — so
+    * [[readVerdicts]]/[[readStore]]'s empty-store frames agree with
+    * populated reads whatever the caller named the column. */
   def runBatch(
       batch: DataFrame,
       batchId: Long,
@@ -54,6 +60,11 @@ object StreamingNovelty {
       storePath: String,
       outPath: String): Unit = {
     val spark = batch.sparkSession
+    require(
+      batch.schema(idCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"StreamingNovelty requires a LongType id column; " +
+        s"'$idCol' is ${batch.schema(idCol).dataType.catalogString}")
     val g = WordGrams.grams(batch, idCol, textCol, n).distinct()
     val prior = readStore(spark, storePath, beforeVersion = batchId)
     // per gram: the batch's first id + whether any PRIOR segment has it;
@@ -72,7 +83,7 @@ object StreamingNovelty {
         count(lit(1)).as("n_grams"),
         sum(when(!col("_seen") && col("_first") === col(idCol), 1L)
           .otherwise(0L)).as("n_novel"))
-      .select(col(idCol), col("n_grams"), col("n_novel"),
+      .select(col(idCol).as("doc_id"), col("n_grams"), col("n_novel"),
         expr("(1000000 * n_novel) div n_grams").as("novelty_ppm"))
       .withColumn("kept", col("novelty_ppm") >= keepFloorPpm)
       .coalesce(1)
