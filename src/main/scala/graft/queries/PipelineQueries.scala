@@ -3365,16 +3365,19 @@ object PipelineQueries {
       (-410L - i, "planted", s"$familyBase variant tail number $i")
     }.toDF("doc_id", "source", "text")
     val base = docsSpread(s, dir)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
     // 1. Gopher rules (q110 thresholds — the corpus-calibrated pair)
     val gophered = graft.text.GopherRules.annotate(base, "text",
         graft.text.GopherRules.Thresholds(minWords = 5, minStopWords = 1))
       .where(col("gopher_ok"))
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
     // 2. PII scrub — deterministic text rewrite, downstream stages see
     // the scrubbed text (exactly what a shipped pipeline trains on)
-    val scrubbed = gophered.select(col("doc_id"), col("source"),
-      graft.text.Pii.scrub(col("text")).as("text"))
+    val scrubbedLang = graft.util.Blocks.lazyCheckpoint(
+      gophered.select(col("doc_id"), col("source"), col("lang"),
+        graft.text.Pii.scrub(col("text")).as("text")))
+    val scrubbed = scrubbedLang
+      .select(col("doc_id"), col("source"), col("text"))
     // 3. LR quality filter, RELATIVE form: keep the top half by
     // integer quality score — the DataComp/FineWeb-style "keep the
     // best X%" cutoff a production pipeline uses instead of the raw
@@ -3382,9 +3385,12 @@ object PipelineQueries {
     // degenerates to keep-nothing on the perturbed chained corpora,
     // emptying everything downstream). The cutoff is the p50 of the
     // q124-style deterministic md5-bottom-256 sample of p_ppm —
-    // bounded memory, engine-exact, never degenerate.
+    // bounded memory, engine-exact, never degenerate. The model TRAINS
+    // on the same scrubbed stream it scores (train-input =
+    // serve-input; training on the raw corpus would shift feature
+    // distributions past the scrub rewrite).
     val w = graft.curate.Classifier.logisticRegression(
-      docsSpread(s, dir), "doc_id", "text", col("lang") === "en",
+      scrubbedLang, "doc_id", "text", col("lang") === "en",
       buckets = 256, rounds = 2, lrPpm = 1000000L)
     val scored = graft.curate.Classifier.logisticScore(
       scrubbed, "doc_id", "text", w, buckets = 256)
@@ -3870,4 +3876,90 @@ object PipelineQueries {
        |FROM rk JOIN qt ON rk.cluster = qt.cluster
        |WHERE rk.sample_rank <= qt.n_quota
        |ORDER BY rk.cluster, rk.sample_rank""".stripMargin
+
+  // ------------------------------------------------------------------ q137
+  /** Unigram-LM (SentencePiece-style) tokenizer vocabulary
+    * ([[graft.text.UnigramLm.train]]): 2 EM rounds of Viterbi
+    * segmentation + zero-count pruning + micro-nat re-scoring over the
+    * corpus word-frequency table, vocabulary cut to the top 64 pieces
+    * (plus all single characters). Every stage is integer/once-rounded
+    * deterministic, so the oracle — the identical EM unrolled as
+    * generated CTEs (dp steps, backtrack walk, counts, re-score) — is
+    * hash-exact: the q108 gating precedent applied to the EM trainer. */
+  def q137UnigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.train(docsSpread(s, dir), "doc_id", "text")
+      .orderBy(col("rank"))
+
+  /** The q137 oracle, generated: the same EM unrolled —
+    * per-position dp CTEs (candidate arms per piece length, winner by
+    * (cost asc, length desc)), a backtrack walk over wide position
+    * columns, expected counts, prune + Laplace re-score — for 2 rounds,
+    * then the vocabulary cut. Parameters mirror [[graft.text.UnigramLm
+    * .train]] defaults (maxPieceLen 3, maxWordLen 12, vocabSize 64). */
+  val q137Oracle: String = {
+    val mp = 3; val mw = 12; val rounds = 2; val vs = 64
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS (SELECT list_filter(
+    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+    t -> len(t) > 0) AS l FROM documents),
+words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc, len(w) AS len
+  FROM (SELECT unnest(l) AS w FROM toks) WHERE len(w) BETWEEN 1 AND $mw GROUP BY w),
+sp1 AS (SELECT w, wc, len, unnest(generate_series(1, len)) AS i FROM words),
+sp2 AS (SELECT w, wc, i, unnest(generate_series(1, least($mp, len - i + 1))) AS l FROM sp1),
+seed AS (SELECT substring(w, i, l) AS p, CAST(sum(wc) AS BIGINT) AS cnt FROM sp2 GROUP BY 1),
+sc0 AS (SELECT p, cnt, CAST(round(-1e6 * ln((cnt + 1.0) /
+  ((SELECT sum(cnt) FROM seed) + (SELECT count(*) FROM seed)))) AS BIGINT) AS nll FROM seed),
+d1_0 AS (SELECT w, wc, len, CAST(0 AS BIGINT) AS dp0 FROM words),
+"""
+    for (r <- 1 to rounds) {
+      for (i <- 1 to mw) {
+        val arms = (1 to math.min(mp, i)).map { l =>
+          s"SELECT w, len, $l AS l, dp${i - l} AS dprev FROM d${r}_${i - 1}"
+        }.mkString("\n      UNION ALL ")
+        sb ++= s"""c${r}_$i AS (SELECT w, l, substring(w, $i - l + 1, l) AS p, dprev FROM (
+      $arms) WHERE len >= $i),
+b${r}_$i AS (SELECT w, cost, l FROM (
+    SELECT c.w, c.dprev + s.nll AS cost, c.l,
+      row_number() OVER (PARTITION BY c.w ORDER BY c.dprev + s.nll ASC, c.l DESC) AS rn
+    FROM c${r}_$i c JOIN sc${r - 1} s USING (p)) WHERE rn = 1),
+d${r}_$i AS (SELECT d.*, b.cost AS dp$i, b.l AS bl$i
+  FROM d${r}_${i - 1} d LEFT JOIN b${r}_$i b USING (w)),
+"""
+      }
+      val blList = (1 to mw).map(i => s"bl$i").mkString(", ")
+      sb ++= s"""t${r}_0 AS (SELECT w, wc, len AS pos0, list_value($blList) AS bl FROM d${r}_$mw),
+"""
+      for (j <- 1 to mw) {
+        sb ++= s"""t${r}_$j AS (SELECT *,
+    CASE WHEN pos${j - 1} > 0 THEN substring(w, pos${j - 1} - bl[pos${j - 1}] + 1, bl[pos${j - 1}]) END AS piece$j,
+    CASE WHEN pos${j - 1} > 0 THEN pos${j - 1} - bl[pos${j - 1}] ELSE 0 END AS pos$j
+  FROM t${r}_${j - 1}),
+"""
+      }
+      val unions = (1 to mw).map(j =>
+        s"SELECT piece$j AS p, wc FROM t${r}_$mw WHERE piece$j IS NOT NULL")
+        .mkString("\n    UNION ALL ")
+      sb ++= s"""u$r AS (SELECT p, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    $unions) GROUP BY p),
+pr$r AS (SELECT s.p, coalesce(u.cnt, CAST(0 AS BIGINT)) AS cnt
+  FROM sc${r - 1} s LEFT JOIN u$r u USING (p)
+  WHERE coalesce(u.cnt, 0) > 0 OR len(s.p) = 1),
+sc$r AS (SELECT p, cnt, CAST(round(-1e6 * ln((cnt + 1.0) /
+  ((SELECT sum(cnt) FROM pr$r) + (SELECT count(*) FROM pr$r)))) AS BIGINT) AS nll FROM pr$r),
+"""
+      if (r < rounds)
+        sb ++= s"""d${r + 1}_0 AS (SELECT w, wc, len, CAST(0 AS BIGINT) AS dp0 FROM words),
+"""
+    }
+    sb ++= s"""ranked AS (SELECT p, cnt, nll,
+  CAST(row_number() OVER (ORDER BY cnt DESC, p ASC) AS INTEGER) AS rank FROM sc$rounds)
+SELECT p AS piece, cnt AS n_exp, nll AS nll_micro, rank FROM ranked
+WHERE rank <= $vs OR len(p) = 1 ORDER BY rank"""
+    // MATERIALIZED is load-bearing, not an optimization hint: DuckDB
+    // inlines plain CTEs at every reference, and the dp chain
+    // references each predecessor twice per step — inlined, the scan
+    // count grows 2^steps (measured: "too many open files" before any
+    // row is produced).
+    sb.toString.replace(" AS (", " AS MATERIALIZED (")
+  }
 }

@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer vocabulary trainer —
+  * the EM sibling of [[BpeStats.merges]]: instead of greedy merge
+  * decisions, fit a unigram language model over subword pieces by
+  * expectation-maximization (Kudo 2018, public technique) and keep the
+  * highest-expected-count pieces as the vocabulary.
+  *
+  * Reference scope note: the reference warehouse has no tokenizer
+  * stage; this is LLM-pipeline extension surface, sibling to q108's
+  * BPE trainer and sharing its canonical-token word space.
+  *
+  * Semantics (all integer micro-nats, engine-exact):
+  *   - words = canonical tokens of length 1..`maxWordLen` with corpus
+  *     frequencies (longer words are EXCLUDED from training — declared
+  *     clamp, the SentencePiece max-piece/max-sentence discipline);
+  *   - seed pieces = every substring of length 1..`maxPieceLen` of
+  *     every word, occurrence-weighted by word frequency;
+  *   - piece cost = `round(-1e6 · ln((cnt+1)/(T+P)))` (Laplace
+  *     smoothing over the current piece table: T = Σ cnt, P = |pieces|
+  *     — the q35 once-rounded micro-nat idiom, so costs reproduce
+  *     bit-for-bit cross-engine);
+  *   - each EM round: E-step Viterbi-segments every word under the
+  *     current costs (dp over positions, ties broken to the LONGER
+  *     piece — deterministic), attributing word frequency to the
+  *     pieces on the best path; pieces with zero expected count are
+  *     pruned (single-character pieces are always kept, so every word
+  *     stays segmentable); M-step re-scores the survivors;
+  *   - after `emRounds` rounds the vocabulary is the top `vocabSize`
+  *     pieces by (expected count desc, piece asc) plus all single
+  *     characters.
+  *
+  * Scale shape — the q108 contract: ONE corpus pass collapses to the
+  * (word, frequency) table (the only corpus-scale shuffle; output is
+  * vocabulary-sized), and everything after — seeding, the
+  * `maxWordLen`-step dp, backtracking, counting, re-scoring — runs
+  * over that vocab table alone. The dp is a fixed unroll of
+  * `maxWordLen` join+aggregate steps (checkpointed every 4 so the
+  * iterative plan never grows); backtracking is a chain of pure
+  * projections (no joins) that Catalyst collapses into one codegen
+  * stage. No step's cost depends on corpus size, so the same plan
+  * trains on 100 TB with only the word-frequency shuffle growing.
+  *
+  * Determinism: counts are exact BIGINTs; dp costs are once-rounded
+  * micro-nat BIGINTs; every tie-break is total (cost asc, piece length
+  * desc / count desc, piece asc) — the output hash-matches an unrolled
+  * ANSI-SQL oracle (the q108 gating precedent).
+  */
+object UnigramLm {
+
+  /** Train the vocabulary. Output: one row per kept piece —
+    * `piece`, `n_exp` (expected count from the final E-step, BIGINT),
+    * `nll_micro` (final re-scored cost), `rank` (1-based by
+    * (n_exp desc, piece asc); single-char pieces kept past
+    * `vocabSize` retain their global rank). */
+  def train(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 3,
+      maxWordLen: Int = 12,
+      emRounds: Int = 2,
+      vocabSize: Int = 64): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(maxWordLen >= maxPieceLen,
+      s"maxWordLen ($maxWordLen) must be >= maxPieceLen ($maxPieceLen)")
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    // ONE corpus pass: the word-frequency table. Everything below is
+    // vocabulary-sized.
+    val words = graft.util.Blocks.lazyCheckpoint(
+      docs
+        .select(explode(WordGrams.tokens(col(textCol))).as("w"))
+        // tokens() emits "" for empty/canonical-empty text; the lower
+        // bound also guards the seed explode (sequence(1, len) would
+        // run DESCENDING on len = 0 in Spark)
+        .where(length(col("w")).between(1, maxWordLen))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wc"))
+        .withColumn("len", length(col("w"))))
+    // Laplace-smoothed once-rounded micro-nat cost over a (p, cnt)
+    // table — T and P are metadata-sized aggregates, broadcast.
+    def rescore(cnts: DataFrame): DataFrame =
+      cnts
+        .crossJoin(broadcast(
+          cnts.agg(sum(col("cnt")).as("_t"), count(lit(1)).as("_np"))))
+        .select(col("p"), col("cnt"),
+          round(lit(-1e6) *
+            log((col("cnt") + lit(1.0)) / (col("_t") + col("_np"))))
+            .cast("long").as("nll"))
+    val seed = words
+      .select(col("w"), col("wc"),
+        explode(sequence(lit(1), col("len"))).as("i"), col("len"))
+      .select(col("w"), col("wc"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("len") - col("i") + 1))).as("l"))
+      .select(col("w").substr(col("i"), col("l")).as("p"), col("wc"))
+      .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
+    var pieces = graft.util.Blocks.lazyCheckpoint(rescore(seed))
+    for (_ <- 1 to emRounds) {
+      // E-step: Viterbi dp, a fixed unroll over positions. State per
+      // word: dp(0..i) costs and bl(1..i) chosen piece lengths as
+      // array columns (element k+1 = position k; bl's position-0
+      // element is a dummy 0).
+      var state = words.select(col("w"), col("wc"), col("len"),
+        array(lit(0L)).as("dp"), array(lit(0)).as("bl"))
+      for (i <- 1 to maxWordLen) {
+        val best = state.where(col("len") >= i)
+          .select(col("w"), col("dp"),
+            explode(sequence(lit(1), lit(math.min(maxPieceLen, i))))
+              .as("l"))
+          .select(col("w"), col("l"),
+            col("w").substr(lit(i) - col("l") + 1, col("l")).as("p"),
+            element_at(col("dp"), lit(i) - col("l") + 1).as("_dprev"))
+          .join(pieces.select(col("p"), col("nll")), "p")
+          .select(col("w"), col("l"),
+            (col("_dprev") + col("nll")).as("cost"))
+          // ties to the LONGER piece: min on (cost, -l); l rides third
+          // for retrieval and never decides (one row per l per word)
+          .groupBy(col("w"))
+          .agg(min(struct(col("cost"), (-col("l")).as("negl"),
+            col("l").as("bl"))).as("b"))
+        state = state.join(best, Seq("w"), "left")
+          .select(col("w"), col("wc"), col("len"),
+            when(col("len") >= i,
+              concat(col("dp"), array(col("b.cost"))))
+              .otherwise(col("dp")).as("dp"),
+            when(col("len") >= i,
+              concat(col("bl"), array(col("b.bl"))))
+              .otherwise(col("bl")).as("bl"))
+        // bound the iterative plan; frames are vocab-sized, so the
+        // superseded blocks are left to the ContextCleaner
+        if (i % 4 == 0 || i == maxWordLen)
+          state = graft.util.Blocks.lazyCheckpoint(state)
+      }
+      // Backtrack: ONE aggregate() higher-order expression per word —
+      // walk pos from len by bl(pos), collecting pieces. A chain of
+      // per-step projections would be semantically identical but
+      // CollapseProject inlines it into one projection whose
+      // pos/acc expressions duplicate 2^maxWordLen-fold (measured:
+      // a CPU blow-up that starved the executor heartbeat); the HOF
+      // keeps the expression tree fixed-size and runs maxWordLen
+      // interpreted iterations per word over a vocab-sized frame.
+      val bt = state.select(col("w"), col("wc"),
+        expr(s"""aggregate(
+          sequence(1, $maxWordLen),
+          named_struct('pos', len, 'acc', cast(array() as array<string>)),
+          (st, x) -> if(st.pos > 0,
+            named_struct(
+              'pos', st.pos - element_at(bl, st.pos + 1),
+              'acc', concat(st.acc, array(substring(w,
+                st.pos - element_at(bl, st.pos + 1) + 1,
+                element_at(bl, st.pos + 1))))),
+            st),
+          st -> st.acc)""").as("acc"))
+      val used = bt
+        .select(explode(col("acc")).as("p"), col("wc"))
+        .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
+      // prune (zero expected count, unless single-char) + M-step
+      val cnts = pieces.select(col("p"))
+        .join(used, Seq("p"), "left")
+        .select(col("p"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .where(col("cnt") > 0 || length(col("p")) === 1)
+      pieces = graft.util.Blocks.lazyCheckpoint(rescore(cnts))
+    }
+    // vocabulary cut — one global window over the metadata-sized
+    // final piece table (the BpeStats.pairCounts precedent)
+    pieces
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("p").asc)))
+      .where(col("rank") <= vocabSize || length(col("p")) === 1)
+      .select(col("p").as("piece"), col("cnt").as("n_exp"),
+        col("nll").as("nll_micro"), col("rank"))
+  }
+}
