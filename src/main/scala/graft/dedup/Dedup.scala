@@ -63,6 +63,79 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** LONGEST shared canonical span per document pair — the
+    * exact-substring-dedup reporting shape ("how much do these two
+    * documents overlap, and is it one long paste or scattered
+    * boilerplate?"), extending [[substringDupGroups]]'s fixed-`k`
+    * collision report to span LENGTHS without any per-length re-scan.
+    *
+    * The trick is positional: a shared span of length L ≥ k produces
+    * exactly L−k+1 MATCHED k-window positions on one diagonal
+    * (pos_b − pos_a constant), and conversely a maximal run of m
+    * consecutive matched positions on a diagonal is a shared span of
+    * length k+m−1. So ONE window-hash equi-join at the base length
+    * plus a gaps-and-islands run-length pass yields the longest span
+    * exactly — no binary search over lengths, no re-hashing.
+    *
+    * Scale: matched positions are the inherent cost (every shared
+    * span's windows must meet SOMEWHERE to be discovered); the
+    * `maxDocsPerWindow` cap drops windows hotter than the cap before
+    * pairing (declared winnowing: a span whose every window is
+    * corpus-boilerplate beyond the cap goes unreported; spans with any
+    * sub-cap window segment still surface, possibly split). Windows
+    * shared by < 2 docs are pruned before the self-join. The island
+    * rank partitions by (id_a, id_b, d) — pair-diagonal cardinality,
+    * groups bounded by document length.
+    *
+    * Hash-collision note: like [[substringDupGroups]] (and its
+    * oracle), window identity is the Rabin–Karp hash — a cross-doc
+    * collision could fuse two runs; mod 2³¹−1 on gate corpora the
+    * probability is negligible, and both engines share the formula so
+    * the gate is hash-exact regardless.
+    *
+    * @return per ordered pair: `id_a < id_b`, `span_len` (longest
+    *         shared canonical span, chars), `n_runs` (distinct shared
+    *         spans ≥ k), `n_anchors` (total matched window positions)
+    */
+  def longestSharedSpan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDocsPerWindow: Long = 50L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val wpos = docs.select(col(idCol).as("id"),
+      posexplode(graft.expressions.RollingWindows.rollingWindows(
+        TextAnalysis.canonical(col(textCol)), k)).as(Seq("pos", "wh")))
+    val wposCp = graft.util.Blocks.checkpoint(wpos)
+    val eligible = wposCp.df
+      .groupBy(col("wh"))
+      .agg(count_distinct(col("id")).as("_nd"))
+      .where(col("_nd") >= 2 && col("_nd") <= maxDocsPerWindow)
+      .select(col("wh"))
+    val w2 = graft.util.Blocks.checkpoint(wposCp.df.join(eligible, "wh"))
+    wposCp.release()
+    val m = w2.df.as("a")
+      .join(w2.df.as("b"),
+        col("a.wh") === col("b.wh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"),
+        (col("b.pos") - col("a.pos")).as("d"))
+    val runs = m
+      .withColumn("_isl", col("pos_a") - row_number().over(
+        Window.partitionBy(col("id_a"), col("id_b"), col("d"))
+          .orderBy(col("pos_a"))))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("_isl"))
+      .agg(count(lit(1)).as("_run"))
+    val out = graft.util.Blocks.checkpoint(runs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((lit(k - 1) + max(col("_run"))).cast("long").as("span_len"),
+        count(lit(1)).cast("long").as("n_runs"),
+        sum(col("_run")).cast("long").as("n_anchors")))
+    w2.release()
+    out.df
+  }
+
   /** Incremental corpus dedup: collapse an incoming batch against an
     * EXISTING snapshot's fingerprint set — the daily-ingest shape, where
     * re-fingerprinting the whole corpus per batch is off the table.

@@ -3877,6 +3877,112 @@ object PipelineQueries {
        |WHERE rk.sample_rank <= qt.n_quota
        |ORDER BY rk.cluster, rk.sample_rank""".stripMargin
 
+  // ------------------------------------------------------------------ q138
+  /** URL/domain-level curation ([[graft.curate.DomainCuration]]):
+    * registrable-domain extraction (PSL-approximation: last-2 labels,
+    * last-3 on listed multi-part suffixes), a blocklist anti-join and
+    * a deterministic per-domain cap of 5 docs (q84's md5-order
+    * two-phase top-k) — the RefinedWeb-style stage between crawl and
+    * text filtering. The documents table carries no URL, so the query
+    * SYNTHESIZES one per doc (deterministic arithmetic on doc_id:
+    * www/blog/apex subdomain by id mod 3, 97 sites, four TLDs
+    * including a multi-part one) — both engines compute the identical
+    * string, so the gate exercises extraction, not the synthesizer.
+    * Hash-exact oracle. */
+  def q138DomainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("www."))
+        .when(col("doc_id") % 3 === 1, lit("blog."))
+        .otherwise(lit("")),
+      lit("site"), (col("doc_id") % 97).cast("string"), lit("."),
+      element_at(
+        array(lit("com"), lit("org"), lit("net"), lit("co.uk")),
+        ((col("doc_id") % 97) % 4 + 1).cast("int")),
+      lit("/p/"), col("doc_id").cast("string"))
+    val docs = docsSpread(s, dir)
+      .select(col("doc_id"), url.as("url"))
+    val blocklist = Seq("site13.com", "site7.co.uk", "site40.net")
+      .toDF("domain")
+    graft.curate.DomainCuration.curate(docs, "doc_id", "url",
+        blocklist, cap = 5)
+      .select(col("domain"), col("doc_id"), col("url"), col("sample_rank"))
+      .orderBy(col("domain"), col("sample_rank"))
+  }
+
+  val q138Oracle: String =
+    """WITH u AS (SELECT doc_id,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'www.'
+      |         WHEN doc_id % 3 = 1 THEN 'blog.' ELSE '' END ||
+      |    'site' || (doc_id % 97) || '.' ||
+      |    CASE (doc_id % 97) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |         WHEN 2 THEN 'net' ELSE 'co.uk' END ||
+      |    '/p/' || doc_id AS url
+      |  FROM documents),
+      |h AS (SELECT doc_id, url,
+      |    string_split(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), '.') AS hp
+      |  FROM u),
+      |d AS (SELECT doc_id, url,
+      |    CASE WHEN len(hp) >= 3 AND (hp[-2] || '.' || hp[-1]) IN
+      |        ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',
+      |         'co.jp','ne.jp','or.jp','co.in','co.nz','co.za','co.kr',
+      |         'com.br','com.mx','com.sg','com.cn','com.tr')
+      |      THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+      |      WHEN len(hp) >= 2 THEN hp[-2] || '.' || hp[-1]
+      |      ELSE array_to_string(hp, '.') END AS domain
+      |  FROM h),
+      |kept AS (SELECT * FROM d
+      |  WHERE domain NOT IN ('site13.com', 'site7.co.uk', 'site40.net')),
+      |rk AS (SELECT domain, doc_id, url,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY md5(doc_id::VARCHAR || 'graft'), doc_id) AS sample_rank
+      |  FROM kept)
+      |SELECT domain, doc_id, url, CAST(sample_rank AS INTEGER) AS sample_rank
+      |FROM rk WHERE sample_rank <= 5
+      |ORDER BY domain, sample_rank""".stripMargin
+
+  // ------------------------------------------------------------------ q139
+  /** Longest shared canonical span per document pair
+    * ([[Dedup.longestSharedSpan]]): q63's fixed-20-char window
+    * collisions upgraded to exact span LENGTHS via the diagonal
+    * run-length identity — a shared span of length L is exactly a run
+    * of L−19 consecutive matched window positions on one diagonal, so
+    * one hash equi-join + gaps-and-islands replaces any per-length
+    * re-scan. Windows hotter than 50 docs are dropped before pairing
+    * (declared winnowing); the oracle replicates hash, cap and run
+    * logic — hash-exact (sf0.01 gate; the pair join is q63-family
+    * quadratic in DuckDB beyond). */
+  def q139LongestSpan(s: SparkSession, dir: String): DataFrame =
+    Dedup.longestSharedSpan(docsSpread(s, dir), "doc_id", "text", k = 20)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q139Oracle: String =
+    """WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ct
+      |  FROM documents),
+      |p AS (SELECT doc_id, ct,
+      |    unnest(generate_series(1, greatest(length(ct) - 19, 0))) AS i
+      |  FROM c),
+      |w AS (SELECT doc_id, i - 1 AS pos, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(CAST(i AS INT), CAST(i + 19 AS INT)),
+      |      j -> CAST(ascii(substr(ct, CAST(j AS INT), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 257 + x) % 2147483647) AS wh
+      |  FROM p),
+      |el AS (SELECT wh FROM w GROUP BY wh
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+      |w2 AS (SELECT w.* FROM w JOIN el USING (wh)),
+      |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+      |    b.pos - a.pos AS d
+      |  FROM w2 a JOIN w2 b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+      |r AS (SELECT id_a, id_b, d, pos_a,
+      |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a) AS isl
+      |  FROM m),
+      |runs AS (SELECT id_a, id_b, d, isl, count(*) AS run
+      |  FROM r GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, CAST(19 + max(run) AS BIGINT) AS span_len,
+      |  CAST(count(*) AS BIGINT) AS n_runs, CAST(sum(run) AS BIGINT) AS n_anchors
+      |FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------------ q137
   /** Unigram-LM (SentencePiece-style) tokenizer vocabulary
     * ([[graft.text.UnigramLm.train]]): 2 EM rounds of Viterbi

@@ -179,7 +179,7 @@ class PlanRegressionSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // windows from these plans — those shapes are asserted at unit
     // level (SurrogateKeysSpec, DedupSpec).
     val highCard = Set("fp", "doc_id", "query_id", "id", "user_id",
-      "neighbor_id", "key", "blk", "tbl", "bkt", "cluster_id",
+      "neighbor_id", "id_a", "id_b", "key", "blk", "tbl", "bkt", "cluster_id",
       "natural_key", "event_id", "token", "tok", "c_custkey", "o_custkey",
       "o_orderkey", "l_orderkey", "s_suppkey", "p_partkey", "full_date")
     val isBucket = (c: String) => c.endsWith("_bkt") || c.endsWith("_qbkt")

@@ -580,6 +580,49 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("longestSharedSpan matches brute-force longest common substring") {
+    val paste = "this exact paragraph was pasted verbatim between the " +
+      "two documents and runs well past the window size"
+    val short = "a shared sentence of overlap" // 28 chars
+    val docs = Seq(
+      (1L, s"doc one opens differently. $paste And then doc one ends."),
+      (2L, s"Second document intro text! $paste Totally other closing."),
+      (3L, s"third text has $short plus unrelated padding words here"),
+      (4L, s"fourth one carries $short too but nothing else in common"),
+      (5L, "entirely disjoint content about basalt columns and tides"))
+      .toDF("id", "text")
+    val k = 20
+    val got = Dedup.longestSharedSpan(docs, "id", "text", k)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute-force LCS length over the canonical strings
+    def canon(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    def lcs(a: String, b: String): Int = {
+      var best = 0
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = math.max(best, dp(i)(j))
+        }
+      best
+    }
+    val raw = Seq(
+      1L -> s"doc one opens differently. $paste And then doc one ends.",
+      2L -> s"Second document intro text! $paste Totally other closing.",
+      3L -> s"third text has $short plus unrelated padding words here",
+      4L -> s"fourth one carries $short too but nothing else in common",
+      5L -> "entirely disjoint content about basalt columns and tides")
+      .toMap
+    for (a <- raw.keys; b <- raw.keys if a < b) {
+      val expect = lcs(canon(raw(a)), canon(raw(b)))
+      if (expect >= k)
+        assert(got((a, b)) === expect.toLong, s"pair ($a,$b)")
+      else
+        assert(!got.contains((a, b)), s"pair ($a,$b) below window size")
+    }
+  }
+
   private def containmentCorpus = {
     import spark.implicits._
     val wrapper = "every page of this site carries the same header " +
