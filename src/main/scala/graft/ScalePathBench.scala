@@ -2,12 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off measurement harness for SCALE-PATH configurations of
-  * edge/label-source-agnostic operators — the q132 split fed by the
-  * cluster-first collapse labels instead of the gate-scale exact pair
-  * tier, and the q135 PageRank fed by the persisted kNN edge store
-  * instead of the exact Jaccard pairs. Prints one JSON line per
-  * configuration. args: <sfDir> [split|pagerank|all] */
+/** Measurement harness for SCALE-PATH configurations of edge/label-
+  * source-agnostic operators — the q132 split fed by the cluster-first
+  * collapse labels instead of the gate-scale exact pair tier, the q135
+  * PageRank fed by the persisted kNN edge store instead of the exact
+  * Jaccard pairs, and the edge store's own recall against brute-force
+  * truth at the measured scale.
+  *
+  * Prints one JSON line per configuration AND writes the lot to
+  * `SCALEPATH_SELF.json` (cwd) — the machine-readable sidecar, so the
+  * cluster-first tiers' walls and audit booleans are regression-
+  * gateable artifacts like RECALL_SELF.json, not prose.
+  *
+  * args: <sfDir> [split|pagerank|recall|all] */
 object ScalePathBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft-sf10")
@@ -20,24 +27,35 @@ object ScalePathBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val recorded =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       graft.util.Blocks.releaseAll(spark)
       System.gc()
     }
-    def timed(metric: String, run: () => Long): Unit = {
+    /** Warm-up pass then one timed pass; `audits` computed from the
+      * timed pass's returned row count (and any probes the section
+      * closes over), recorded as JSON booleans/numbers. */
+    def timed(metric: String, run: () => Long,
+        audits: Long => Seq[(String, String)] = _ => Seq.empty): Unit = {
       run() // warm-up pass (JIT/codegen), then the timed pass
       sweep()
       val t0 = System.nanoTime()
       val n = run()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"$metric%s","sf":"$dir%s","rows":$n%d,"sec":$sec%.2f}""")
+      val extra = audits(n).map { case (k, v) => s""","$k":$v""" }.mkString
+      val line =
+        f"""{"sf":"$dir%s","rows":$n%d,"sec":$sec%.2f$extra%s}"""
+      println(s"""{"metric":"$metric",${line.drop(1)}""")
+      recorded(metric) = line
       sweep()
     }
 
     if (which == "all" || which == "split") {
       val docs = graft.sources.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
+      val nDocs = docs.count()
       timed("q132_scale_path_cluster_first", () => {
         val labels = graft.dedup.Dedup.nearDupCollapse(
           docs, "doc_id", "text", threshold = 0.5)
@@ -47,10 +65,12 @@ object ScalePathBench {
             Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
           .groupBy(col("split")).agg(count(lit(1)).as("n"))
           .collect().map(_.getLong(1)).sum
-      })
+      }, assigned => Seq(
+        "n_docs" -> nDocs.toString,
+        "all_assigned" -> (assigned == nDocs).toString))
     }
 
-    if (which == "all" || which == "pagerank") {
+    if (which == "all" || which == "pagerank" || which == "recall") {
       // q135's corpus-scale configuration: the edge set comes from the
       // persisted kNN edge store (built ONCE, shared by q123/q126/q135
       // in a real pipeline), symmetrized to undirected distinct pairs.
@@ -60,6 +80,7 @@ object ScalePathBench {
           graft.sources.Tables.embeddings(spark, dir), col("vec_id"))
         .select(col("vec_id"), col("embedding"))
       val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+      val nVecs = e.count()
       val store = java.nio.file.Files
         .createTempDirectory("graft-spb-edges-").toString
       timed("q135_scale_path_edge_build", () => {
@@ -68,18 +89,59 @@ object ScalePathBench {
           maxBucketSize = 2000)
         graft.sim.KnnEdgeStore.readLatest(spark, store).count()
       })
-      timed("q135_scale_path_pagerank_consumer", () => {
+      if (which == "all" || which == "recall") {
+        // Edge-store recall at THIS scale against exact brute-force
+        // truth: recall@5 over a fixed probe set, the q119 in-query
+        // definition (fraction of true top-5 pairs present among the
+        // store's edges) — the number the auto-sized plane depth
+        // trades against candidate volume as the corpus grows.
         val edges = graft.sim.KnnEdgeStore.readLatest(spark, store)
-          .select(
-            least(col("query_id"), col("neighbor_id")).as("id_a"),
-            greatest(col("query_id"), col("neighbor_id")).as("id_b"))
-          .distinct()
-        graft.graph.PageRank.pageRank(
+          .select(col("query_id"), col("neighbor_id"))
+        val truth = graft.sim.Ann.bruteForceTopK(
+            e.where(col("vec_id") < 64), e, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTruth = truth.count()
+        val hit = truth.join(edges, Seq("query_id", "neighbor_id"),
+          "left_semi").count()
+        val recall =
+          if (nTruth == 0) 1.0 else hit.toDouble / nTruth
+        val line = f"""{"sf":"$dir%s","n_vecs":$nVecs%d,""" +
+          f""""n_truth":$nTruth%d,"measured_recall":$recall%.3f,""" +
+          f""""recall_floor":0.4,"recall_ok":${recall >= 0.4}%s}"""
+        println(s"""{"metric":"knn_edge_store_recall_at5",${line.drop(1)}""")
+        recorded("knn_edge_store_recall_at5") = line
+      }
+      if (which == "all" || which == "pagerank") {
+        val basePpm = 150000L
+        timed("q135_scale_path_pagerank_consumer", () => {
+          val edges = graft.sim.KnnEdgeStore.readLatest(spark, store)
+            .select(
+              least(col("query_id"), col("neighbor_id")).as("id_a"),
+              greatest(col("query_id"), col("neighbor_id")).as("id_b"))
+            .distinct()
+          val pr = graft.graph.PageRank.pageRank(
             e.select(col("vec_id")), "vec_id", edges,
             iters = 2, dampPpm = 850000L)
-          .agg(sum(col("pr_micro"))).collect().head.getLong(0)
-      })
+          val r = pr.agg(count(lit(1)).as("n"),
+            sum(col("pr_micro")).as("mass"),
+            min(col("pr_micro")).as("floor")).head()
+          // every node scored, none below the teleport base
+          if (r.getLong(0) == nVecs && r.getLong(2) >= basePpm)
+            r.getLong(0)
+          else -1L
+        }, n => Seq(
+          "n_vecs" -> nVecs.toString,
+          "all_scored_above_base" -> (n == nVecs).toString))
+      }
     }
+    val json = recorded.map { case (m, line) =>
+      s"""  "$m": ${line.replace("{", "{\n   ").replace(",\"", ",\n   \"")
+        .replace("}", "\n  }")}"""
+    }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALEPATH_SELF.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(s"wrote SCALEPATH_SELF.json (${recorded.size} entries)")
     spark.stop()
   }
 }

@@ -553,18 +553,21 @@ object Dedup {
     * pairs collapsing to ~2.9 k clusters — the pair LIST, not the
     * candidates, is what a pair-output operator chokes on).
     *
-    * Shape: MinHash banding buckets the corpus, each member links to
-    * its bucket's `2·edgesPerDoc + 1` smallest ids (bit-identical to
-    * the full per-bucket pair stream after the global smallest-`2e`
-    * cut per doc — a surviving partner is necessarily among the
-    * bucket's smallest below the member — but LINEAR in bucket
-    * membership, so a dense boilerplate family costs size·2e rows
-    * instead of size²), exact-Jaccard verification runs over those
-    * ≤ n·2·edgesPerDoc candidates, and per doc the `edgesPerDoc`
-    * SMALLEST verified partners below it form the spanning edge set
-    * checkpointed and fed to [[connectedComponents]]. No stage is
-    * quadratic in family size; `maxBucketSize` remains only a skew
-    * backstop for degenerate signature collisions.
+    * Shape: MinHash banding buckets the corpus; buckets up to
+    * `directBucketMax` take the plain per-bucket self-join (s² ≤
+    * s·directBucketMax — linear, and the cheap path on sparse-bucket
+    * corpora), larger buckets link each member to the bucket's
+    * `2·edgesPerDoc + 1` smallest ids instead (bit-identical to the
+    * full pair stream after the global smallest-`2e` cut per doc — a
+    * surviving partner is necessarily among the bucket's smallest
+    * below the member — but LINEAR in bucket membership, so a dense
+    * boilerplate family costs size·2e rows instead of size²).
+    * Exact-Jaccard verification runs over the bounded candidate
+    * union, and per doc the `edgesPerDoc` SMALLEST verified partners
+    * below it form the spanning edge set checkpointed and fed to
+    * [[connectedComponents]]. No stage is quadratic in family size;
+    * `maxBucketSize` remains only a skew backstop for degenerate
+    * signature collisions.
     *
     * Connectivity trade, stated honestly: inside a DENSE cluster every
     * member links to its `edgesPerDoc` smallest verified partners, so
@@ -588,10 +591,12 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucketSize: Int = 100000,
-      edgesPerDoc: Int = 8): DataFrame =
+      edgesPerDoc: Int = 8,
+      directBucketMax: Int = 64): DataFrame =
     nearDupCollapseFromShingles(
       shingleTable(df, idCol, textCol, shingleK),
-      numPerm, bands, threshold, maxBucketSize, edgesPerDoc)
+      numPerm, bands, threshold, maxBucketSize, edgesPerDoc,
+      directBucketMax)
 
   /** [[nearDupCollapse]] over a PRE-BUILT shingle table (`id`, `sh` —
     * the [[shingleTable]] shape), so the caller picks the similarity
@@ -605,43 +610,63 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucketSize: Int = 100000,
-      edgesPerDoc: Int = 8): DataFrame = {
+      edgesPerDoc: Int = 8,
+      directBucketMax: Int = 64): DataFrame = {
     require(edgesPerDoc >= 1, s"edgesPerDoc must be >= 1, got $edgesPerDoc")
+    require(directBucketMax >= 1,
+      s"directBucketMax must be >= 1, got $directBucketMax")
     val shCp = graft.util.Blocks.checkpoint(shingled)
     val sig = minHashSignaturesFromShingles(shCp.df, numPerm)
     val buckets = sig.select(col("id"),
       explode(bandKeys(bands, numPerm / bands)).as("bk"))
-    val capped = graft.util.Blocks.checkpoint(
-      capBuckets(buckets, maxBucketSize))
     // Candidates stay IDS-ONLY and the stream is LINEAR in bucket
     // membership, not quadratic: the global cut below keeps per id_b
     // only the `2·edgesPerDoc` SMALLEST partners (headroom: band
     // collisions below the similarity threshold fail verification and
     // consume cap slots), and any partner that survives that cut is
     // necessarily among the `2·edgesPerDoc` smallest ids below id_b
-    // WITHIN its own bucket — so each member need only be linked to
-    // its bucket's `2·edgesPerDoc + 1` smallest ids (those below
-    // itself), which is bit-identical to the full per-bucket pair
-    // stream after the cut. The old bucket self-join was
-    // family-quadratic before the cut could absorb anything
-    // (measured: a dense replica family made the verify stage ~125 s
-    // of q130's 160 s at 100×); this form is Σ_buckets size·2e rows.
-    // Bucket-low ids come from a salted two-phase rank so no single
-    // task ever sorts a whole dense-family bucket.
+    // WITHIN its own bucket. Buckets split by size, two generators,
+    // one union — bit-identical output either way (the small side's
+    // extra candidates are exactly the ones the proof shows the
+    // global cut discards):
+    //   - size ≤ `directBucketMax`: the plain per-bucket self-join —
+    //     s² ≤ s·directBucketMax rows, STILL linear overall, and
+    //     cheaper than the bucket-low machinery on the sparse-bucket
+    //     corpora where nearly every bucket is tiny (measured: the
+    //     bucket-low-only form tripled the 100× cluster-first split
+    //     wall on word-shingle space);
+    //   - size > `directBucketMax`: link each member to its bucket's
+    //     `2·edgesPerDoc + 1` smallest ids (salted two-phase rank, no
+    //     single-task bucket sort) — size·2e rows where the old
+    //     self-join was family-quadratic (measured: a dense replica
+    //     family made the verify stage ~125 s of q130's 160 s at
+    //     100×, q54 333 s).
     val e2 = 2 * edgesPerDoc
+    val capped = graft.util.Blocks.checkpoint(
+      buckets
+        .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bk"))))
+        .where(col("bsz") <= maxBucketSize))
+    val small = capped.df.where(col("bsz") <= directBucketMax)
+    val large = capped.df.where(col("bsz") > directBucketMax)
+    val candSmall = small.as("l")
+      .join(small.as("r"),
+        col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
     val wSalt = Window.partitionBy(col("bk"), col("_salt"))
       .orderBy(col("id"))
-    val bucketLow = capped.df
+    val bucketLow = large
       .withColumn("_salt", pmod(xxhash64(col("id").cast("string")), lit(256)))
       .withColumn("_r", row_number().over(wSalt))
       .where(col("_r") <= e2 + 1)
       .groupBy(col("bk"))
       .agg(slice(array_sort(collect_set(col("id"))), 1, e2 + 1).as("_blo"))
-    val candEdges = capped.df
+    val candLarge = large
       .join(bucketLow, "bk")
       .select(col("id").as("id_b"),
         explode(slice(filter(col("_blo"), x => x < col("id")), 1, e2))
           .as("id_a"))
+      .select(col("id_a"), col("id_b"))
+    val candEdges = candSmall.unionByName(candLarge)
       .groupBy(col("id_b"))
       .agg(slice(array_sort(collect_set(col("id_a"))), 1, e2)
         .as("_ndc_lo"))

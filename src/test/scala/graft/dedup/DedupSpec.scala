@@ -549,9 +549,18 @@ class DedupSpec extends SparkSpec {
     val edgesPerDoc = 2
     val shingled =
       Dedup.shingleTable(docs, "id", "text", 3).persist()
+    // default directBucketMax (64): the 30-member family rides the
+    // small-bucket self-join tier
     val got = Dedup.nearDupCollapseFromShingles(
         shingled, threshold = 0.5, edgesPerDoc = edgesPerDoc)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // directBucketMax = 4: the same family forced through the
+    // large-bucket bucket-low tier — must be identical
+    val gotLow = Dedup.nearDupCollapseFromShingles(
+        shingled, threshold = 0.5, edgesPerDoc = edgesPerDoc,
+        directBucketMax = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === gotLow)
     // legacy quadratic candidate stream, verbatim: per-bucket full
     // self-join, then the global smallest-2e cut per id_b
     val sig = Dedup.minHashSignaturesFromShingles(shingled, 32)
