@@ -136,6 +136,79 @@ object Dedup {
     out.df
   }
 
+  /** Per-document duplicated-span COVERAGE — the Lee-et-al "how much
+    * of each document is duplicated text" metric: the number of
+    * canonical character positions covered by at least one length-`k`
+    * window shared with ANOTHER document, as an exact count and an
+    * integer-ppm share of the document. The per-doc aggregate of what
+    * [[longestSharedSpan]] reports per pair — and unlike the pair
+    * view, it needs NO pair join at all: a window is "shared" iff its
+    * hash occurs in ≥ 2 documents, so the plan is window explode →
+    * hash-keyed document-frequency → join back → per-doc interval
+    * union. Linear at any scale; no cap parameter needed.
+    *
+    * The interval union is gaps-and-islands with a gap threshold:
+    * matched window positions within `k` of each other overlap, so
+    * consecutive positions with gap < `k` merge into one covered
+    * interval of length (last − first + k). Window partitions key on
+    * the document id — per-doc cardinality, groups bounded by doc
+    * length.
+    *
+    * Docs with no shared window report zeros (left join) — the output
+    * is one row per input document.
+    *
+    * @return (`idCol`, `n_shared_windows`, `covered_chars`,
+    *         `total_chars`, `dup_ppm`) */
+  def spanCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.canonical(col(textCol)).as("ct"))
+    val wpos = base.select(col("id"),
+      posexplode(graft.expressions.RollingWindows.rollingWindows(
+        col("ct"), k)).as(Seq("pos", "wh")))
+    val wposCp = graft.util.Blocks.checkpoint(wpos)
+    val shared = wposCp.df
+      .groupBy(col("wh"))
+      .agg(count_distinct(col("id")).as("_nd"))
+      .where(col("_nd") >= 2)
+      .select(col("wh"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val covered = wposCp.df
+      .join(shared, "wh")
+      .select(col("id"), col("pos")).distinct()
+      .withColumn("_gap",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) < k, 0)
+          .otherwise(1))
+      .withColumn("_isl",
+        sum(col("_gap")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_isl"))
+      .agg(count(lit(1)).as("_n"),
+        (max(col("pos")) - min(col("pos")) + k).as("_cov"))
+      .groupBy(col("id"))
+      .agg(sum(col("_n")).as("n_shared_windows"),
+        sum(col("_cov")).as("covered_chars"))
+    val out = graft.util.Blocks.checkpoint(
+      base.select(col("id"), length(col("ct")).cast("long").as("total_chars"))
+        .join(covered, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("n_shared_windows"), lit(0L)).cast("long")
+            .as("n_shared_windows"),
+          coalesce(col("covered_chars"), lit(0L)).cast("long")
+            .as("covered_chars"),
+          col("total_chars"),
+          when(col("total_chars") > 0,
+            expr("(1000000 * coalesce(covered_chars, CAST(0 AS BIGINT)))" +
+              " div total_chars"))
+            .otherwise(lit(0L)).as("dup_ppm")))
+    wposCp.release()
+    out.df
+  }
+
   /** Incremental corpus dedup: collapse an incoming batch against an
     * EXISTING snapshot's fingerprint set — the daily-ingest shape, where
     * re-fingerprinting the whole corpus per batch is off the table.

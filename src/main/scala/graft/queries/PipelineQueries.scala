@@ -3996,54 +3996,132 @@ object PipelineQueries {
     graft.text.UnigramLm.train(docsSpread(s, dir), "doc_id", "text")
       .orderBy(col("rank"))
 
-  /** The q137 oracle, generated: the same EM unrolled —
-    * per-position dp CTEs (candidate arms per piece length, winner by
+  // ------------------------------------------------------------------ q141
+  /** Per-document duplicated-span coverage ([[Dedup.spanCoverage]]):
+    * the share of each document's canonical characters covered by a
+    * 20-char window shared with another document — the Lee-et-al
+    * "fraction of the doc that is duplicated text" curation metric,
+    * q139's pair report rolled up per doc WITHOUT any pair join
+    * (shared = document frequency ≥ 2 on the window hash; coverage =
+    * per-doc interval union via gap-threshold gaps-and-islands).
+    * Linear at any scale; one row per doc, zeros for clean docs —
+    * hash-exact oracle. */
+  def q141SpanCoverage(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanCoverage(docsSpread(s, dir), "doc_id", "text", k = 20)
+      .orderBy(col("doc_id"))
+
+  val q141Oracle: String =
+    """WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ct
+      |  FROM documents),
+      |p AS (SELECT doc_id, ct,
+      |    unnest(generate_series(1, greatest(length(ct) - 19, 0))) AS i
+      |  FROM c),
+      |w AS (SELECT doc_id, i - 1 AS pos, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(CAST(i AS INT), CAST(i + 19 AS INT)),
+      |      j -> CAST(ascii(substr(ct, CAST(j AS INT), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 257 + x) % 2147483647) AS wh
+      |  FROM p),
+      |sh AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+      |mp AS (SELECT DISTINCT doc_id, pos FROM w JOIN sh USING (wh)),
+      |g AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 20
+      |      THEN 0 ELSE 1 END AS gap
+      |  FROM mp),
+      |isle AS (SELECT doc_id, pos,
+      |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM g),
+      |runs AS (SELECT doc_id, isl, count(*) AS n,
+      |    max(pos) - min(pos) + 20 AS cov
+      |  FROM isle GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_shared_windows,
+      |    CAST(sum(cov) AS BIGINT) AS covered_chars
+      |  FROM runs GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  CAST(coalesce(agg.n_shared_windows, 0) AS BIGINT) AS n_shared_windows,
+      |  CAST(coalesce(agg.covered_chars, 0) AS BIGINT) AS covered_chars,
+      |  CAST(length(ct) AS BIGINT) AS total_chars,
+      |  CAST(CASE WHEN length(ct) > 0
+      |    THEN (1000000 * coalesce(agg.covered_chars, 0)) // length(ct)
+      |    ELSE 0 END AS BIGINT) AS dup_ppm
+      |FROM c LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------ q140
+  /** Unigram-LM tokenizer ENCODE ([[graft.text.UnigramLm
+    * .encodeStats]]): apply q137's trained vocabulary to the corpus
+    * via one more vocab-bounded Viterbi pass and report per-doc
+    * tokenizer load (token count, character-symbol baseline, piece
+    * count, integer-ppm saving) — the q111-to-q108 relationship for
+    * the EM trainer. Hash-exact generated oracle (training chain +
+    * vocabulary cut + encode dp + doc rollup). */
+  def q140UnigramEncode(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.encodeStats(docsSpread(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Shared q137/q140 oracle machinery, generated: the EM unrolled as
+    * CTEs — per-position dp (candidate arms per piece length, winner by
     * (cost asc, length desc)), a backtrack walk over wide position
-    * columns, expected counts, prune + Laplace re-score — for 2 rounds,
-    * then the vocabulary cut. Parameters mirror [[graft.text.UnigramLm
-    * .train]] defaults (maxPieceLen 3, maxWordLen 12, vocabSize 64). */
-  val q137Oracle: String = {
-    val mp = 3; val mw = 12; val rounds = 2; val vs = 64
+    * columns, expected counts, prune + Laplace re-score — for `rounds`
+    * rounds. Parameters mirror [[graft.text.UnigramLm]] defaults
+    * (maxPieceLen 3, maxWordLen 12, vocabSize 64). Every CTE is
+    * emitted MATERIALIZED — load-bearing, not a hint: DuckDB inlines
+    * plain CTEs at every reference, and the dp chain references each
+    * predecessor twice per step, so inlined the scan count grows
+    * 2^steps (measured: "too many open files" before any row). */
+  private val UMp = 3; private val UMw = 12
+  private val URounds = 2; private val UVs = 64
+
+  /** Emit one dp unroll + backtrack over `words` with costs from
+    * `scoreCte`; expects `d${tag}_0` to exist; leaves `t${tag}_$UMw`
+    * (wide backtrack columns piece1..piece$UMw per word). */
+  private def unigramDpCtes(tag: String, scoreCte: String): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH toks AS (SELECT list_filter(
+    for (i <- 1 to UMw) {
+      val arms = (1 to math.min(UMp, i)).map { l =>
+        s"SELECT w, len, $l AS l, dp${i - l} AS dprev FROM d${tag}_${i - 1}"
+      }.mkString("\n      UNION ALL ")
+      sb ++= s"""c${tag}_$i AS (SELECT w, l, substring(w, $i - l + 1, l) AS p, dprev FROM (
+      $arms) WHERE len >= $i),
+b${tag}_$i AS (SELECT w, cost, l FROM (
+    SELECT c.w, c.dprev + s.nll AS cost, c.l,
+      row_number() OVER (PARTITION BY c.w ORDER BY c.dprev + s.nll ASC, c.l DESC) AS rn
+    FROM c${tag}_$i c JOIN $scoreCte s USING (p)) WHERE rn = 1),
+d${tag}_$i AS (SELECT d.*, b.cost AS dp$i, b.l AS bl$i
+  FROM d${tag}_${i - 1} d LEFT JOIN b${tag}_$i b USING (w)),
+"""
+    }
+    val blList = (1 to UMw).map(i => s"bl$i").mkString(", ")
+    sb ++= s"""t${tag}_0 AS (SELECT w, wc, len AS pos0, list_value($blList) AS bl FROM d${tag}_$UMw),
+"""
+    for (j <- 1 to UMw) {
+      sb ++= s"""t${tag}_$j AS (SELECT *,
+    CASE WHEN pos${j - 1} > 0 THEN substring(w, pos${j - 1} - bl[pos${j - 1}] + 1, bl[pos${j - 1}]) END AS piece$j,
+    CASE WHEN pos${j - 1} > 0 THEN pos${j - 1} - bl[pos${j - 1}] ELSE 0 END AS pos$j
+  FROM t${tag}_${j - 1}),
+"""
+    }
+    sb.toString
+  }
+
+  /** The common training chain: word table, seed costs, `URounds` EM
+    * rounds; leaves `sc$URounds` (final piece costs + counts). */
+  private def unigramTrainCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH toks AS (SELECT doc_id, list_filter(
     string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
     t -> len(t) > 0) AS l FROM documents),
 words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc, len(w) AS len
-  FROM (SELECT unnest(l) AS w FROM toks) WHERE len(w) BETWEEN 1 AND $mw GROUP BY w),
+  FROM (SELECT unnest(l) AS w FROM toks) WHERE len(w) BETWEEN 1 AND $UMw GROUP BY w),
 sp1 AS (SELECT w, wc, len, unnest(generate_series(1, len)) AS i FROM words),
-sp2 AS (SELECT w, wc, i, unnest(generate_series(1, least($mp, len - i + 1))) AS l FROM sp1),
+sp2 AS (SELECT w, wc, i, unnest(generate_series(1, least($UMp, len - i + 1))) AS l FROM sp1),
 seed AS (SELECT substring(w, i, l) AS p, CAST(sum(wc) AS BIGINT) AS cnt FROM sp2 GROUP BY 1),
 sc0 AS (SELECT p, cnt, CAST(round(-1e6 * ln((cnt + 1.0) /
   ((SELECT sum(cnt) FROM seed) + (SELECT count(*) FROM seed)))) AS BIGINT) AS nll FROM seed),
 d1_0 AS (SELECT w, wc, len, CAST(0 AS BIGINT) AS dp0 FROM words),
 """
-    for (r <- 1 to rounds) {
-      for (i <- 1 to mw) {
-        val arms = (1 to math.min(mp, i)).map { l =>
-          s"SELECT w, len, $l AS l, dp${i - l} AS dprev FROM d${r}_${i - 1}"
-        }.mkString("\n      UNION ALL ")
-        sb ++= s"""c${r}_$i AS (SELECT w, l, substring(w, $i - l + 1, l) AS p, dprev FROM (
-      $arms) WHERE len >= $i),
-b${r}_$i AS (SELECT w, cost, l FROM (
-    SELECT c.w, c.dprev + s.nll AS cost, c.l,
-      row_number() OVER (PARTITION BY c.w ORDER BY c.dprev + s.nll ASC, c.l DESC) AS rn
-    FROM c${r}_$i c JOIN sc${r - 1} s USING (p)) WHERE rn = 1),
-d${r}_$i AS (SELECT d.*, b.cost AS dp$i, b.l AS bl$i
-  FROM d${r}_${i - 1} d LEFT JOIN b${r}_$i b USING (w)),
-"""
-      }
-      val blList = (1 to mw).map(i => s"bl$i").mkString(", ")
-      sb ++= s"""t${r}_0 AS (SELECT w, wc, len AS pos0, list_value($blList) AS bl FROM d${r}_$mw),
-"""
-      for (j <- 1 to mw) {
-        sb ++= s"""t${r}_$j AS (SELECT *,
-    CASE WHEN pos${j - 1} > 0 THEN substring(w, pos${j - 1} - bl[pos${j - 1}] + 1, bl[pos${j - 1}]) END AS piece$j,
-    CASE WHEN pos${j - 1} > 0 THEN pos${j - 1} - bl[pos${j - 1}] ELSE 0 END AS pos$j
-  FROM t${r}_${j - 1}),
-"""
-      }
-      val unions = (1 to mw).map(j =>
-        s"SELECT piece$j AS p, wc FROM t${r}_$mw WHERE piece$j IS NOT NULL")
+    for (r <- 1 to URounds) {
+      sb ++= unigramDpCtes(r.toString, s"sc${r - 1}")
+      val unions = (1 to UMw).map(j =>
+        s"SELECT piece$j AS p, wc FROM t${r}_$UMw WHERE piece$j IS NOT NULL")
         .mkString("\n    UNION ALL ")
       sb ++= s"""u$r AS (SELECT p, CAST(sum(wc) AS BIGINT) AS cnt FROM (
     $unions) GROUP BY p),
@@ -4053,19 +4131,48 @@ pr$r AS (SELECT s.p, coalesce(u.cnt, CAST(0 AS BIGINT)) AS cnt
 sc$r AS (SELECT p, cnt, CAST(round(-1e6 * ln((cnt + 1.0) /
   ((SELECT sum(cnt) FROM pr$r) + (SELECT count(*) FROM pr$r)))) AS BIGINT) AS nll FROM pr$r),
 """
-      if (r < rounds)
+      if (r < URounds)
         sb ++= s"""d${r + 1}_0 AS (SELECT w, wc, len, CAST(0 AS BIGINT) AS dp0 FROM words),
 """
     }
-    sb ++= s"""ranked AS (SELECT p, cnt, nll,
-  CAST(row_number() OVER (ORDER BY cnt DESC, p ASC) AS INTEGER) AS rank FROM sc$rounds)
+    sb.toString
+  }
+
+  val q137Oracle: String =
+    (unigramTrainCtes + s"""ranked AS (SELECT p, cnt, nll,
+  CAST(row_number() OVER (ORDER BY cnt DESC, p ASC) AS INTEGER) AS rank FROM sc$URounds)
 SELECT p AS piece, cnt AS n_exp, nll AS nll_micro, rank FROM ranked
-WHERE rank <= $vs OR len(p) = 1 ORDER BY rank"""
-    // MATERIALIZED is load-bearing, not an optimization hint: DuckDB
-    // inlines plain CTEs at every reference, and the dp chain
-    // references each predecessor twice per step — inlined, the scan
-    // count grows 2^steps (measured: "too many open files" before any
-    // row is produced).
+WHERE rank <= $UVs OR len(p) = 1 ORDER BY rank""")
+      .replace(" AS (", " AS MATERIALIZED (")
+
+  /** The q140 oracle: the q137 training chain, the vocabulary cut, one
+    * MORE dp unroll under the final costs, pieces-per-word, and the
+    * per-document rollup (left join so out-of-vocab long words fall
+    * back to character segmentation, the trainer's clamp). */
+  val q140Oracle: String = {
+    val sb = new StringBuilder
+    sb ++= unigramTrainCtes
+    sb ++= s"""vocab AS (SELECT p, nll FROM (
+    SELECT p, cnt, nll, row_number() OVER (ORDER BY cnt DESC, p ASC) AS rank
+    FROM sc$URounds) WHERE rank <= $UVs OR len(p) = 1),
+de_0 AS (SELECT w, wc, len, CAST(0 AS BIGINT) AS dp0 FROM words),
+"""
+    sb ++= unigramDpCtes("e", "vocab")
+    val unions = (1 to UMw).map(j =>
+      s"SELECT w, piece$j AS p FROM te_$UMw WHERE piece$j IS NOT NULL")
+      .mkString("\n    UNION ALL ")
+    sb ++= s"""npw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_pieces FROM (
+    $unions) GROUP BY w),
+tokd AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+agg AS (SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(length(tok)) AS BIGINT) AS n_char_symbols,
+    CAST(sum(coalesce(npw.n_pieces, length(tok))) AS BIGINT) AS n_pieces
+  FROM tokd LEFT JOIN npw ON tokd.tok = npw.w
+  WHERE len(tok) >= 1 GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_char_symbols, n_pieces,
+  (1000000 * (n_char_symbols - n_pieces)) // n_char_symbols AS saved_ppm
+FROM agg ORDER BY doc_id"""
     sb.toString.replace(" AS (", " AS MATERIALIZED (")
   }
 }

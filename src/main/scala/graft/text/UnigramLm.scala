@@ -40,10 +40,10 @@ import org.apache.spark.sql.functions._
   * `maxWordLen`-step dp, backtracking, counting, re-scoring — runs
   * over that vocab table alone. The dp is a fixed unroll of
   * `maxWordLen` join+aggregate steps (checkpointed every 4 so the
-  * iterative plan never grows); backtracking is a chain of pure
-  * projections (no joins) that Catalyst collapses into one codegen
-  * stage. No step's cost depends on corpus size, so the same plan
-  * trains on 100 TB with only the word-frequency shuffle growing.
+  * iterative plan never grows); backtracking is one aggregate()
+  * higher-order expression per word (see [[viterbiSegments]]). No
+  * step's cost depends on corpus size, so the same plan trains on
+  * 100 TB with only the word-frequency shuffle growing.
   *
   * Determinism: counts are exact BIGINTs; dp costs are once-rounded
   * micro-nat BIGINTs; every tie-break is total (cost asc, piece length
@@ -73,14 +73,7 @@ object UnigramLm {
     // ONE corpus pass: the word-frequency table. Everything below is
     // vocabulary-sized.
     val words = graft.util.Blocks.lazyCheckpoint(
-      docs
-        .select(explode(WordGrams.tokens(col(textCol))).as("w"))
-        // tokens() emits "" for empty/canonical-empty text; the lower
-        // bound also guards the seed explode (sequence(1, len) would
-        // run DESCENDING on len = 0 in Spark)
-        .where(length(col("w")).between(1, maxWordLen))
-        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wc"))
-        .withColumn("len", length(col("w"))))
+      wordTable(docs, textCol, maxWordLen))
     // Laplace-smoothed once-rounded micro-nat cost over a (p, cnt)
     // table — T and P are metadata-sized aggregates, broadcast.
     def rescore(cnts: DataFrame): DataFrame =
@@ -101,61 +94,7 @@ object UnigramLm {
       .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
     var pieces = graft.util.Blocks.lazyCheckpoint(rescore(seed))
     for (_ <- 1 to emRounds) {
-      // E-step: Viterbi dp, a fixed unroll over positions. State per
-      // word: dp(0..i) costs and bl(1..i) chosen piece lengths as
-      // array columns (element k+1 = position k; bl's position-0
-      // element is a dummy 0).
-      var state = words.select(col("w"), col("wc"), col("len"),
-        array(lit(0L)).as("dp"), array(lit(0)).as("bl"))
-      for (i <- 1 to maxWordLen) {
-        val best = state.where(col("len") >= i)
-          .select(col("w"), col("dp"),
-            explode(sequence(lit(1), lit(math.min(maxPieceLen, i))))
-              .as("l"))
-          .select(col("w"), col("l"),
-            col("w").substr(lit(i) - col("l") + 1, col("l")).as("p"),
-            element_at(col("dp"), lit(i) - col("l") + 1).as("_dprev"))
-          .join(pieces.select(col("p"), col("nll")), "p")
-          .select(col("w"), col("l"),
-            (col("_dprev") + col("nll")).as("cost"))
-          // ties to the LONGER piece: min on (cost, -l); l rides third
-          // for retrieval and never decides (one row per l per word)
-          .groupBy(col("w"))
-          .agg(min(struct(col("cost"), (-col("l")).as("negl"),
-            col("l").as("bl"))).as("b"))
-        state = state.join(best, Seq("w"), "left")
-          .select(col("w"), col("wc"), col("len"),
-            when(col("len") >= i,
-              concat(col("dp"), array(col("b.cost"))))
-              .otherwise(col("dp")).as("dp"),
-            when(col("len") >= i,
-              concat(col("bl"), array(col("b.bl"))))
-              .otherwise(col("bl")).as("bl"))
-        // bound the iterative plan; frames are vocab-sized, so the
-        // superseded blocks are left to the ContextCleaner
-        if (i % 4 == 0 || i == maxWordLen)
-          state = graft.util.Blocks.lazyCheckpoint(state)
-      }
-      // Backtrack: ONE aggregate() higher-order expression per word —
-      // walk pos from len by bl(pos), collecting pieces. A chain of
-      // per-step projections would be semantically identical but
-      // CollapseProject inlines it into one projection whose
-      // pos/acc expressions duplicate 2^maxWordLen-fold (measured:
-      // a CPU blow-up that starved the executor heartbeat); the HOF
-      // keeps the expression tree fixed-size and runs maxWordLen
-      // interpreted iterations per word over a vocab-sized frame.
-      val bt = state.select(col("w"), col("wc"),
-        expr(s"""aggregate(
-          sequence(1, $maxWordLen),
-          named_struct('pos', len, 'acc', cast(array() as array<string>)),
-          (st, x) -> if(st.pos > 0,
-            named_struct(
-              'pos', st.pos - element_at(bl, st.pos + 1),
-              'acc', concat(st.acc, array(substring(w,
-                st.pos - element_at(bl, st.pos + 1) + 1,
-                element_at(bl, st.pos + 1))))),
-            st),
-          st -> st.acc)""").as("acc"))
+      val bt = viterbiSegments(words, pieces, maxPieceLen, maxWordLen)
       val used = bt
         .select(explode(col("acc")).as("p"), col("wc"))
         .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
@@ -174,5 +113,133 @@ object UnigramLm {
       .where(col("rank") <= vocabSize || length(col("p")) === 1)
       .select(col("p").as("piece"), col("cnt").as("n_exp"),
         col("nll").as("nll_micro"), col("rank"))
+  }
+
+  /** Canonical word-frequency table: (`w`, `wc`, `len`) for tokens of
+    * length 1..`maxWordLen` (the one corpus-scale pass; "" tokens of
+    * empty text excluded — the lower bound also guards the seed
+    * explode, where Spark's sequence(1, 0) would run DESCENDING). */
+  private def wordTable(
+      docs: DataFrame,
+      textCol: String,
+      maxWordLen: Int): DataFrame =
+    docs
+      .select(explode(WordGrams.tokens(col(textCol))).as("w"))
+      .where(length(col("w")).between(1, maxWordLen))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("wc"))
+      .withColumn("len", length(col("w")))
+
+  /** Viterbi segmentation of every word under a (p, nll) piece-cost
+    * table: fixed dp unroll over positions (state per word: dp(0..i)
+    * costs and bl(1..i) chosen piece lengths as array columns;
+    * element k+1 = position k, bl's position-0 element a dummy 0;
+    * ties to the LONGER piece), then ONE aggregate() higher-order
+    * backtrack per word. A chain of per-step backtrack projections
+    * would be semantically identical but CollapseProject inlines it
+    * into one projection whose pos/acc expressions duplicate
+    * 2^maxWordLen-fold (measured: a CPU blow-up that starved the
+    * executor heartbeat); the HOF keeps the expression tree
+    * fixed-size and runs maxWordLen interpreted iterations per word
+    * over a vocab-sized frame.
+    *
+    * Requires every single character of `words` to be present in
+    * `pieces` (the trainer maintains this invariant), so the dp is
+    * always feasible. Returns (`w`, `wc`, `acc` — the piece sequence
+    * in reverse word order). */
+  private def viterbiSegments(
+      words: DataFrame,
+      pieces: DataFrame,
+      maxPieceLen: Int,
+      maxWordLen: Int): DataFrame = {
+    var state = words.select(col("w"), col("wc"), col("len"),
+      array(lit(0L)).as("dp"), array(lit(0)).as("bl"))
+    for (i <- 1 to maxWordLen) {
+      val best = state.where(col("len") >= i)
+        .select(col("w"), col("dp"),
+          explode(sequence(lit(1), lit(math.min(maxPieceLen, i))))
+            .as("l"))
+        .select(col("w"), col("l"),
+          col("w").substr(lit(i) - col("l") + 1, col("l")).as("p"),
+          element_at(col("dp"), lit(i) - col("l") + 1).as("_dprev"))
+        .join(pieces.select(col("p"), col("nll")), "p")
+        .select(col("w"), col("l"),
+          (col("_dprev") + col("nll")).as("cost"))
+        // ties to the LONGER piece: min on (cost, -l); l rides third
+        // for retrieval and never decides (one row per l per word)
+        .groupBy(col("w"))
+        .agg(min(struct(col("cost"), (-col("l")).as("negl"),
+          col("l").as("bl"))).as("b"))
+      state = state.join(best, Seq("w"), "left")
+        .select(col("w"), col("wc"), col("len"),
+          when(col("len") >= i,
+            concat(col("dp"), array(col("b.cost"))))
+            .otherwise(col("dp")).as("dp"),
+          when(col("len") >= i,
+            concat(col("bl"), array(col("b.bl"))))
+            .otherwise(col("bl")).as("bl"))
+      // bound the iterative plan; frames are vocab-sized, so the
+      // superseded blocks are left to the ContextCleaner
+      if (i % 4 == 0 || i == maxWordLen)
+        state = graft.util.Blocks.lazyCheckpoint(state)
+    }
+    state.select(col("w"), col("wc"),
+      expr(s"""aggregate(
+        sequence(1, $maxWordLen),
+        named_struct('pos', len, 'acc', cast(array() as array<string>)),
+        (st, x) -> if(st.pos > 0,
+          named_struct(
+            'pos', st.pos - element_at(bl, st.pos + 1),
+            'acc', concat(st.acc, array(substring(w,
+              st.pos - element_at(bl, st.pos + 1) + 1,
+              element_at(bl, st.pos + 1))))),
+          st),
+        st -> st.acc)""").as("acc"))
+  }
+
+  /** Apply the trained vocabulary to the corpus and report per-doc
+    * tokenizer load — the encode side of [[train]] (the q111-to-q108
+    * relationship): every canonical token is Viterbi-segmented under
+    * the FINAL trained piece costs, and each doc gets its token count,
+    * character-symbol count (the no-merge baseline), piece count and
+    * the integer-ppm saving. Words longer than `maxWordLen` (excluded
+    * from training) fall back to character segmentation — declared,
+    * matching the trainer's clamp.
+    *
+    * Scale shape: [[train]]'s vocab-bounded EM plus ONE more
+    * vocab-bounded segmentation pass, then one broadcast-joinable
+    * (word → piece count) map applied to the token stream and a
+    * per-doc rollup — the corpus-scale work is the token explode and
+    * the doc-keyed aggregate, same as q111. */
+  def encodeStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPieceLen: Int = 3,
+      maxWordLen: Int = 12,
+      emRounds: Int = 2,
+      vocabSize: Int = 64): DataFrame = {
+    val vocab = train(docs, idCol, textCol, maxPieceLen, maxWordLen,
+      emRounds, vocabSize)
+      .select(col("piece").as("p"), col("nll_micro").as("nll"))
+    val words = graft.util.Blocks.lazyCheckpoint(
+      wordTable(docs, textCol, maxWordLen))
+    val perWord = viterbiSegments(words, vocab, maxPieceLen, maxWordLen)
+      .select(col("w").as("tok"), size(col("acc")).as("n_pieces"))
+    val toks = docs
+      .select(col(idCol),
+        explode(WordGrams.tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= 1)
+    toks
+      .join(broadcast(perWord), Seq("tok"), "left")
+      .select(col(idCol),
+        length(col("tok")).cast("long").as("n_char"),
+        coalesce(col("n_pieces").cast("long"),
+          length(col("tok")).cast("long")).as("np"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("n_char")).as("n_char_symbols"),
+        sum(col("np")).as("n_pieces"))
+      .withColumn("saved_ppm",
+        expr("(1000000L * (n_char_symbols - n_pieces)) div n_char_symbols"))
   }
 }

@@ -632,6 +632,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanCoverage matches brute-force interval union per doc") {
+    val paste = "this exact paragraph was pasted verbatim between the " +
+      "two documents and runs well past the window size"
+    val raw = Seq(
+      1L -> s"doc one opens differently. $paste And then doc one ends.",
+      2L -> s"Second document intro text! $paste Totally other closing.",
+      3L -> s"third has the $paste twice: $paste and padding after it",
+      4L -> "entirely disjoint content about basalt columns and tides",
+      5L -> "tiny")
+    val k = 20
+    val got = Dedup.spanCoverage(raw.toDF("id", "text"), "id", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    def canon(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    val ct = raw.map { case (id, t) => id -> canon(t) }.toMap
+    for ((id, c) <- ct) {
+      val others = ct.collect { case (o, t) if o != id => t }
+      val matched = (0 to c.length - k)
+        .filter(p => others.exists(_.contains(c.substring(p, p + k))))
+      val covered = matched.flatMap(p => p until p + k).distinct.size
+      val (nw, cov, tot, ppm) = got(id)
+      assert(nw === matched.size.toLong, s"doc $id windows")
+      assert(cov === covered.toLong, s"doc $id coverage")
+      assert(tot === c.length.toLong, s"doc $id length")
+      if (c.nonEmpty)
+        assert(ppm === 1000000L * covered / c.length, s"doc $id ppm")
+    }
+    assert(got(4L)._2 === 0L && got(5L)._2 === 0L)
+  }
+
   private def containmentCorpus = {
     import spark.implicits._
     val wrapper = "every page of this site carries the same header " +

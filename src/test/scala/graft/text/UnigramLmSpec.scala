@@ -32,6 +32,22 @@ class UnigramLmSpec extends SparkSpec {
       ("b", 0L, 1945910L, 4)))
   }
 
+  test("encodeStats applies the trained vocab; long words fall back") {
+    // same trained vocab as the EM-trace test: "aaaa" → [aa, aa],
+    // "bb" → [bb]; the 20-char word exceeds maxWordLen (12), is
+    // excluded from training, and encodes at character fallback
+    val docs = Seq(
+      (1L, "aaaa bb"),
+      (2L, "supercalifragilistic")).toDF("doc_id", "text")
+    val got = UnigramLm.encodeStats(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Array(
+      (1L, 2L, 6L, 3L, 500000L),
+      (2L, 1L, 20L, 20L, 0L)))
+  }
+
   test("train on mixed prose: single chars always kept, ranks total") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
