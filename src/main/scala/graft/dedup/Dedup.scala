@@ -209,6 +209,94 @@ object Dedup {
     out.df
   }
 
+  /** Exact-substring duplicate REMOVAL with first-occurrence keep —
+    * the ACTION of the Lee-et-al exact-substring-dedup family, where
+    * [[spanCoverage]] is the report: rewrite every document with the
+    * character intervals cut whose length-`k` windows ALL first
+    * occurred in a lower-id document, so exactly one copy of every
+    * duplicated span survives in the corpus (the min-id doc keeps its
+    * text intact; removing from every copy would delete legitimate
+    * text corpus-wide).
+    *
+    * Semantics: a window position is REMOVABLE iff its hash occurs in
+    * ≥ 2 documents and this doc is NOT the corpus-minimum id
+    * containing it (q133's first-occurrence attribution, applied to
+    * windows). Removable positions union into intervals (gap < `k`
+    * merges, as in [[spanCoverage]]); the rewrite concatenates the
+    * uncovered segments of the canonical text. Repeats of a window
+    * WITHIN its first-occurrence doc are kept there — declared.
+    *
+    * Scale shape: window explode → (first id, doc frequency) per hash
+    * → join back → per-doc interval union (windows keyed on the doc
+    * id) → ONE aggregate() higher-order rewrite over the per-doc
+    * interval array (bounded by document length; a chained-projection
+    * rewrite would hit the CollapseProject 2^n duplication). Linear
+    * at any scale, no pair join, no cap parameter.
+    *
+    * @return (`idCol`, `kept_text`, `total_chars`, `removed_chars`,
+    *         `removed_ppm`) — one row per doc; clean docs pass
+    *         through with `kept_text` = canonical text and zeros */
+  def removeSharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val base = docs.select(col(idCol).as("id"),
+      TextAnalysis.canonical(col(textCol)).as("ct"))
+    val baseCp = graft.util.Blocks.checkpoint(base)
+    val wpos = baseCp.df.select(col("id"),
+      posexplode(graft.expressions.RollingWindows.rollingWindows(
+        col("ct"), k)).as(Seq("pos", "wh")))
+    val wposCp = graft.util.Blocks.checkpoint(wpos)
+    val firstDoc = wposCp.df
+      .groupBy(col("wh"))
+      .agg(min(col("id")).as("_first"), count_distinct(col("id")).as("_nd"))
+      .where(col("_nd") >= 2)
+      .select(col("wh"), col("_first"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val intervals = wposCp.df
+      .join(firstDoc, "wh")
+      .where(col("id") =!= col("_first"))
+      .select(col("id"), col("pos")).distinct()
+      .withColumn("_gap",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) < k, 0)
+          .otherwise(1))
+      .withColumn("_isl",
+        sum(col("_gap")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("_isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"),
+        sum(col("e") - col("s")).cast("long").as("removed_chars"))
+    val out = graft.util.Blocks.checkpoint(
+      baseCp.df
+        .join(intervals, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          when(col("iv").isNull, col("ct")).otherwise(
+            // cursor walk over the sorted, non-overlapping intervals:
+            // emit [cursor, s), jump cursor to e; then the tail
+            expr("""concat(
+              aggregate(iv,
+                named_struct('cur', 0, 'acc', ''),
+                (st, v) -> named_struct(
+                  'cur', v.e,
+                  'acc', concat(st.acc,
+                    substring(ct, st.cur + 1, v.s - st.cur))),
+                st -> st.acc),
+              substring(ct, element_at(iv, -1).e + 1))"""))
+            .as("kept_text"),
+          length(col("ct")).cast("long").as("total_chars"),
+          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+          when(length(col("ct")) > 0,
+            expr("(1000000 * coalesce(removed_chars, CAST(0 AS BIGINT)))" +
+              " div length(ct)"))
+            .otherwise(lit(0L)).as("removed_ppm")))
+    wposCp.release(); baseCp.release()
+    out.df
+  }
+
   /** Incremental corpus dedup: collapse an incoming batch against an
     * EXISTING snapshot's fingerprint set — the daily-ingest shape, where
     * re-fingerprinting the whole corpus per batch is off the table.

@@ -3996,6 +3996,67 @@ object PipelineQueries {
     graft.text.UnigramLm.train(docsSpread(s, dir), "doc_id", "text")
       .orderBy(col("rank"))
 
+  // ------------------------------------------------------------------ q142
+  /** Exact-substring duplicate REMOVAL ([[Dedup.removeSharedSpans]]):
+    * rewrite each doc with the intervals cut whose 20-char windows
+    * first occurred in a lower-id document — the Lee-et-al dedup
+    * ACTION (q141 is the report): exactly one copy of every
+    * duplicated span survives corpus-wide, the first-occurrence doc
+    * verbatim. Window-hash first-id attribution + per-doc interval
+    * union + one HOF cursor rewrite; linear, no pair join —
+    * hash-exact oracle including the rewritten text itself. */
+  def q142SpanScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeSharedSpans(docsSpread(s, dir), "doc_id", "text", k = 20)
+      .orderBy(col("doc_id"))
+
+  val q142Oracle: String =
+    """WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ct
+      |  FROM documents),
+      |p AS (SELECT doc_id, ct,
+      |    unnest(generate_series(1, greatest(length(ct) - 19, 0))) AS i
+      |  FROM c),
+      |w AS (SELECT doc_id, i - 1 AS pos, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(CAST(i AS INT), CAST(i + 19 AS INT)),
+      |      j -> CAST(ascii(substr(ct, CAST(j AS INT), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 257 + x) % 2147483647) AS wh
+      |  FROM p),
+      |fd AS (SELECT wh, min(doc_id) AS first_id FROM w
+      |  GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+      |mp AS (SELECT DISTINCT w.doc_id, w.pos FROM w JOIN fd USING (wh)
+      |  WHERE w.doc_id <> fd.first_id),
+      |g AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < 20
+      |      THEN 0 ELSE 1 END AS gap
+      |  FROM mp),
+      |isle AS (SELECT doc_id, pos,
+      |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM g),
+      |iv AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 20 AS e
+      |  FROM isle GROUP BY 1, 2),
+      |seg AS (SELECT doc_id, s, e,
+      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+      |  FROM iv),
+      |frag AS (SELECT seg.doc_id, substring(c.ct, pe + 1, s - pe) AS f, s AS ord
+      |    FROM seg JOIN c USING (doc_id)
+      |  UNION ALL SELECT mx.doc_id,
+      |      substring(c.ct, mx.m + 1, length(c.ct) - mx.m) AS f,
+      |      2147483647 AS ord
+      |    FROM (SELECT doc_id, max(e) AS m FROM iv GROUP BY doc_id) mx
+      |    JOIN c USING (doc_id)),
+      |kept AS (SELECT doc_id, string_agg(f, '' ORDER BY ord) AS kt
+      |  FROM frag GROUP BY doc_id),
+      |rem AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_chars
+      |  FROM iv GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  coalesce(kept.kt, c.ct) AS kept_text,
+      |  CAST(length(c.ct) AS BIGINT) AS total_chars,
+      |  CAST(coalesce(rem.removed_chars, 0) AS BIGINT) AS removed_chars,
+      |  CAST(CASE WHEN length(c.ct) > 0
+      |    THEN (1000000 * coalesce(rem.removed_chars, 0)) // length(c.ct)
+      |    ELSE 0 END AS BIGINT) AS removed_ppm
+      |FROM c LEFT JOIN kept USING (doc_id) LEFT JOIN rem USING (doc_id)
+      |ORDER BY c.doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q141
   /** Per-document duplicated-span coverage ([[Dedup.spanCoverage]]):
     * the share of each document's canonical characters covered by a

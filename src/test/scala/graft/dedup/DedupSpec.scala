@@ -663,6 +663,46 @@ class DedupSpec extends SparkSpec {
     assert(got(4L)._2 === 0L && got(5L)._2 === 0L)
   }
 
+  test("removeSharedSpans cuts later copies, keeps the first intact") {
+    val paste = "this exact paragraph was pasted verbatim between the " +
+      "two documents and runs well past the window size"
+    val raw = Seq(
+      1L -> s"doc one opens differently. $paste And then doc one ends.",
+      2L -> s"Second document intro text! $paste Totally other closing.",
+      3L -> s"third has the $paste twice: $paste and padding after it",
+      4L -> "entirely disjoint content about basalt columns and tides",
+      5L -> "tiny")
+    val k = 20
+    val got = Dedup.removeSharedSpans(raw.toDF("id", "text"),
+        "id", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    def canon(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    val ct = raw.map { case (id, t) => id -> canon(t) }.toMap
+    for ((id, c) <- ct) {
+      // brute force: position removable iff its window's min-id doc
+      // is not this one
+      val removable = (0 to c.length - k).filter { p =>
+        val w = c.substring(p, p + k)
+        val docsWith = ct.collect { case (o, t) if t.contains(w) => o }
+        docsWith.size >= 2 && docsWith.min != id
+      }
+      val covered = removable.flatMap(p => p until p + k).distinct.sorted
+      val kept = c.zipWithIndex
+        .collect { case (ch, i) if !covered.contains(i) => ch }.mkString
+      val (gotText, tot, rem, ppm) = got(id)
+      assert(gotText === kept, s"doc $id text")
+      assert(tot === c.length.toLong && rem === covered.size.toLong,
+        s"doc $id counts")
+      if (c.nonEmpty)
+        assert(ppm === 1000000L * covered.size / c.length, s"doc $id ppm")
+    }
+    // the first-occurrence doc keeps its copy verbatim
+    assert(got(1L)._1 === ct(1L))
+    assert(got(4L)._1 === ct(4L) && got(5L)._1 === ct(5L))
+  }
+
   private def containmentCorpus = {
     import spark.implicits._
     val wrapper = "every page of this site carries the same header " +
