@@ -254,10 +254,31 @@ object Dedup {
       .agg(min(col("id")).as("_first"), count_distinct(col("id")).as("_nd"))
       .where(col("_nd") >= 2)
       .select(col("wh"), col("_first"))
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val intervals = wposCp.df
+    val removable = wposCp.df
       .join(firstDoc, "wh")
       .where(col("id") =!= col("_first"))
+      .select(col("id"), col("pos"))
+    val out = graft.util.Blocks.checkpoint(
+      scrubByPositions(baseCp.df, removable, idCol, k))
+    wposCp.release(); baseCp.release()
+    out.df
+  }
+
+  /** The interval-union + rewrite stage of [[removeSharedSpans]],
+    * shared with the streaming tier: given the canonical base
+    * (`id`, `ct`) and the REMOVABLE window positions (`id`, `pos` —
+    * duplicates tolerated), merge positions within `k` into covered
+    * intervals and cut them from the text with one aggregate() HOF
+    * cursor walk (a chained-projection rewrite would hit the
+    * CollapseProject 2^n duplication). One output row per base doc;
+    * docs with no removable positions pass through verbatim. */
+  private[graft] def scrubByPositions(
+      base: DataFrame,
+      removable: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val intervals = removable
       .select(col("id"), col("pos")).distinct()
       .withColumn("_gap",
         when(col("pos") - lag(col("pos"), 1).over(wDoc) < k, 0)
@@ -270,31 +291,28 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"),
         sum(col("e") - col("s")).cast("long").as("removed_chars"))
-    val out = graft.util.Blocks.checkpoint(
-      baseCp.df
-        .join(intervals, Seq("id"), "left")
-        .select(col("id").as(idCol),
-          when(col("iv").isNull, col("ct")).otherwise(
-            // cursor walk over the sorted, non-overlapping intervals:
-            // emit [cursor, s), jump cursor to e; then the tail
-            expr("""concat(
-              aggregate(iv,
-                named_struct('cur', 0, 'acc', ''),
-                (st, v) -> named_struct(
-                  'cur', v.e,
-                  'acc', concat(st.acc,
-                    substring(ct, st.cur + 1, v.s - st.cur))),
-                st -> st.acc),
-              substring(ct, element_at(iv, -1).e + 1))"""))
-            .as("kept_text"),
-          length(col("ct")).cast("long").as("total_chars"),
-          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
-          when(length(col("ct")) > 0,
-            expr("(1000000 * coalesce(removed_chars, CAST(0 AS BIGINT)))" +
-              " div length(ct)"))
-            .otherwise(lit(0L)).as("removed_ppm")))
-    wposCp.release(); baseCp.release()
-    out.df
+    base
+      .join(intervals, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("iv").isNull, col("ct")).otherwise(
+          // cursor walk over the sorted, non-overlapping intervals:
+          // emit [cursor, s), jump cursor to e; then the tail
+          expr("""concat(
+            aggregate(iv,
+              named_struct('cur', 0, 'acc', ''),
+              (st, v) -> named_struct(
+                'cur', v.e,
+                'acc', concat(st.acc,
+                  substring(ct, st.cur + 1, v.s - st.cur))),
+              st -> st.acc),
+            substring(ct, element_at(iv, -1).e + 1))"""))
+          .as("kept_text"),
+        length(col("ct")).cast("long").as("total_chars"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        when(length(col("ct")) > 0,
+          expr("(1000000 * coalesce(removed_chars, CAST(0 AS BIGINT)))" +
+            " div length(ct)"))
+          .otherwise(lit(0L)).as("removed_ppm"))
   }
 
   /** Incremental corpus dedup: collapse an incoming batch against an
