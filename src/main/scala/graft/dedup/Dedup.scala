@@ -136,6 +136,60 @@ object Dedup {
     out.df
   }
 
+  /** Winnowed substring-duplicate groups — [[substringDupGroups]] at
+    * ~2/(w+1) the index size with the WINNOWING GUARANTEE (Schleimer
+    * et al. 2003, the MOSS scheme): from every full window of `w`
+    * consecutive k-gram hashes select the RIGHTMOST MINIMUM, so any
+    * two documents sharing a span of length ≥ w + k − 1 are
+    * guaranteed to share a selected fingerprint — unlike
+    * [[substringDupGroups]]'s `sampleMod` thinning, whose catch is
+    * only in expectation.
+    *
+    * The rightmost-min selection is ONE window pass, engine-portable
+    * by integer encoding: minimizing `wh·2²⁰ + (2²⁰−1−pos)` over the
+    * w-frame minimizes the hash and breaks ties to the LARGEST
+    * position. Requires canonical docs under 2²⁰ chars (declared —
+    * a 1 MB canonical doc is past every training-data length cap in
+    * this suite). Docs with fewer than `w` full windows contribute no
+    * fingerprints (standard winnowing; the guarantee only speaks
+    * about spans ≥ w + k − 1).
+    *
+    * Scale: the selected-fingerprint stream is the winnowed fraction
+    * of the window stream; the group aggregation shuffles on the
+    * fingerprint hash exactly like [[substringDupGroups]] — this IS
+    * the 100 TB configuration of substring dedup (store ~25% of the
+    * index at w = 8 and keep a hard guarantee).
+    *
+    * @return (`wh`, `keep_id`, `n_docs`) for every winnowed
+    *         fingerprint selected by ≥ `minDocs` documents */
+  def winnowedDupGroups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minDocs: Long = 2L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    val wpos = docs.select(col(idCol).as("id"),
+      posexplode(graft.expressions.RollingWindows.rollingWindows(
+        TextAnalysis.canonical(col(textCol)), k)).as(Seq("pos", "wh")))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val frame = wDoc.rowsBetween(-(w - 1), Window.currentRow)
+    val selected = wpos
+      .withColumn("_key",
+        min(col("wh") * lit(1048576L) + (lit(1048575L) - col("pos")))
+          .over(frame))
+      .withColumn("_rn", row_number().over(wDoc))
+      .where(col("_rn") >= w) // full windows only
+      .select(col("id"), expr("_key div 1048576").as("wh"))
+      .distinct()
+    selected
+      .groupBy(col("wh"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** Per-document duplicated-span COVERAGE — the Lee-et-al "how much
     * of each document is duplicated text" metric: the number of
     * canonical character positions covered by at least one length-`k`

@@ -3996,6 +3996,41 @@ object PipelineQueries {
     graft.text.UnigramLm.train(docsSpread(s, dir), "doc_id", "text")
       .orderBy(col("rank"))
 
+  // ------------------------------------------------------------------ q143
+  /** Winnowed substring-duplicate groups ([[Dedup.winnowedDupGroups]]):
+    * q63's shared-window report over the WINNOWED fingerprint index —
+    * the rightmost-min of every 8-hash window is selected, so the
+    * index carries ~2/9 of the hashes while any shared span ≥ 27
+    * chars (w + k − 1) is still GUARANTEED to collide — the 100 TB
+    * configuration of substring dedup (q63's `sampleMod` catch is
+    * only in expectation). Selection is one integer-encoded window
+    * min, engine-portable — hash-exact oracle. */
+  def q143WinnowDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedDupGroups(docsSpread(s, dir), "doc_id", "text",
+        k = 20, w = 8)
+      .orderBy(col("wh"))
+
+  val q143Oracle: String =
+    """WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ct
+      |  FROM documents),
+      |p AS (SELECT doc_id, ct,
+      |    unnest(generate_series(1, greatest(length(ct) - 19, 0))) AS i
+      |  FROM c),
+      |w AS (SELECT doc_id, i - 1 AS pos, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(CAST(i AS INT), CAST(i + 19 AS INT)),
+      |      j -> CAST(ascii(substr(ct, CAST(j AS INT), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 257 + x) % 2147483647) AS wh
+      |  FROM p),
+      |kf AS (SELECT doc_id, pos,
+      |    min(wh * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS key,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      |  FROM w),
+      |sel AS (SELECT DISTINCT doc_id, key // 1048576 AS wh
+      |  FROM kf WHERE rn >= 8)
+      |SELECT wh, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM sel GROUP BY wh HAVING count(*) >= 2 ORDER BY wh""".stripMargin
+
   // ------------------------------------------------------------------ q142
   /** Exact-substring duplicate REMOVAL ([[Dedup.removeSharedSpans]]):
     * rewrite each doc with the intervals cut whose 20-char windows

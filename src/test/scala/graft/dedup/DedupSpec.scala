@@ -703,6 +703,38 @@ class DedupSpec extends SparkSpec {
     assert(got(4L)._1 === ct(4L) && got(5L)._1 === ct(5L))
   }
 
+  test("winnowedDupGroups: guarantee holds, index winnowed, no false groups") {
+    val k = 20; val w = 8
+    // randomized corpora with planted shared spans of EXACTLY the
+    // guarantee length w + k - 1: every planted pair MUST share a
+    // selected fingerprint
+    for (seed <- Seq(3, 17, 91)) {
+      val rng = new scala.util.Random(seed)
+      def prose(n: Int) =
+        (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      val span = prose(w + k - 1)
+      val docs = Seq(
+        (1L, s"${prose(40)}$span${prose(35)}"),
+        (2L, s"${prose(55)}$span${prose(20)}"),
+        (3L, prose(120)),
+        (4L, prose(90))).toDF("id", "text")
+      val groups = Dedup.winnowedDupGroups(docs, "id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // guarantee: the planted pair shares >= 1 winnowed fingerprint
+      assert(groups.exists { case (_, keep, n) => keep == 1L && n >= 2L },
+        s"seed $seed: planted span must collide")
+      // docs 3/4 are random prose: no group should span 3+ docs
+      assert(groups.forall(_._3 <= 2L), s"seed $seed: spurious group")
+    }
+    // winnowing density: far fewer fingerprints than raw windows
+    val long = (1L, ("the quick brown fox jumps over a lazy dog " * 20))
+    val raw = Dedup.substringDupGroups(
+      Seq(long, (2L, long._2)).toDF("id", "text"), "id", "text", k)
+    val win = Dedup.winnowedDupGroups(
+      Seq(long, (2L, long._2)).toDF("id", "text"), "id", "text", k, w)
+    assert(win.count() > 0 && win.count() < raw.count() / 2)
+  }
+
   private def containmentCorpus = {
     import spark.implicits._
     val wrapper = "every page of this site carries the same header " +
