@@ -148,11 +148,14 @@ object Dedup {
     * The rightmost-min selection is ONE window pass, engine-portable
     * by integer encoding: minimizing `wh·2²⁰ + (2²⁰−1−pos)` over the
     * w-frame minimizes the hash and breaks ties to the LARGEST
-    * position. Requires canonical docs under 2²⁰ chars (declared —
-    * a 1 MB canonical doc is past every training-data length cap in
-    * this suite). Docs with fewer than `w` full windows contribute no
-    * fingerprints (standard winnowing; the guarantee only speaks
-    * about spans ≥ w + k − 1).
+    * position. Window positions are clamped below 2²⁰ — a longer
+    * canonical doc is TRUNCATED at 2²⁰ windows (equivalent to cutting
+    * the doc at 2²⁰ + k − 1 chars; a 1 MB canonical doc is past every
+    * training-data length cap in this suite), which keeps the tiebreak
+    * term non-negative instead of silently corrupting the decoded
+    * hashes past the boundary. Docs with fewer than `w` full windows
+    * contribute no fingerprints (standard winnowing; the guarantee
+    * only speaks about spans ≥ w + k − 1).
     *
     * Scale: the selected-fingerprint stream is the winnowed fraction
     * of the window stream; the group aggregation shuffles on the
@@ -174,6 +177,9 @@ object Dedup {
     val wpos = docs.select(col(idCol).as("id"),
       posexplode(graft.expressions.RollingWindows.rollingWindows(
         TextAnalysis.canonical(col(textCol)), k)).as(Seq("pos", "wh")))
+      // declared truncation: beyond 2^20 windows the tiebreak term
+      // would go negative and decode to wh - 1 (see scaladoc)
+      .where(col("pos") < lit(1048576))
     val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val frame = wDoc.rowsBetween(-(w - 1), Window.currentRow)
     val selected = wpos

@@ -57,21 +57,26 @@ object RollingHash {
   val Mod: Long = (1L << 31) - 1
 
   /** One pass over the UTF-8 bytes, decoding codepoints in place.
-    * Assumes well-formed UTF-8 (guaranteed for Spark-produced strings);
-    * truncated trailing sequences fold whatever bits are present rather
-    * than throwing. */
+    * Steps with Spark's own UTF-8 width table
+    * (`UTF8String.numBytesForFirstByte`), so character counting agrees
+    * with Spark's `length()`/`substring()` on ALL input — including
+    * malformed bytes smuggled in via binary cast (invalid leads step 1
+    * and fold at full byte value); truncated trailing sequences fold
+    * whatever bits are present rather than throwing. Keeps the
+    * window-i-equals-hash-of-substring identity with [[RollingWindows]]
+    * on every input, well-formed or not. */
   def compute(s: UTF8String): Long = {
     val n = s.numBytes()
     var h = 0L
     var i = 0
     while (i < n) {
       val b0 = s.getByte(i) & 0xff
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) cp = b0
-      else if ((b0 & 0xe0) == 0xc0) { len = 2; cp = b0 & 0x1f }
-      else if ((b0 & 0xf0) == 0xe0) { len = 3; cp = b0 & 0x0f }
-      else { len = 4; cp = b0 & 0x07 }
+      val len = UTF8String.numBytesForFirstByte(s.getByte(i))
+      var cp =
+        if (len == 2) b0 & 0x1f
+        else if (len == 3) b0 & 0x0f
+        else if (len == 4) b0 & 0x07
+        else b0 // ASCII, or an invalid byte folded at full value
       var j = 1
       while (j < len && i + j < n) {
         cp = (cp << 6) | (s.getByte(i + j) & 0x3f)

@@ -69,12 +69,16 @@ object RollingWindows {
     var i = 0
     while (i < nBytes) {
       val b0 = s.getByte(i) & 0xff
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) cp = b0
-      else if ((b0 & 0xe0) == 0xc0) { len = 2; cp = b0 & 0x1f }
-      else if ((b0 & 0xf0) == 0xe0) { len = 3; cp = b0 & 0x0f }
-      else { len = 4; cp = b0 & 0x07 }
+      // Spark's own width table (invalid lead/continuation bytes → 1),
+      // so window POSITIONS match length()/substring() even on malformed
+      // UTF-8 smuggled in via binary cast — positions from this kernel
+      // drive substring cuts in Dedup.scrubByPositions.
+      val len = UTF8String.numBytesForFirstByte(s.getByte(i))
+      var cp =
+        if (len == 2) b0 & 0x1f
+        else if (len == 3) b0 & 0x0f
+        else if (len == 4) b0 & 0x07
+        else b0 // ASCII, or an invalid byte folded at full value
       var j = 1
       while (j < len && i + j < nBytes) {
         cp = (cp << 6) | (s.getByte(i + j) & 0x3f)

@@ -735,6 +735,33 @@ class DedupSpec extends SparkSpec {
     assert(win.count() > 0 && win.count() < raw.count() / 2)
   }
 
+  test("winnowedDupGroups: oversized doc truncates at 2^20 windows, no corruption") {
+    val k = 3; val w = 8
+    // a doc past the 2^20 position encoding limit must behave exactly
+    // like its truncated prefix (2^20 + k - 1 chars) instead of
+    // emitting corrupted fingerprints from the negative-tiebreak zone
+    def prose(n: Int): String = {
+      val sb = new StringBuilder(n)
+      var x = 88172645463325252L
+      var i = 0
+      while (i < n) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        sb.append(('a' + (java.lang.Long.remainderUnsigned(x, 26L)).toInt).toChar)
+        i += 1
+      }
+      sb.toString
+    }
+    val full = prose((1 << 20) + 200)
+    val prefix = full.substring(0, (1 << 20) + k - 1)
+    def fps(text: String): Set[Long] =
+      Dedup.winnowedDupGroups(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", k, w, minDocs = 1L)
+        .collect().map(_.getLong(0)).toSet
+    val fullFps = fps(full)
+    assert(fullFps === fps(prefix), "truncation equivalence")
+    assert(fullFps.forall(_ >= 0L), "no negative decoded hashes")
+  }
+
   private def containmentCorpus = {
     import spark.implicits._
     val wrapper = "every page of this site carries the same header " +

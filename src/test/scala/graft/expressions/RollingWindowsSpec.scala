@@ -64,4 +64,27 @@ class RollingWindowsSpec extends SparkSpec {
       .head()
     assert(r.getSeq[Long](0).head === r.getLong(1))
   }
+
+  test("malformed UTF-8 steps like Spark length()/substring()") {
+    // invalid lead bytes (0xf8, lone continuation 0x80) and a truncated
+    // 3-byte lead (0xe0 swallowing ascii) smuggled in via binary cast:
+    // window count and per-window values must agree with Spark's own
+    // character semantics, since scrub cuts use these positions
+    val bytes = Array[Byte]('a', 'b', 0xf8.toByte, 'c', 0x80.toByte,
+      'd', 0xe0.toByte, 'x', 'y', 'z', 'w')
+    val df = Seq(Tuple1(bytes)).toDF("b")
+      .select(col("b").cast("string").as("t"))
+    val k = 3
+    val row = df.select(length(col("t")).as("n"),
+      RollingWindows.rollingWindows(col("t"), k).as("ws")).head()
+    val n = row.getInt(0)
+    val ws = row.getSeq[Long](1)
+    assert(ws.length === n - k + 1, "window count vs Spark length()")
+    val rhs = df.select((1 to n - k + 1).map(i =>
+      RollingHash.rollingHash(substring(col("t"), i, k)).as(s"h$i")): _*)
+      .head()
+    (0 until n - k + 1).foreach { i =>
+      assert(ws(i) === rhs.getLong(i), s"window $i vs substring hash")
+    }
+  }
 }
