@@ -14,11 +14,21 @@ import org.apache.spark.sql.functions._
   * cluster-first tiers' walls and audit booleans are regression-
   * gateable artifacts like RECALL_SELF.json, not prose.
   *
-  * args: <sfDir> [split|pagerank|recall|all] */
+  * The `collapse`/`pipeline` sections additionally gate the round-13
+  * linearization of the nearDupCollapse candidate stream: q54 and
+  * q130 are timed at BOTH the decade dir (10×) and `sfDir` (100×),
+  * Bench-style full-result consumption, and the per-decade wall ratio
+  * is recorded with a `sub_decade_ok` flag (ratio < 10 ⇔ the stream
+  * stayed ≤ linear in the corpus; the pre-fix quadratic form measured
+  * 34×/9.1× per decade, the fixed one 5.4×/2.3×).
+  *
+  * args: <sfDir> [split|pagerank|recall|collapse|pipeline|all]
+  *       [decadeDir] */
 object ScalePathBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft-sf10")
     val which = args.lift(1).getOrElse("all")
+    val decadeDir = args.lift(2).getOrElse("/tmp/graft-sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,9 +46,11 @@ object ScalePathBench {
     }
     /** Warm-up pass then one timed pass; `audits` computed from the
       * timed pass's returned row count (and any probes the section
-      * closes over), recorded as JSON booleans/numbers. */
+      * closes over), recorded as JSON booleans/numbers. Returns the
+      * timed-pass seconds so sections can derive cross-scale ratios. */
     def timed(metric: String, run: () => Long,
-        audits: Long => Seq[(String, String)] = _ => Seq.empty): Unit = {
+        audits: Long => Seq[(String, String)] = _ => Seq.empty,
+        at: String = dir): Double = {
       run() // warm-up pass (JIT/codegen), then the timed pass
       sweep()
       val t0 = System.nanoTime()
@@ -46,11 +58,45 @@ object ScalePathBench {
       val sec = (System.nanoTime() - t0) / 1e9
       val extra = audits(n).map { case (k, v) => s""","$k":$v""" }.mkString
       val line =
-        f"""{"sf":"$dir%s","rows":$n%d,"sec":$sec%.2f$extra%s}"""
+        f"""{"sf":"$at%s","rows":$n%d,"sec":$sec%.2f$extra%s}"""
       println(s"""{"metric":"$metric",${line.drop(1)}""")
       recorded(metric) = line
       sweep()
+      sec
     }
+    /** Bench-comparable full-result consumption (xxhash64 over every
+      * output column, bit_xor aggregate — nothing prunes) plus the
+      * query's own planted_ok audit column; -1 rows on audit failure. */
+    def drainWithAudit(df: org.apache.spark.sql.DataFrame): Long = {
+      val r = df
+        .select(xxhash64(df.columns.map(col): _*).as("h"),
+          col("planted_ok"))
+        .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"),
+          min(when(col("planted_ok"), 1L).otherwise(0L)).as("ok"))
+        .head()
+      if (r.getLong(2) == 1L) r.getLong(1) else -1L
+    }
+    /** Time `qf` at the decade dir then at `sfDir`; record both walls,
+      * the planted audit, and the per-decade ratio gate. */
+    def perDecade(key: String,
+        qf: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val s10 = timed(s"${key}_10x",
+        () => drainWithAudit(qf(spark, decadeDir)),
+        n => Seq("planted_ok" -> (n >= 0).toString), at = decadeDir)
+      val s100 = timed(s"${key}_100x",
+        () => drainWithAudit(qf(spark, dir)),
+        n => Seq("planted_ok" -> (n >= 0).toString))
+      val ratio = s100 / s10
+      val line = f"""{"ratio_100x_over_10x":$ratio%.2f,""" +
+        f""""sub_decade_ok":${ratio < 10.0}%s}"""
+      println(s"""{"metric":"${key}_per_decade",${line.drop(1)}""")
+      recorded(s"${key}_per_decade") = line
+    }
+
+    if (which == "all" || which == "collapse")
+      perDecade("q54_collapse", graft.queries.PipelineQueries.q54ClusterCollapse)
+    if (which == "all" || which == "pipeline")
+      perDecade("q130_pipeline", graft.queries.PipelineQueries.q130CurationPipeline)
 
     if (which == "all" || which == "split") {
       val docs = graft.sources.Tables.documents(spark, dir)
