@@ -196,6 +196,90 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** WINNOWED longest-shared-span report — [[longestSharedSpan]]'s
+    * scale tier: the pair join is anchored on the ~2/(w+1) winnowed
+    * fingerprints of [[winnowedDupGroups]] instead of the full window
+    * stream, so the equi-join input (the dominant cost of the pair
+    * report at corpus scale) shrinks by the winnowing factor while the
+    * Schleimer guarantee still holds: any shared span of length
+    * ≥ w + k − 1 selects at least one identical fingerprint at the
+    * same in-span offset in both documents, so the pair IS discovered.
+    *
+    * Span lengths are declared LOWER BOUNDS (winnowing semantic): a
+    * run of matched anchors on one diagonal spans from its first to
+    * its last anchor plus the window length, but the true shared span
+    * can extend up to w − 1 windows past each end (where selection
+    * falls on frames straddling the span boundary). Interior anchors
+    * of one span sit ≤ w positions apart (every w-frame selects one),
+    * so runs merge on gap ≤ w — two distinct spans closer than w
+    * positions on the same diagonal may fuse (still a valid lower
+    * bound for the longer).
+    *
+    * `maxDocsPerAnchor` is [[longestSharedSpan]]'s hot-window cap
+    * applied to the winnowed stream: fingerprints selected by more
+    * documents are corpus boilerplate and are dropped before pairing.
+    *
+    * @return per ordered pair: `id_a < id_b`, `span_lb` (longest
+    *         merged anchor run, chars — a lower bound on the longest
+    *         shared span), `n_runs`, `n_anchors` */
+  def winnowedSharedSpan(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      maxDocsPerAnchor: Long = 50L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(w >= 2, s"w must be >= 2, got $w")
+    val wpos = docs.select(col(idCol).as("id"),
+      posexplode(graft.expressions.RollingWindows.rollingWindows(
+        TextAnalysis.canonical(col(textCol)), k)).as(Seq("pos", "wh")))
+      .where(col("pos") < lit(1048576)) // winnow encoding truncation
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val frame = wDoc.rowsBetween(-(w - 1), Window.currentRow)
+    val sel = wpos
+      .withColumn("_key",
+        min(col("wh") * lit(1048576L) + (lit(1048575L) - col("pos")))
+          .over(frame))
+      .withColumn("_rn", row_number().over(wDoc))
+      .where(col("_rn") >= w)
+      .select(col("id"), expr("_key div 1048576").as("wh"),
+        (lit(1048575L) - expr("_key % 1048576")).as("apos"))
+      .distinct()
+    val selCp = graft.util.Blocks.checkpoint(sel)
+    val eligible = selCp.df
+      .groupBy(col("wh"))
+      .agg(count_distinct(col("id")).as("_nd"))
+      .where(col("_nd") >= 2 && col("_nd") <= maxDocsPerAnchor)
+      .select(col("wh"))
+    val a2 = graft.util.Blocks.checkpoint(selCp.df.join(eligible, "wh"))
+    selCp.release()
+    val m = a2.df.as("a")
+      .join(a2.df.as("b"),
+        col("a.wh") === col("b.wh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.apos").as("pos_a"),
+        (col("b.apos") - col("a.apos")).as("d"))
+    val wPair = Window.partitionBy(col("id_a"), col("id_b"), col("d"))
+      .orderBy(col("pos_a"))
+    val runs = m
+      .withColumn("_gap",
+        when(col("pos_a") - lag(col("pos_a"), 1).over(wPair) <= w, 0)
+          .otherwise(1))
+      .withColumn("_isl", sum(col("_gap")).over(
+        wPair.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("_isl"))
+      .agg((max(col("pos_a")) - min(col("pos_a")) + lit(k)).as("_lb"),
+        count(lit(1)).as("_n"))
+    val out = graft.util.Blocks.checkpoint(runs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("_lb")).cast("long").as("span_lb"),
+        count(lit(1)).cast("long").as("n_runs"),
+        sum(col("_n")).cast("long").as("n_anchors")))
+    a2.release()
+    out.df
+  }
+
   /** Per-document duplicated-span COVERAGE — the Lee-et-al "how much
     * of each document is duplicated text" metric: the number of
     * canonical character positions covered by at least one length-`k`

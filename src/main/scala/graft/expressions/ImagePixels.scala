@@ -1,0 +1,405 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
+
+/** Deterministic FULL-PIXEL PNG builder — the content-level
+  * counterpart of [[PngHeader]] (which emits a 33-byte header-only
+  * prefix): a complete, spec-conformant grayscale PNG (8-bit, color
+  * type 0, filter 0, one zlib-wrapped IDAT, IEND) whose pixels are a
+  * pure function of `(seed, noiseSeed, x, y)`. The test corpus has no
+  * real images, so perceptual-dedup queries BUILD image payloads
+  * on-cluster and certify the decode→hash path on them (the q81/q82
+  * build→parse precedent, extended to pixel data).
+  *
+  * Pixel model: 8×8-pixel blocks, each block's base brightness an
+  * avalanche mix of `(seed, blockX, blockY)` — blocky structure, so
+  * two images with the same `seed` share their coarse luminance
+  * layout. `noiseSeed != 0` overrides ~1/64 of pixels with
+  * noise-derived values: same-seed images with different noise seeds
+  * are PERCEPTUAL near-duplicates (tiny mean shift per block),
+  * different-seed images are unrelated. Compression level is pinned
+  * (6) like [[DeflateSize]]; the deflater is thread-local, reset per
+  * row. */
+case class PngImage(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (IntegerType, IntegerType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (int width, int height, bigint seeds), got " +
+          s"(${a.catalogString}, ${b.catalogString}, ${c.catalogString})")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_image"
+
+  override protected def nullSafeEval(w: Any, h: Any, seeds: Any): Any =
+    PngImage.build(w.asInstanceOf[Int], h.asInstanceOf[Int],
+      seeds.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, h, s) =>
+      s"graft.expressions.PngImage$$.MODULE$$.build($w, $h, $s)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PngImage =
+    copy(first = f, second = s, third = t)
+}
+
+object PngImage {
+
+  private val Sig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, false) // zlib wrapper, per PNG spec
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Brightness of pixel (x, y): block base from `seed`, sparse
+    * override (~1/64 of pixels) from `noiseSeed` when nonzero. */
+  def pixel(seed: Long, noiseSeed: Long, x: Int, y: Int): Int = {
+    val base =
+      (mix(seed * 1048583L + (x >> 3) * 2099L + (y >> 3)) & 0xffL).toInt
+    if (noiseSeed == 0L) base
+    else {
+      val nz = mix(noiseSeed * 1048583L + x.toLong * 4099L + y)
+      if ((nz & 63L) == 0L) ((nz >>> 8) & 0xffL).toInt else base
+    }
+  }
+
+  /** `seeds` packs (seed, noiseSeed) as seed·2³² + noiseSeed, both
+    * sub-2³¹ non-negative — one long argument keeps the expression
+    * ternary and the SQL surface flat. */
+  def build(width: Int, height: Int, seeds: Long): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 4096 && height <= 4096,
+      s"png_image dims out of range: ${width}x$height")
+    val seed = seeds >>> 32
+    val noiseSeed = seeds & 0xffffffffL
+    // raw scanlines: filter byte 0 + `width` gray bytes per row
+    val raw = new Array[Byte]((width + 1) * height)
+    var y = 0
+    while (y < height) {
+      val off = y * (width + 1)
+      raw(off) = 0
+      var x = 0
+      while (x < width) {
+        raw(off + 1 + x) = pixel(seed, noiseSeed, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val d = deflater.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val comp = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    val idat = comp.toByteArray
+    val out = new Array[Byte](8 + 25 + 12 + idat.length + 12)
+    System.arraycopy(Sig, 0, out, 0, 8)
+    // IHDR
+    writeBe32(out, 8, 13)
+    out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+    writeBe32(out, 16, width)
+    writeBe32(out, 20, height)
+    out(24) = 8 // bit depth
+    out(25) = 0 // color type: grayscale
+    writeCrc(out, 12, 17, 29)
+    // IDAT
+    var p = 33
+    writeBe32(out, p, idat.length)
+    out(p + 4) = 'I'; out(p + 5) = 'D'; out(p + 6) = 'A'; out(p + 7) = 'T'
+    System.arraycopy(idat, 0, out, p + 8, idat.length)
+    writeCrc(out, p + 4, 4 + idat.length, p + 8 + idat.length)
+    p += 12 + idat.length
+    // IEND
+    writeBe32(out, p, 0)
+    out(p + 4) = 'I'; out(p + 5) = 'E'; out(p + 6) = 'N'; out(p + 7) = 'D'
+    writeCrc(out, p + 4, 4, p + 8)
+    out
+  }
+
+  private def writeBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  private def writeCrc(b: Array[Byte], from: Int, len: Int, at: Int): Unit = {
+    val crc = new java.util.zip.CRC32
+    crc.update(b, from, len)
+    writeBe32(b, at, crc.getValue.toInt)
+  }
+
+  /** Column form; seed/noise packed into one long. */
+  def pngImage(w: Column, h: Column, seeds: Column): Column =
+    GraftColumnBridge.column(PngImage(
+      GraftColumnBridge.expression(w), GraftColumnBridge.expression(h),
+      GraftColumnBridge.expression(seeds)))
+}
+
+/** 64-bit perceptual DIFFERENCE HASH (dHash) of an encoded image — the
+  * standard content-level image near-dup signature (public technique:
+  * downscale to a 9×8 grayscale grid, emit one bit per horizontally
+  * adjacent cell pair, `cell[y][x+1] > cell[y][x]`): brightness/
+  * contrast shifts and small pixel noise move few bits, so
+  * hamming-band blocking over the hash (the [[graft.dedup.Dedup]]
+  * SimHash bander, pigeonhole-lossless at distance ≤ 3) finds
+  * near-duplicate IMAGES — the stage the metadata tier (q81) and
+  * exact frame hashing (q51) structurally miss.
+  *
+  * Decodes PNG (8-bit grayscale or RGB, non-interlaced; IDAT inflated
+  * with the JDK Inflater, all five scanline filters unfiltered) and
+  * uncompressed 24-bit bottom-up BMP. Grayscale is integer luma
+  * (299·R + 587·G + 114·B)/1000; the 9×8 grid is exact integer area
+  * averaging (cell boundaries ⌊i·W/9⌋, mean = pixel sum div count) —
+  * every step integer-deterministic, engine-independent. Returns NULL
+  * for anything unparseable (truncated, unsupported layout) — a
+  * curation pipeline filters those rows, it doesn't crash. */
+case class DHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dhash"
+
+  override protected def nullSafeEval(b: Any): Any =
+    DHash.compute(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.freshName("dh")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""java.lang.Long $v = graft.expressions.DHash$$.MODULE$$.compute($c);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v.longValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DHash =
+    copy(child = newChild)
+}
+
+object DHash {
+
+  private val GridW = 9
+  private val GridH = 8
+
+  /** Decoded grayscale image: row-major luma bytes as ints. */
+  private final class Gray(val w: Int, val h: Int, val px: Array[Int])
+
+  def compute(bytes: Array[Byte]): java.lang.Long = {
+    val g = decode(bytes)
+    if (g == null) null
+    else {
+      // integer area average onto the 9x8 grid
+      val cells = new Array[Long](GridW * GridH)
+      var gy = 0
+      while (gy < GridH) {
+        val y0 = gy * g.h / GridH
+        val y1 = (gy + 1) * g.h / GridH
+        var gx = 0
+        while (gx < GridW) {
+          val x0 = gx * g.w / GridW
+          val x1 = (gx + 1) * g.w / GridW
+          var sum = 0L
+          var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += g.px(y * g.w + x); n += 1; x += 1 }
+            y += 1
+          }
+          cells(gy * GridW + gx) = if (n == 0) 0L else sum / n
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      var y = 0
+      while (y < GridH) {
+        var x = 0
+        while (x < GridW - 1) {
+          if (cells(y * GridW + x + 1) > cells(y * GridW + x))
+            hash |= 1L << (y * (GridW - 1) + x)
+          x += 1
+        }
+        y += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
+  }
+
+  private def decode(b: Array[Byte]): Gray = {
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') decodePng(b)
+    else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else null
+  }
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def decodePng(b: Array[Byte]): Gray = {
+    // walk chunks: IHDR first, concatenate IDAT payloads
+    if (b.length < 33) return null
+    var i = 8
+    var w = 0; var h = 0; var depth = 0; var colorType = -1
+    var interlace = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    while (i + 8 <= b.length) {
+      val len = be32(b, i)
+      if (len < 0 || i + 12 + len > b.length) return null
+      val t = new String(b, i + 4, 4, "US-ASCII")
+      t match {
+        case "IHDR" =>
+          if (len != 13) return null
+          w = be32(b, i + 8); h = be32(b, i + 12)
+          depth = b(i + 16) & 0xff; colorType = b(i + 17) & 0xff
+          interlace = b(i + 20) & 0xff
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => i = b.length // stop
+        case _ => // ancillary chunk: skip
+      }
+      i += 12 + len
+    }
+    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return null
+    val bpp = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // RGB
+      case _ => return null
+    }
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    if (got < raw.length) return null
+    // unfilter scanlines in place (filters 0-4, PNG spec)
+    var y = 0
+    while (y < h) {
+      val off = y * (stride + 1)
+      val filter = raw(off) & 0xff
+      val cur = off + 1
+      val prev = cur - (stride + 1)
+      var x = 0
+      filter match {
+        case 0 => // None
+        case 1 => // Sub
+          x = bpp
+          while (x < stride) {
+            raw(cur + x) = (raw(cur + x) + raw(cur + x - bpp)).toByte
+            x += 1
+          }
+        case 2 => // Up
+          if (y > 0) while (x < stride) {
+            raw(cur + x) = (raw(cur + x) + raw(prev + x)).toByte
+            x += 1
+          }
+        case 3 => // Average
+          while (x < stride) {
+            val a = if (x >= bpp) raw(cur + x - bpp) & 0xff else 0
+            val u = if (y > 0) raw(prev + x) & 0xff else 0
+            raw(cur + x) = (raw(cur + x) + ((a + u) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          while (x < stride) {
+            val a = if (x >= bpp) raw(cur + x - bpp) & 0xff else 0
+            val u = if (y > 0) raw(prev + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) raw(prev + x - bpp) & 0xff else 0
+            val p = a + u - c
+            val pa = math.abs(p - a); val pu = math.abs(p - u)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pu && pa <= pc) a else if (pu <= pc) u else c
+            raw(cur + x) = (raw(cur + x) + pred).toByte
+            x += 1
+          }
+        case _ => return null
+      }
+      y += 1
+    }
+    val px = new Array[Int](w * h)
+    y = 0
+    while (y < h) {
+      val cur = y * (stride + 1) + 1
+      var xx = 0
+      while (xx < w) {
+        px(y * w + xx) =
+          if (bpp == 1) raw(cur + xx) & 0xff
+          else {
+            val r = raw(cur + xx * 3) & 0xff
+            val gc = raw(cur + xx * 3 + 1) & 0xff
+            val bl = raw(cur + xx * 3 + 2) & 0xff
+            (299 * r + 587 * gc + 114 * bl) / 1000
+          }
+        xx += 1
+      }
+      y += 1
+    }
+    new Gray(w, h, px)
+  }
+
+  private def decodeBmp(b: Array[Byte]): Gray = {
+    val dataOff = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val bits = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
+    val compression = le32(b, 30)
+    if (w <= 0 || hRaw == 0 || bits != 24 || compression != 0) return null
+    val h = math.abs(hRaw)
+    val stride = (w * 3 + 3) & ~3 // rows pad to 4 bytes
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length)
+      return null
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      // positive height = bottom-up storage
+      val srcRow = if (hRaw > 0) h - 1 - y else y
+      val off = dataOff + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val bl = b(off + x * 3) & 0xff
+        val gc = b(off + x * 3 + 1) & 0xff
+        val r = b(off + x * 3 + 2) & 0xff
+        px(y * w + x) = (299 * r + 587 * gc + 114 * bl) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    new Gray(w, h, px)
+  }
+
+  /** Column form. */
+  def dhash(c: Column): Column =
+    GraftColumnBridge.column(DHash(GraftColumnBridge.expression(c)))
+}

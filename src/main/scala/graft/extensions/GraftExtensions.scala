@@ -70,6 +70,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => ImageMeta(children.head)),
     ("png_header", classOf[PngHeader],
       (children: Seq[Expression]) => PngHeader(children(0), children(1))),
+    ("png_image", classOf[graft.expressions.PngImage],
+      (children: Seq[Expression]) =>
+        graft.expressions.PngImage(children(0), children(1), children(2))),
+    ("dhash", classOf[graft.expressions.DHash],
+      (children: Seq[Expression]) => graft.expressions.DHash(children.head)),
     ("audio_meta", classOf[AudioMeta],
       (children: Seq[Expression]) => AudioMeta(children.head)),
     ("wav_header", classOf[WavHeader],

@@ -4005,6 +4005,109 @@ object PipelineQueries {
     * configuration of substring dedup (q63's `sampleMod` catch is
     * only in expectation). Selection is one integer-encoded window
     * min, engine-portable — hash-exact oracle. */
+  // ------------------------------------------------------------------ q144
+  /** Winnowed longest-shared-span report
+    * ([[Dedup.winnowedSharedSpan]]): q139's pair-level span report
+    * anchored on the winnowed fingerprint index instead of the full
+    * window stream — the equi-join input shrinks to ~2/9 while any
+    * shared span ≥ w + k − 1 = 27 chars is still guaranteed
+    * discovered; reported lengths are declared LOWER BOUNDS (anchor
+    * run extent + k; the true span can extend < w windows past each
+    * end). The corpus-scale configuration of the q139 report — and
+    * still hash-exact: the winnow selection, anchor join and
+    * gaps-and-islands are all engine-portable integer forms. */
+  def q144WinnowSpan(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedSharedSpan(docsSpread(s, dir), "doc_id", "text",
+        k = 20, w = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q144Oracle: String =
+    """WITH c AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ct
+      |  FROM documents),
+      |p AS (SELECT doc_id, ct,
+      |    unnest(generate_series(1, greatest(length(ct) - 19, 0))) AS i
+      |  FROM c),
+      |w AS (SELECT doc_id, i - 1 AS pos, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      generate_series(CAST(i AS INT), CAST(i + 19 AS INT)),
+      |      j -> CAST(ascii(substr(ct, CAST(j AS INT), 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 257 + x) % 2147483647) AS wh
+      |  FROM p),
+      |kf AS (SELECT doc_id, pos,
+      |    min(wh * 1048576 + (1048575 - pos)) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS key,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      |  FROM w),
+      |sel AS (SELECT DISTINCT doc_id, key // 1048576 AS wh,
+      |    1048575 - (key % 1048576) AS apos
+      |  FROM kf WHERE rn >= 8),
+      |elig AS (SELECT wh FROM sel GROUP BY wh
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+      |a2 AS (SELECT sel.doc_id, sel.wh, sel.apos FROM sel JOIN elig USING (wh)),
+      |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.apos AS pos_a,
+      |    b.apos - a.apos AS d
+      |  FROM a2 a JOIN a2 b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+      |g AS (SELECT id_a, id_b, d, pos_a,
+      |    CASE WHEN pos_a - lag(pos_a) OVER (PARTITION BY id_a, id_b, d
+      |      ORDER BY pos_a) <= 8 THEN 0 ELSE 1 END AS gap
+      |  FROM m),
+      |isle AS (SELECT id_a, id_b, d, pos_a,
+      |    sum(gap) OVER (PARTITION BY id_a, id_b, d ORDER BY pos_a
+      |      ROWS UNBOUNDED PRECEDING) AS isl
+      |  FROM g),
+      |runs AS (SELECT id_a, id_b, d, isl,
+      |    max(pos_a) - min(pos_a) + 20 AS lb, count(*) AS n
+      |  FROM isle GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, CAST(max(lb) AS BIGINT) AS span_lb,
+      |  CAST(count(*) AS BIGINT) AS n_runs,
+      |  CAST(sum(n) AS BIGINT) AS n_anchors
+      |FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------ q145
+  /** Content-level image perceptual near-dup: 64-bit dHash
+    * ([[graft.expressions.DHash]] — PNG IDAT inflated with the JDK
+    * Inflater, all five scanline filters, integer-luma 9×8 area
+    * averaging) over complete on-cluster-built PNG payloads
+    * ([[graft.expressions.PngImage]]), paired by the SimHash
+    * hamming-band bander (16-bit quarters, pigeonhole-LOSSLESS at
+    * hamming ≤ 3). Families of 4 docs share a structural seed with
+    * per-member sparse pixel noise — perceptual near-dups whose true
+    * pair set stays LINEAR in the corpus (fixed family size). The
+    * stage q81 (container metadata) and q51 (exact frame hashes)
+    * structurally miss: content similarity of decoded pixels. No SQL
+    * oracle (pixel decode isn't SQL-expressible); planted identical
+    * pair + blocking-recall floor 1.0 (lossless pigeonhole, q22's
+    * gate shape). */
+  def q145ImageDhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DHash, PngImage}
+    import graft.util.Blocks
+    import s.implicits._
+    val plantedSeeds = 777000777L * 4294967296L + 3L
+    val corpus = docsSpread(s, dir)
+      .select(col("doc_id"),
+        ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
+          + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
+      .unionByName(Seq((PlantA, plantedSeeds), (PlantB, plantedSeeds))
+        .toDF("doc_id", "seeds"))
+    val sigCp = Blocks.checkpoint(corpus.select(col("doc_id").as("id"),
+      DHash.dhash(PngImage.pngImage(lit(72), lit(64), col("seeds")))
+        .as("sig")))
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(d: DataFrame): DataFrame = {
+      tracked += d
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val outCp = Blocks.checkpoint(
+      Dedup.simHashDedupFromSigs(sigCp.df, maxHamming = 3,
+        maybePersist = track))
+    val truthCp = Blocks.checkpoint(
+      simhashPairTruthFromSigs(sigCp.df, maxHamming = 3))
+    tracked.foreach(_.unpersist(blocking = false))
+    sigCp.release()
+    plantedAndRecallFrom(outCp.df, plantedPairCond, truthCp.df,
+      Seq("id_a", "id_b"), floor = 1.0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def q143WinnowDup(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowedDupGroups(docsSpread(s, dir), "doc_id", "text",
         k = 20, w = 8)

@@ -735,6 +735,44 @@ class DedupSpec extends SparkSpec {
     assert(win.count() > 0 && win.count() < raw.count() / 2)
   }
 
+  test("winnowedSharedSpan: guarantee discovery, lower-bound lengths") {
+    val k = 20; val w = 8
+    for (seed <- Seq(5, 23, 77)) {
+      val rng = new scala.util.Random(seed)
+      def prose(n: Int) =
+        (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      // one span at EXACTLY the guarantee length, one long paste
+      val short = prose(w + k - 1)
+      val long = prose(200)
+      val docs = Seq(
+        (1L, s"${prose(40)}$short${prose(35)}"),
+        (2L, s"${prose(55)}$short${prose(20)}"),
+        (3L, s"${prose(30)}$long${prose(25)}"),
+        (4L, s"${prose(60)}$long${prose(15)}"),
+        (5L, prose(150))).toDF("id", "text")
+      val got = Dedup.winnowedSharedSpan(docs, "id", "text", k, w)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // guarantee: both planted pairs discovered
+      assert(got.contains((1L, 2L)), s"seed $seed: guarantee-length span")
+      assert(got.contains((3L, 4L)), s"seed $seed: long span")
+      // lower-bound semantic, never exceeding the true span
+      assert(got((1L, 2L)) >= k && got((1L, 2L)) <= (w + k - 1).toLong,
+        s"seed $seed: short span bound, got ${got((1L, 2L))}")
+      assert(got((3L, 4L)) >= (200 - 2 * (w - 1)).toLong &&
+        got((3L, 4L)) <= 200L,
+        s"seed $seed: long span bound, got ${got((3L, 4L))}")
+      // every winnowed pair/length is dominated by the exact report
+      val full = Dedup.longestSharedSpan(docs, "id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      got.foreach { case (pair, lb) =>
+        assert(full.contains(pair) && lb <= full(pair),
+          s"seed $seed: $pair winnowed $lb vs exact ${full.get(pair)}")
+      }
+    }
+  }
+
   test("winnowedDupGroups: oversized doc truncates at 2^20 windows, no corruption") {
     val k = 3; val w = 8
     // a doc past the 2^20 position encoding limit must behave exactly
