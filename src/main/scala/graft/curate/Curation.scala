@@ -512,6 +512,116 @@ object Curation {
       .drop("_running", "_start")
   }
 
+  /** Length-aware BEST-FIT-DECREASING bin packing — the
+    * packing-efficiency counterpart of [[packSequences]] (which lays
+    * docs end-to-end in arrival-hash order and lets them straddle cut
+    * points): here every document lands WHOLE in exactly one
+    * `ctxLen`-token bin, placed by the classic BFD heuristic —
+    * documents in length-descending order, each into the fullest bin
+    * it still fits (ties to the lowest bin id), a new bin only when
+    * none fits — so heterogeneous-length corpora waste far less
+    * context window on padding than arrival-order packing.
+    *
+    * Deterministic blocked form (the declared semantic): the global
+    * order inside a stratum is (clamped length DESC, md5(id‖salt) ASC,
+    * id ASC) — a unique total order — and exact BFD runs inside
+    * consecutive RANK BLOCKS of `blockDocs` documents. Blocking is
+    * what makes the heuristic distributed: each block's fold is
+    * bounded state, blocks pack in parallel, and the result is a pure
+    * function of (ids, lengths) — engine-reproducible, hash-exact.
+    * The padding cost vs unblocked BFD is at most one underfilled
+    * bin-set per block boundary; `blockDocs` ≫ docs-per-bin makes it
+    * marginal.
+    *
+    * Scale shape: the rank is the [[withRunningTokens]] two-phase
+    * discipline keyed on the order's leading keys — per
+    * (stratum, length, md5-prefix) counts, one metadata-sized
+    * broadcast of prefix offsets (≤ strata × (ctxLen+1) × 256 rows —
+    * `ctxLen` bounds the clamped length), local row_number inside
+    * each sub-bucket; no stratum ever funnels through one task. The
+    * BFD fold itself is ONE `aggregate()` higher-order expression per
+    * block (fixed-size expression tree — a chained-projection loop
+    * would hit the CollapseProject 2^n duplication), state bounded by
+    * `blockDocs`.
+    *
+    * Documents longer than `ctxLen` are CLAMPED to `ctxLen` tokens for
+    * placement (declared truncation — each still occupies a whole bin).
+    *
+    * @return one row per document: `idCol`, `stratumCol`,
+    *         `n_eff` (clamped length), `block`, `bin` (block-local,
+    *         0-based), `bin_offset` (token start inside the bin),
+    *         `bin_load` (the bin's final token load) */
+  def packBinsBfd(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokensCol: String,
+      ctxLen: Long,
+      blockDocs: Int = 256,
+      salt: String = "graft-bfd"): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(blockDocs > 0, s"blockDocs must be positive, got $blockDocs")
+    val keyed = df
+      .select(col(idCol), col(stratumCol), col(tokensCol))
+      .withColumn("_n", least(col(tokensCol).cast("long"), lit(ctxLen)))
+      .withColumn("_hk", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("_bkt", substring(col("_hk"), 1, 2))
+    val offsets = keyed
+      .groupBy(col(stratumCol).as("_st"), col("_n").as("_on"),
+        col("_bkt").as("_obkt"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_offset",
+        coalesce(sum(col("_c")).over(Window.partitionBy(col("_st"))
+          .orderBy(col("_on").desc, col("_obkt").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_st"), col("_on"), col("_obkt"), col("_offset"))
+    val ranked = keyed
+      .join(broadcast(offsets),
+        col(stratumCol) === col("_st") && col("_n") === col("_on") &&
+          col("_bkt") === col("_obkt"))
+      .withColumn("_rk", col("_offset") - 1L +
+        row_number().over(
+          Window.partitionBy(col(stratumCol), col("_n"), col("_bkt"))
+            .orderBy(col("_hk"), col(idCol))))
+      .withColumn("_blk", expr(s"_rk div ${blockDocs}L"))
+      .withColumn("_slot", pmod(col("_rk"), lit(blockDocs.toLong)))
+    val fits = s"filter(acc.loads, l -> l + d._n <= ${ctxLen}L)"
+    val best = s"array_max($fits)"
+    val idx = s"array_position(acc.loads, $best)" // 1-based, lowest bin on ties
+    val folded = ranked
+      .groupBy(col(stratumCol), col("_blk"))
+      .agg(sort_array(collect_list(
+        struct(col("_slot"), col("_n"), col(idCol).as("_id")))).as("_docs"))
+      .withColumn("_bfd", expr(s"""
+        aggregate(
+          _docs,
+          named_struct(
+            'loads', cast(array() as array<bigint>),
+            'bins',  cast(array() as array<bigint>),
+            'offs',  cast(array() as array<bigint>)),
+          (acc, d) -> if(
+            size($fits) = 0,
+            named_struct(
+              'loads', concat(acc.loads, array(d._n)),
+              'bins',  concat(acc.bins, array(cast(size(acc.loads) as bigint))),
+              'offs',  concat(acc.offs, array(0L))),
+            named_struct(
+              'loads', transform(acc.loads, (l, i) ->
+                if(i = $idx - 1, l + d._n, l)),
+              'bins',  concat(acc.bins, array($idx - 1)),
+              'offs',  concat(acc.offs, array($best)))))"""))
+    folded
+      .select(col(stratumCol), col("_blk").as("block"), col("_bfd"),
+        posexplode(col("_docs")).as(Seq("_i", "_d")))
+      .select(col("_d._id").as(idCol), col(stratumCol),
+        col("_d._n").as("n_eff"), col("block"),
+        element_at(col("_bfd.bins"), col("_i") + 1).as("bin"),
+        element_at(col("_bfd.offs"), col("_i") + 1).as("bin_offset"),
+        element_at(col("_bfd.loads"),
+          (element_at(col("_bfd.bins"), col("_i") + 1) + 1).cast("int"))
+          .as("bin_load"))
+  }
+
   /** Deterministic epoch shuffle: a reproducible global training order —
     * each row gets a shard and a dense 0-based position inside it, both
     * pure functions of (id, epoch). This is the data-ordering step of a

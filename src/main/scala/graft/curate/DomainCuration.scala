@@ -62,6 +62,57 @@ object DomainCuration {
       .otherwise(h)
   }
 
+  /** TABLE-driven registrable domain — the substitution hook the
+    * fixed-list approximation declares: `psl` is one lowercase
+    * `suffix` column of public-suffix entries of 1–3 labels (a real
+    * PSL snapshot, broadcast — the list is metadata), the LONGEST
+    * matching suffix wins, and the registrable domain is the suffix
+    * plus one more host label. Hosts that have no label beyond their
+    * matched suffix (the host IS a public suffix) and hosts matching
+    * no entry pass through unchanged — same pass-through posture as
+    * [[registrableDomain]]. Wildcard/exception PSL rules are out of
+    * scope (declared; the entries relevant to training-data corpora
+    * are plain).
+    *
+    * Three scalar broadcast left joins (one per candidate suffix
+    * depth) — a narrow projection plus metadata joins, no explode, no
+    * shuffle on the corpus.
+    *
+    * Parity contract (spec-pinned): with `psl` = the fixed multi-part
+    * list ∪ the corpus's single-label TLDs, this equals
+    * [[registrableDomain]] row for row. */
+  def withRegistrableDomainFromTable(
+      docs: DataFrame,
+      urlCol: String,
+      psl: DataFrame,
+      out: String = "domain"): DataFrame = {
+    val h = lower(host(col(urlCol)))
+    val parts = split(h, "\\.")
+    def lastK(k: Int) = concat_ws(".",
+      (k to 1 by -1).map(i => element_at(parts, -i)): _*)
+    val n = size(parts)
+    val p = psl.select(lower(col("suffix")).as("_sfx")).distinct()
+    docs
+      .withColumn("_h", h).withColumn("_n", n)
+      .withColumn("_s1", when(n >= 1, lastK(1)))
+      .withColumn("_s2", when(n >= 2, lastK(2)))
+      .withColumn("_s3", when(n >= 3, lastK(3)))
+      .join(broadcast(p.select(col("_sfx").as("_m3"))),
+        col("_s3") === col("_m3"), "left")
+      .join(broadcast(p.select(col("_sfx").as("_m2"))),
+        col("_s2") === col("_m2"), "left")
+      .join(broadcast(p.select(col("_sfx").as("_m1"))),
+        col("_s1") === col("_m1"), "left")
+      .withColumn(out,
+        when(col("_m3").isNotNull && col("_n") >= 4, lastK(4))
+          .when(col("_m3").isNotNull, col("_h"))
+          .when(col("_m2").isNotNull && col("_n") >= 3, lastK(3))
+          .when(col("_m2").isNotNull, col("_h"))
+          .when(col("_m1").isNotNull && col("_n") >= 2, lastK(2))
+          .otherwise(col("_h")))
+      .drop("_h", "_n", "_s1", "_s2", "_s3", "_m1", "_m2", "_m3")
+  }
+
   /** Blocklist + per-domain cap over a URL-carrying corpus: annotate
     * each row with its registrable `domain`, anti-join the blocklist
     * (one `domain` column; broadcast), and keep at most `cap` rows per

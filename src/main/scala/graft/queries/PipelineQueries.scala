@@ -4062,6 +4062,72 @@ object PipelineQueries {
       |  CAST(sum(n) AS BIGINT) AS n_anchors
       |FROM runs GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------------------ q146
+  /** Length-aware best-fit-decreasing packing
+    * ([[graft.curate.Curation.packBinsBfd]]): every doc lands WHOLE in
+    * one 512-token bin — length-descending order, fullest-fitting bin,
+    * ties to the lowest bin id — with a padding-waste ppm per bin, the
+    * packing-efficiency story q52's arrival-order cut-every-512 packer
+    * doesn't tell (q52 wastes no tokens but splits documents; this
+    * keeps documents whole and minimizes the padding that splitting
+    * avoided). Deterministic blocked BFD (exact fold inside rank
+    * blocks of 256 docs; two-phase rank, one aggregate() HOF per
+    * block, no single-task funnel) — hash-exact oracle replicating
+    * the fold as a recursive CTE. */
+  def q146PackBfd(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.curate.Curation.packBinsBfd(docs, "doc_id", "source",
+        "n_tokens", ctxLen = 512L, blockDocs = 256)
+      .withColumn("waste_ppm",
+        expr("(512 - bin_load) * 1000000L div 512"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q146Oracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, source,
+      |    CAST(least(len(regexp_extract_all(text, '[^ \t\n\r]+')), 512) AS BIGINT) AS n,
+      |    md5(doc_id::VARCHAR || 'graft-bfd') AS hk
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, n,
+      |    row_number() OVER (PARTITION BY source ORDER BY n DESC, hk, doc_id) - 1 AS rk
+      |  FROM t),
+      |b AS (SELECT doc_id, source, n, rk // 256 AS blk, rk % 256 AS slot FROM r),
+      |s(source, blk, slot, ids, ns, loads, bins, offs) AS (
+      |  SELECT source, blk, CAST(-1 AS BIGINT),
+      |      CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+      |      CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+      |    FROM (SELECT DISTINCT source, blk FROM b)
+      |  UNION ALL
+      |  SELECT s.source, s.blk, s.slot + 1,
+      |    list_append(s.ids, b.doc_id),
+      |    list_append(s.ns, b.n),
+      |    CASE WHEN len(list_filter(s.loads, l -> l + b.n <= 512)) = 0
+      |      THEN list_append(s.loads, b.n)
+      |      ELSE list_transform(s.loads, (l, i) -> CASE WHEN i = list_position(s.loads,
+      |        list_aggregate(list_filter(s.loads, l2 -> l2 + b.n <= 512), 'max'))
+      |        THEN l + b.n ELSE l END) END,
+      |    list_append(s.bins, CAST(CASE WHEN len(list_filter(s.loads, l -> l + b.n <= 512)) = 0
+      |      THEN len(s.loads)
+      |      ELSE list_position(s.loads, list_aggregate(list_filter(s.loads, l2 -> l2 + b.n <= 512), 'max')) - 1 END AS BIGINT)),
+      |    list_append(s.offs, CAST(CASE WHEN len(list_filter(s.loads, l -> l + b.n <= 512)) = 0
+      |      THEN 0
+      |      ELSE list_aggregate(list_filter(s.loads, l2 -> l2 + b.n <= 512), 'max') END AS BIGINT))
+      |  FROM s JOIN b ON b.source = s.source AND b.blk = s.blk AND b.slot = s.slot + 1),
+      |fin AS (SELECT source, blk, ids, ns, loads, bins, offs FROM s
+      |  QUALIFY row_number() OVER (PARTITION BY source, blk ORDER BY slot DESC) = 1),
+      |a AS (SELECT source, blk, loads,
+      |    unnest(ids) AS doc_id, unnest(ns) AS n_eff,
+      |    unnest(bins) AS bin, unnest(offs) AS bin_offset
+      |  FROM fin)
+      |SELECT doc_id, source, CAST(n_eff AS BIGINT) AS n_eff,
+      |  CAST(blk AS BIGINT) AS block, CAST(bin AS BIGINT) AS bin,
+      |  CAST(bin_offset AS BIGINT) AS bin_offset,
+      |  CAST(loads[CAST(bin + 1 AS INT)] AS BIGINT) AS bin_load,
+      |  CAST((512 - loads[CAST(bin + 1 AS INT)]) * 1000000 // 512 AS BIGINT) AS waste_ppm
+      |FROM a ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------------ q145
   /** Content-level image perceptual near-dup: 64-bit dHash
     * ([[graft.expressions.DHash]] — PNG IDAT inflated with the JDK

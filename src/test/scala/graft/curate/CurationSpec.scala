@@ -193,6 +193,91 @@ class CurationSpec extends SparkSpec {
     assert(re === packed.map(r => (r._2, r._4, r._5)).toSet)
   }
 
+  /** Reference blocked BFD in plain Scala: same declared semantic
+    * (length desc, md5 asc, id asc; rank blocks; fullest-fitting bin,
+    * ties to lowest bin id). */
+  private def refBfd(rows: Seq[(Long, String, Long)], ctx: Long,
+      blockDocs: Int): Map[Long, (String, Long, Long, Long, Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val ordered = rs
+        .map { case (id, _, n) => (id, math.min(n, ctx)) }
+        .sortBy { case (id, n) => (-n, md5hex(s"${id}graft-bfd"), id) }
+      ordered.grouped(blockDocs).zipWithIndex.flatMap { case (block, blk) =>
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        block.map { case (id, n) =>
+          val fitting = loads.zipWithIndex.filter(_._1 + n <= ctx)
+          val (bin, off) =
+            if (fitting.isEmpty) { loads += n; (loads.size - 1, 0L) }
+            else {
+              val bestLoad = fitting.map(_._1).max
+              val i = fitting.find(_._1 == bestLoad).get._2
+              val o = loads(i); loads(i) += n; (i, o)
+            }
+          id -> (g, blk.toLong, bin.toLong, off)
+        }.map { case (id, (gg, blk2, bin, off)) =>
+          id -> (gg, 0L, blk2, bin, off, loads(bin.toInt))
+        }
+      }
+    }.map { case (id, (g, _, blk, bin, off, load)) =>
+      id -> (g, math.min(rows.find(_._1 == id).get._3, ctx), blk, bin,
+        off, load)
+    }
+  }
+
+  test("packBinsBfd matches a plain-Scala reference BFD and is partition-independent") {
+    val rows = (1L to 400L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh",
+        5L + (i * 13) % 90))
+    val df = rows.toDF("id", "lang", "toks")
+    val got = Curation.packBinsBfd(df, "id", "lang", "toks",
+        ctxLen = 128L, blockDocs = 64)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("lang"),
+        r.getAs[Long]("n_eff"), r.getAs[Long]("block"),
+        r.getAs[Long]("bin"), r.getAs[Long]("bin_offset"),
+        r.getAs[Long]("bin_load"))).toMap
+    val want = refBfd(rows, 128L, 64)
+    assert(got.size === 400)
+    assert(got === want)
+    // bins never overflow, offsets sit inside the bin
+    got.values.foreach { case (_, n, _, _, off, load) =>
+      assert(load <= 128L && off + n <= load)
+    }
+    // partition-independence
+    val re = Curation.packBinsBfd(df.repartition(7), "id", "lang",
+        "toks", ctxLen = 128L, blockDocs = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("block"),
+        r.getAs[Long]("bin"), r.getAs[Long]("bin_offset"))).toSet
+    assert(re === got.map { case (id, (_, _, blk, bin, off, _)) =>
+      (id, blk, bin, off) }.toSet)
+  }
+
+  test("packBinsBfd wastes less padding than whole-doc arrival packing") {
+    val rows = (1L to 300L).map(i => (i, "en", 40L + (i * 7) % 300))
+    val df = rows.toDF("id", "lang", "toks")
+    val packed = Curation.packBinsBfd(df, "id", "lang", "toks",
+      ctxLen = 512L, blockDocs = 256)
+    val bfdBins = packed.select("block", "bin").distinct().count()
+    // naive whole-doc packing in id order: new bin when the next doc
+    // would overflow
+    var naive = 1L; var cur = 0L
+    rows.map(r => math.min(r._3, 512L)).foreach { n =>
+      if (cur + n > 512L) { naive += 1; cur = n } else cur += n
+    }
+    assert(bfdBins <= naive, s"BFD $bfdBins bins vs naive $naive")
+    // oversize docs clamp (declared truncation) and occupy a whole bin
+    val big = Seq((1L, "en", 9999L), (2L, "en", 10L)).toDF("id", "lang", "toks")
+    val bigPacked = Curation.packBinsBfd(big, "id", "lang", "toks",
+        ctxLen = 512L, blockDocs = 256)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_eff"), r.getAs[Long]("bin"))).toMap
+    assert(bigPacked(1L)._1 === 512L)
+  }
+
   test("uniform tokenBudget overload equals the Map form over all present strata") {
     val strata = docs.select("lang").distinct()
       .collect().map(_.getString(0))

@@ -22,6 +22,48 @@ class DomainCurationSpec extends SparkSpec {
     assert(got.toSeq === cases.map(_._2))
   }
 
+  test("withRegistrableDomainFromTable agrees with the fixed list on its suffixes") {
+    val urls = Seq(
+      "https://www.example.com/path?q=1",
+      "http://blog.news.example.co.uk/a",
+      "https://example.org",
+      "https://a.b.c.d.example.com/",
+      "https://EXAMPLE.COM/x",
+      "https://localhost/admin",
+      "ftp://files.example.net/pub",
+      "https://co.uk/",
+      "https://shop.store.com.au/x",
+      "https://deep.sub.site.ac.uk/y")
+    val docs = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    // table = the fixed multi-part list + the corpus's 1-label TLDs
+    // (the fixed approximation implicitly treats every TLD as public)
+    val psl = (DomainCuration.DefaultMultiPartSuffixes ++
+      Seq("com", "org", "net", "uk", "au")).toDF("suffix")
+    val viaTable = DomainCuration
+      .withRegistrableDomainFromTable(docs, "url", psl)
+      .orderBy("doc_id").collect().map(_.getAs[String]("domain"))
+    val viaList = docs
+      .withColumn("domain", DomainCuration.registrableDomain(col("url")))
+      .orderBy("doc_id").collect().map(_.getAs[String]("domain"))
+    assert(viaTable.toSeq === viaList.toSeq)
+  }
+
+  test("withRegistrableDomainFromTable: 3-label suffixes, longest match, pass-through") {
+    val docs = Seq(
+      (1L, "https://www.city.act.edu.au/x"),  // 3-label entry wins
+      (2L, "https://act.edu.au/"),            // host IS the suffix
+      (3L, "https://site.edu.au/"),           // 2-label entry
+      (4L, "https://weird.zz/"),              // no entry: pass-through
+      (5L, "https://single/")                 // 1 label: pass-through
+    ).toDF("doc_id", "url")
+    val psl = Seq("act.edu.au", "edu.au", "au").toDF("suffix")
+    val got = DomainCuration.withRegistrableDomainFromTable(docs, "url", psl)
+      .orderBy("doc_id").collect().map(_.getAs[String]("domain"))
+    assert(got.toSeq === Seq(
+      "city.act.edu.au", "act.edu.au", "site.edu.au", "weird.zz", "single"))
+  }
+
   test("curate: blocklist drops, cap binds per domain, rank deterministic") {
     // 12 docs on bad.com, 3 on ok.org, 1 on solo.co.uk
     val docs = ((1L to 12L).map(i => (i, s"https://www.bad.com/p/$i")) ++
