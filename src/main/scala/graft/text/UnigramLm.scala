@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   * vocabulary-sized), and everything after — seeding, the
   * `maxWordLen`-step dp, backtracking, counting, re-scoring — runs
   * over that vocab table alone. The dp is a fixed unroll of
-  * `maxWordLen` join+aggregate steps (checkpointed every 4 so the
+  * `maxWordLen` join+aggregate steps (checkpointed every 2 — the A/B-measured optimum: sparser cadences pay plan-depth analysis, denser ones stage scheduling — so the
   * iterative plan never grows); backtracking is one aggregate()
   * higher-order expression per word (see [[viterbiSegments]]). No
   * step's cost depends on corpus size, so the same plan trains on
@@ -179,7 +179,7 @@ object UnigramLm {
             .otherwise(col("bl")).as("bl"))
       // bound the iterative plan; frames are vocab-sized, so the
       // superseded blocks are left to the ContextCleaner
-      if (i % 4 == 0 || i == maxWordLen)
+      if (i % 2 == 0 || i == maxWordLen)
         state = graft.util.Blocks.lazyCheckpoint(state)
     }
     state.select(col("w"), col("wc"),
