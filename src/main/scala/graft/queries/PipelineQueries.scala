@@ -4174,6 +4174,57 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------------------------ q147
+  /** Image near-dup COLLAPSE — the action layer over q145's pair
+    * report (the q26/q99-to-q23 relationship, for images): dHash
+    * pairs at hamming ≤ 3 → connected components → canonical keep per
+    * cluster, the kept member being the most DETAILED image (largest
+    * encoded payload: a bigger IDAT is higher pixel entropy under the
+    * fixed 72×64 geometry), ties to the smallest id. Pairs stay
+    * linear at scale (fixed 4-doc families); CC is the star-contract
+    * tier q26 uses; the keep is one partial-aggregable min_by. No SQL
+    * oracle (pixel decode); planted identical pair must land in ONE
+    * cluster. */
+  def q147ImageCollapse(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DHash, PngImage}
+    import graft.util.Blocks
+    import s.implicits._
+    val plantedSeeds = 777000777L * 4294967296L + 3L
+    val corpus = docsSpread(s, dir)
+      .select(col("doc_id"),
+        ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
+          + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
+      .unionByName(Seq((PlantA, plantedSeeds), (PlantB, plantedSeeds))
+        .toDF("doc_id", "seeds"))
+    val imgCp = Blocks.checkpoint(corpus.select(col("doc_id").as("id"),
+      PngImage.pngImage(lit(72), lit(64), col("seeds")).as("payload")))
+    val sigCp = Blocks.checkpoint(imgCp.df.select(col("id"),
+      DHash.dhash(col("payload")).as("sig")))
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(d: DataFrame): DataFrame = {
+      tracked += d
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val pairs = Dedup.simHashDedupFromSigs(sigCp.df, maxHamming = 3,
+      maybePersist = track)
+    val comp = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    tracked.foreach(_.unpersist(blocking = false))
+    sigCp.release()
+    val planted = comp.agg(
+      (count(when(col("id") === PlantA || col("id") === PlantB, 1)) === 2 &&
+        countDistinct(when(col("id") === PlantA || col("id") === PlantB,
+          col("comp"))) === 1).as("planted_ok"))
+    // imgCp is NOT released here: the keep's `detail` side still reads
+    // it lazily — the harness sweep / ContextCleaner reclaims it
+    Dedup.keepCanonical(comp,
+        imgCp.df.select(col("id"),
+          length(col("payload")).cast("long").as("detail")),
+        "id", "detail")
+      .crossJoin(broadcast(planted))
+      .orderBy(col("cluster_id"))
+  }
+
   def q143WinnowDup(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowedDupGroups(docsSpread(s, dir), "doc_id", "text",
         k = 20, w = 8)
