@@ -4128,6 +4128,83 @@ object PipelineQueries {
       |  CAST((512 - loads[CAST(bin + 1 AS INT)]) * 1000000 // 512 AS BIGINT) AS waste_ppm
       |FROM a ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q148
+  /** BFD packed-bin assembly — the q90-to-q52 relationship for q146:
+    * materialize each best-fit bin's documents concatenated in
+    * placement order (bin_offset asc, ties doc_id — zero-token docs
+    * can share an offset), emitted as md5 so the artifact stays
+    * metadata-sized, plus the per-bin fill/waste report. Group key =
+    * (stratum, block, bin) — per-group state bounded by the context
+    * length; deterministic aggregation order via
+    * sort_array(collect_list(struct)) — hash-exact. */
+  def q148BfdAssembly(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsSpread(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+    val packed = graft.curate.Curation.packBinsBfd(docs, "doc_id",
+      "source", "n_tokens", ctxLen = 512L, blockDocs = 256)
+    packed
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("source"), col("block"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("bin_load")).as("bin_load"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("bin_offset"), col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "")).as("bin_md5"))
+      .withColumn("waste_ppm",
+        expr("(512 - bin_load) * 1000000L div 512"))
+      .orderBy(col("source"), col("block"), col("bin"))
+  }
+
+  val q148Oracle: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, source, text,
+      |    CAST(least(len(regexp_extract_all(text, '[^ \t\n\r]+')), 512) AS BIGINT) AS n,
+      |    md5(doc_id::VARCHAR || 'graft-bfd') AS hk
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, n,
+      |    row_number() OVER (PARTITION BY source ORDER BY n DESC, hk, doc_id) - 1 AS rk
+      |  FROM t),
+      |b AS (SELECT doc_id, source, n, rk // 256 AS blk, rk % 256 AS slot FROM r),
+      |s(source, blk, slot, ids, loads, bins, offs) AS (
+      |  SELECT source, blk, CAST(-1 AS BIGINT),
+      |      CAST([] AS BIGINT[]), CAST([] AS BIGINT[]),
+      |      CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+      |    FROM (SELECT DISTINCT source, blk FROM b)
+      |  UNION ALL
+      |  SELECT s.source, s.blk, s.slot + 1,
+      |    list_append(s.ids, b.doc_id),
+      |    CASE WHEN len(list_filter(s.loads, l -> l + b.n <= 512)) = 0
+      |      THEN list_append(s.loads, b.n)
+      |      ELSE list_transform(s.loads, (l, i) -> CASE WHEN i = list_position(s.loads,
+      |        list_aggregate(list_filter(s.loads, l2 -> l2 + b.n <= 512), 'max'))
+      |        THEN l + b.n ELSE l END) END,
+      |    list_append(s.bins, CAST(CASE WHEN len(list_filter(s.loads, l -> l + b.n <= 512)) = 0
+      |      THEN len(s.loads)
+      |      ELSE list_position(s.loads, list_aggregate(list_filter(s.loads, l2 -> l2 + b.n <= 512), 'max')) - 1 END AS BIGINT)),
+      |    list_append(s.offs, CAST(CASE WHEN len(list_filter(s.loads, l -> l + b.n <= 512)) = 0
+      |      THEN 0
+      |      ELSE list_aggregate(list_filter(s.loads, l2 -> l2 + b.n <= 512), 'max') END AS BIGINT))
+      |  FROM s JOIN b ON b.source = s.source AND b.blk = s.blk AND b.slot = s.slot + 1),
+      |fin AS (SELECT source, blk, ids, loads, bins, offs FROM s
+      |  QUALIFY row_number() OVER (PARTITION BY source, blk ORDER BY slot DESC) = 1),
+      |a AS (SELECT source, blk, loads,
+      |    unnest(ids) AS doc_id, unnest(bins) AS bin, unnest(offs) AS bin_offset
+      |  FROM fin),
+      |a2 AS (SELECT a.source, a.blk, a.bin,
+      |    CAST(a.loads[CAST(a.bin + 1 AS INT)] AS BIGINT) AS bin_load,
+      |    a.bin_offset, a.doc_id, t.text
+      |  FROM a JOIN t ON a.doc_id = t.doc_id)
+      |SELECT source, CAST(blk AS BIGINT) AS block, CAST(bin AS BIGINT) AS bin,
+      |  count(*) AS n_docs, bin_load,
+      |  md5(string_agg(text, '' ORDER BY bin_offset, doc_id)) AS bin_md5,
+      |  CAST((512 - bin_load) * 1000000 // 512 AS BIGINT) AS waste_ppm
+      |FROM a2 GROUP BY source, blk, bin, bin_load
+      |ORDER BY source, block, bin""".stripMargin
+
   // ------------------------------------------------------------------ q145
   /** Content-level image perceptual near-dup: 64-bit dHash
     * ([[graft.expressions.DHash]] — PNG IDAT inflated with the JDK
