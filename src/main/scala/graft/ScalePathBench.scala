@@ -66,26 +66,32 @@ object ScalePathBench {
     }
     /** Bench-comparable full-result consumption (xxhash64 over every
       * output column, bit_xor aggregate — nothing prunes) plus the
-      * query's own planted_ok audit column; -1 rows on audit failure. */
+      * query's own planted_ok audit column when it has one; -1 rows on
+      * audit failure. */
     def drainWithAudit(df: org.apache.spark.sql.DataFrame): Long = {
+      val hasAudit = df.columns.contains("planted_ok")
+      val audit =
+        if (hasAudit) min(when(col("planted_ok"), 1L).otherwise(0L))
+        else min(lit(1L))
       val r = df
-        .select(xxhash64(df.columns.map(col): _*).as("h"),
-          col("planted_ok"))
-        .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"),
-          min(when(col("planted_ok"), 1L).otherwise(0L)).as("ok"))
+        .select((xxhash64(df.columns.map(col): _*).as("h")) +:
+          (if (hasAudit) Seq(col("planted_ok")) else Seq.empty): _*)
+        .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"), audit.as("ok"))
         .head()
       if (r.getLong(2) == 1L) r.getLong(1) else -1L
     }
     /** Time `qf` at the decade dir then at `sfDir`; record both walls,
-      * the planted audit, and the per-decade ratio gate. */
+      * the planted audit (when the query carries one), and the
+      * per-decade ratio gate. */
     def perDecade(key: String,
-        qf: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+        qf: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        audited: Boolean = true): Unit = {
+      def audits(n: Long): Seq[(String, String)] =
+        if (audited) Seq("planted_ok" -> (n >= 0).toString) else Seq.empty
       val s10 = timed(s"${key}_10x",
-        () => drainWithAudit(qf(spark, decadeDir)),
-        n => Seq("planted_ok" -> (n >= 0).toString), at = decadeDir)
+        () => drainWithAudit(qf(spark, decadeDir)), audits, at = decadeDir)
       val s100 = timed(s"${key}_100x",
-        () => drainWithAudit(qf(spark, dir)),
-        n => Seq("planted_ok" -> (n >= 0).toString))
+        () => drainWithAudit(qf(spark, dir)), audits)
       val ratio = s100 / s10
       val line = f"""{"ratio_100x_over_10x":$ratio%.2f,""" +
         f""""sub_decade_ok":${ratio < 10.0}%s}"""
@@ -97,6 +103,12 @@ object ScalePathBench {
       perDecade("q54_collapse", graft.queries.PipelineQueries.q54ClusterCollapse)
     if (which == "all" || which == "pipeline")
       perDecade("q130_pipeline", graft.queries.PipelineQueries.q130CurationPipeline)
+    if (which == "all" || which == "winnow")
+      // the q139-report scale tier: winnowed anchors, declared
+      // lower-bound spans — gates the 100x wall that replaced q139's
+      // 165.9 s pair-tier reading
+      perDecade("q144_winnow_span", graft.queries.PipelineQueries.q144WinnowSpan,
+        audited = false)
 
     if (which == "all" || which == "split") {
       val docs = graft.sources.Tables.documents(spark, dir)
