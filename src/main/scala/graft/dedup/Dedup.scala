@@ -1955,12 +1955,21 @@ object Dedup {
       sigs: DataFrame,
       maxHamming: Int = 3,
       maxBucketSize: Int = 100000,
-      maybePersist: DataFrame => DataFrame = identity): DataFrame = {
+      maybePersist: DataFrame => DataFrame = identity,
+      blockCol: Option[String] = None): DataFrame = {
+    // an optional equality BLOCK joins the bucket key (the jaccardJoin
+    // `blk` convention): pairs are only sought inside a block, which
+    // keeps buckets small when the item count saturates the 16-bit
+    // band space (measured: 4M frame hashes at 100x averaged 61 rows
+    // per (q, chunk) bucket -> ~1e9 candidates; per-frame-index
+    // blocking restores q145's per-item bucket density)
+    val blkKey = blockCol.map(c => Seq(col(c).as("blkk"))).getOrElse(Seq.empty)
     val blocked = sigs.select(
       col("id"), col("sig"),
       explode(array((0 until 4).map { q =>
-        struct(lit(q).as("q"),
-          shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("chunk"))
+        struct((Seq(lit(q).as("q"),
+          shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("chunk")) ++
+          blkKey): _*)
       }: _*)).as("bk"))
     val capped = maybePersist(capBuckets(blocked, maxBucketSize))
     val pairs = capped.as("l")

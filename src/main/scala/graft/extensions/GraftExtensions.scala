@@ -75,6 +75,11 @@ object GraftExtensions {
         graft.expressions.PngImage(children(0), children(1), children(2))),
     ("dhash", classOf[graft.expressions.DHash],
       (children: Seq[Expression]) => graft.expressions.DHash(children.head)),
+    ("wav_tone", classOf[graft.expressions.WavTone],
+      (children: Seq[Expression]) =>
+        graft.expressions.WavTone(children(0), children(1), children(2))),
+    ("audio_fp", classOf[graft.expressions.AudioFp],
+      (children: Seq[Expression]) => graft.expressions.AudioFp(children.head)),
     ("audio_meta", classOf[AudioMeta],
       (children: Seq[Expression]) => AudioMeta(children.head)),
     ("wav_header", classOf[WavHeader],

@@ -4128,6 +4128,117 @@ object PipelineQueries {
       |  CAST((512 - loads[CAST(bin + 1 AS INT)]) * 1000000 // 512 AS BIGINT) AS waste_ppm
       |FROM a ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------ q150
+  /** VIDEO perceptual near-dup by frame voting — the triad's video
+    * leg, and the perceptual upgrade of q51's exact frame hashes:
+    * each video is 8 sampled frames built as full-pixel PNGs (frame
+    * structure keyed by (video seed, frame index) — family members
+    * share structure, carry member-specific sparse pixel noise),
+    * every frame dHashed, frame pairs found by the lossless hamming
+    * bander at distance ≤ 3 on the SAME frame index, and a video
+    * pair reported when ≥ 6 of 8 frames match — the scene-level
+    * robustness exact hashing (q51) structurally lacks. Encoded
+    * frame ids keep the bander's single-column contract
+    * ((vid+2)·16 + frame, non-negative for the planted ids); the
+    * vote shuffles on the video pair, bounded by family size. No SQL
+    * oracle; planted identical pair must report with all 8 frames. */
+  def q150VideoFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DHash, PngImage}
+    import graft.util.Blocks
+    import s.implicits._
+    val F = 8
+    val base = docsSpread(s, dir)
+      .select(col("doc_id"),
+        (expr("doc_id div 4") % 1000000000L).as("vseed"),
+        (pmod(col("doc_id"), lit(4)) + 1L).as("nbase"))
+      .unionByName(Seq((PlantA, 888000888L, 3L), (PlantB, 888000888L, 3L))
+        .toDF("doc_id", "vseed", "nbase"))
+    val frames = base
+      .withColumn("f", explode(sequence(lit(0L), lit(F - 1L))))
+      .select(
+        ((col("doc_id") + 2L) * 16L + col("f")).as("id"),
+        col("f"),
+        (((col("vseed") * 8L + col("f")) % 1000000000L) * lit(4294967296L)
+          + col("nbase") * 16L + col("f")).cast("long").as("seeds"))
+    val sigCp = Blocks.checkpoint(frames.select(col("id"), col("f"),
+      // 72x64: dHash grid cells align exactly with the 8-px pixel
+      // blocks -> comparison bits are fair coins (a 48x40 first cut
+      // put 5-px cells inside 8-px blocks, zeroing half the bits --
+      // low-entropy hashes made band buckets hot and the frame join
+      // quadratic: 50 s at 10x vs 4.8 s aligned)
+      DHash.dhash(PngImage.pngImage(lit(72), lit(64), col("seeds")))
+        .as("sig")))
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(d: DataFrame): DataFrame = {
+      tracked += d
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // block on the frame index: only same-index frames can vote, and
+    // at 4M+ frames the unblocked 16-bit band space saturates (see
+    // simHashDedupFromSigs' blockCol note)
+    val framePairs = Dedup.simHashDedupFromSigs(
+      sigCp.df.select(col("id"), col("sig"), col("f")), maxHamming = 3,
+      maybePersist = track, blockCol = Some("f"))
+    val votes = framePairs
+      .select((expr("id_a div 16") - 2L).as("id_a"),
+        (expr("id_b div 16") - 2L).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_frames"))
+      .where(col("n_frames") >= 6L)
+    // eager checkpoint BEFORE the upstream releases — a lazy wrapper
+    // would try to recompute through the freed sig blocks
+    val votesCp = Blocks.checkpoint(votes)
+    tracked.foreach(_.unpersist(blocking = false))
+    sigCp.release()
+    val planted = votesCp.df.agg(
+      coalesce(max(when(plantedPairCond, true)), lit(false))
+        .as("planted_ok"))
+    votesCp.df.crossJoin(broadcast(planted))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------------ q149
+  /** Content-level AUDIO perceptual near-dup: 64-bit energy-delta
+    * fingerprint ([[graft.expressions.AudioFp]] — mono 16-bit PCM
+    * decoded by the RIFF walk, 65 exact integer frame energies,
+    * adjacent-frame comparisons) over complete on-cluster-built WAV
+    * payloads ([[graft.expressions.WavTone]] — blocky seed-derived
+    * loudness envelope + per-member sparse sample noise), paired by
+    * the lossless hamming bander. Completes the perceptual triad
+    * (q145 image, this audio) over the stage q82's container metadata
+    * structurally misses. No SQL oracle; planted identical pair +
+    * blocking-recall floor 1.0 (q145's gate shape). */
+  def q149AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{AudioFp, WavTone}
+    import graft.util.Blocks
+    import s.implicits._
+    val plantedSeeds = 555000555L * 4294967296L + 2L
+    val corpus = docsSpread(s, dir)
+      .select(col("doc_id"),
+        ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
+          + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
+      .unionByName(Seq((PlantA, plantedSeeds), (PlantB, plantedSeeds))
+        .toDF("doc_id", "seeds"))
+    val sigCp = Blocks.checkpoint(corpus.select(col("doc_id").as("id"),
+      AudioFp.audioFp(WavTone.wavTone(lit(16000), lit(6400), col("seeds")))
+        .as("sig")))
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(d: DataFrame): DataFrame = {
+      tracked += d
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val outCp = Blocks.checkpoint(
+      Dedup.simHashDedupFromSigs(sigCp.df, maxHamming = 3,
+        maybePersist = track))
+    val truthCp = Blocks.checkpoint(
+      simhashPairTruthFromSigs(sigCp.df, maxHamming = 3))
+    tracked.foreach(_.unpersist(blocking = false))
+    sigCp.release()
+    plantedAndRecallFrom(outCp.df, plantedPairCond, truthCp.df,
+      Seq("id_a", "id_b"), floor = 1.0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------ q148
   /** BFD packed-bin assembly — the q90-to-q52 relationship for q146:
     * materialize each best-fit bin's documents concatenated in

@@ -13,7 +13,8 @@ class PlantedPairSpec extends SparkSpec {
     "q51_multimodal_frame_dedup", "q54_cluster_collapse", "q66_ann_pq",
     "q85_semantic_dedup", "q96_ann_sq", "q107_compress_ratio",
     "q119_knn_graph", "q123_contrastive_triples", "q126_semantic_clusters",
-    "q130_curation_pipeline", "q145_image_dhash", "q147_image_collapse")
+    "q130_curation_pipeline", "q145_image_dhash", "q147_image_collapse",
+    "q149_audio_fingerprint", "q150_video_frame_dedup")
 
   for (name <- approximate) {
     test(s"$name recovers the planted identical pair") {
