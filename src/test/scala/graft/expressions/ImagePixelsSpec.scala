@@ -121,6 +121,100 @@ class ImagePixelsSpec extends SparkSpec {
     assert(near.sum < far.sum / 2, s"near $near vs far $far")
   }
 
+  /** Hand-assemble a PNG from raw pixels with ONE forced scanline
+    * filter on every row — ImageIO's writer picks its own filters, so
+    * this is the only way to pin each unfilter path individually. */
+  private def pngWithFilter(px: Array[Array[Int]], bpp: Int,
+      filter: Int): Array[Byte] = {
+    val h = px.length; val w = px(0).length / bpp
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val off = y * (stride + 1)
+      raw(off) = filter.toByte
+      for (x <- 0 until stride) {
+        val cur = px(y)(x)
+        val a = if (x >= bpp) px(y)(x - bpp) else 0
+        val u = if (y > 0) px(y - 1)(x) else 0
+        val c = if (x >= bpp && y > 0) px(y - 1)(x - bpp) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => u
+          case 3 => (a + u) >> 1
+          case 4 =>
+            val p = a + u - c
+            val (pa, pu, pc) = (math.abs(p - a), math.abs(p - u), math.abs(p - c))
+            if (pa <= pu && pa <= pc) a else if (pu <= pc) u else c
+        }
+        raw(off + 1 + x) = (cur - pred).toByte
+      }
+    }
+    val d = new java.util.zip.Deflater(6, false)
+    d.setInput(raw); d.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+    d.end()
+    val idat = comp.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val td = tag.getBytes("US-ASCII") ++ data
+      out.write(td)
+      val crc = new java.util.zip.CRC32; crc.update(td)
+      out.write(be32(crc.getValue.toInt))
+    }
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, if (bpp == 1) 0 else 2, 0, 0, 0))
+    chunk("IDAT", idat)
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  test("all five PNG scanline filters unfilter to the same hash (gray + RGB)") {
+    val rng = new scala.util.Random(29)
+    for (bpp <- Seq(1, 3)) {
+      val px = Array.fill(20, 27 * bpp)(rng.nextInt(256))
+      val hashes = (0 to 4).map { f =>
+        val got = DHash.compute(pngWithFilter(px, bpp, f))
+        assert(got !== null, s"bpp $bpp filter $f: decode failed")
+        got.longValue()
+      }
+      assert(hashes.distinct.size === 1,
+        s"bpp $bpp: filters disagree: $hashes")
+      // and the shared value is the pixel-level reference
+      val img = new java.awt.image.BufferedImage(27, 20,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 20; x <- 0 until 27) {
+        val (r, g, b) =
+          if (bpp == 1) (px(y)(x), px(y)(x), px(y)(x))
+          else (px(y)(x * 3), px(y)(x * 3 + 1), px(y)(x * 3 + 2))
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val ref =
+        if (bpp == 1) {
+          // gray decode path reads raw bytes, not getRGB's luma round trip
+          val cells = Array.ofDim[Long](8, 9)
+          for (gy <- 0 until 8; gx <- 0 until 9) {
+            val (x0, x1) = (gx * 27 / 9, (gx + 1) * 27 / 9)
+            val (y0, y1) = (gy * 20 / 8, (gy + 1) * 20 / 8)
+            var s = 0L; var n = 0L
+            for (y <- y0 until y1; x <- x0 until x1) { s += px(y)(x); n += 1 }
+            cells(gy)(gx) = s / n
+          }
+          var hsh = 0L
+          for (y <- 0 until 8; x <- 0 until 8)
+            if (cells(y)(x + 1) > cells(y)(x)) hsh |= 1L << (y * 8 + x)
+          hsh
+        } else refDhash(img)
+      assert(hashes.head === ref, s"bpp $bpp: hash vs pixel reference")
+    }
+  }
+
   test("unparseable payloads return NULL, not an exception") {
     assert(DHash.compute("definitely not an image".getBytes) === null)
     assert(DHash.compute(Array[Byte]()) === null)
