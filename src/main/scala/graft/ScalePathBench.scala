@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * stayed ≤ linear in the corpus; the pre-fix quadratic form measured
   * 34×/9.1× per decade, the fixed one 5.4×/2.3×).
   *
-  * args: <sfDir> [split|pagerank|recall|collapse|pipeline|all]
+  * The `perceptual` section gates the triad's round-14 scale lessons
+  * the same way: q145 (image dHash pairs) and q150 (video frame
+  * voting — the query whose unblocked 16-bit band space saturated at
+  * 4M+ frames, 118 s → 43 s at 100× via `blockCol`), plus q147/q149,
+  * each timed at 10× and 100× with the planted audit and the
+  * per-decade ratio — a bander-saturation regression flips
+  * `sub_decade_ok` here instead of living only in BENCH_NOTES prose.
+  *
+  * args: <sfDir>
+  *       [split|pagerank|recall|collapse|pipeline|winnow|perceptual|all]
   *       [decadeDir] */
 object ScalePathBench {
   def main(args: Array[String]): Unit = {
@@ -78,7 +87,8 @@ object ScalePathBench {
           (if (hasAudit) Seq(col("planted_ok")) else Seq.empty): _*)
         .agg(expr("bit_xor(h)").as("x"), count(lit(1)).as("n"), audit.as("ok"))
         .head()
-      if (r.getLong(2) == 1L) r.getLong(1) else -1L
+      // empty result → min() is NULL: record a failed audit, don't NPE
+      if (!r.isNullAt(2) && r.getLong(2) == 1L) r.getLong(1) else -1L
     }
     /** Time `qf` at the decade dir then at `sfDir`; record both walls,
       * the planted audit (when the query carries one), and the
@@ -109,6 +119,14 @@ object ScalePathBench {
       // 165.9 s pair-tier reading
       perDecade("q144_winnow_span", graft.queries.PipelineQueries.q144WinnowSpan,
         audited = false)
+    if (which == "all" || which == "perceptual") {
+      // the perceptual triad's scale walls, with their planted audits:
+      // q150 is the band-saturation canary (blockCol = frame index)
+      perDecade("q145_dhash", graft.queries.PipelineQueries.q145ImageDhash)
+      perDecade("q147_collapse", graft.queries.PipelineQueries.q147ImageCollapse)
+      perDecade("q149_audiofp", graft.queries.PipelineQueries.q149AudioFingerprint)
+      perDecade("q150_video", graft.queries.PipelineQueries.q150VideoFrameDedup)
+    }
 
     if (which == "all" || which == "split") {
       val docs = graft.sources.Tables.documents(spark, dir)

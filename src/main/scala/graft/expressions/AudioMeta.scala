@@ -67,22 +67,26 @@ object AudioMeta {
   def parse(b: Array[Byte]): InternalRow = {
     val n = b.length
     if (n < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var i = 12
+    // LONG walk offset: a declared chunk size near 2³² would wrap an
+    // Int offset negative, pass the `i + 8 <= n` guard, and crash the
+    // tag read — malformed sizes must yield NULL, never throw
+    var i = 12L
     var rate = -1; var channels = -1; var bits = -1; var blockAlign = -1
     var dataBytes = -1L
     while (i + 8 <= n && (rate < 0 || dataBytes < 0)) {
-      val sz = le32(b, i + 4)
-      if (tag(b, i, "fmt ")) {
-        if (i + 24 > n) return null
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12).toInt
-        blockAlign = le16(b, i + 20)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+      val ii = i.toInt
+      val sz = le32(b, ii + 4)
+      if (tag(b, ii, "fmt ")) {
+        if (ii + 24 > n) return null
+        channels = le16(b, ii + 10)
+        rate = le32(b, ii + 12).toInt
+        blockAlign = le16(b, ii + 20)
+        bits = le16(b, ii + 22)
+      } else if (tag(b, ii, "data")) {
         dataBytes = sz
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + sz.toInt + (sz.toInt & 1)
+      i += 8L + sz + (sz & 1L)
     }
     if (rate <= 0 || channels <= 0 || bits <= 0 || blockAlign <= 0 ||
         dataBytes < 0) null

@@ -156,22 +156,27 @@ object AudioFp {
 
   def compute(b: Array[Byte]): java.lang.Long = {
     if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    // chunk walk: need fmt (PCM, mono, 16-bit) and the data extent
-    var i = 12
+    // chunk walk: need fmt (PCM, mono, 16-bit) and the data extent.
+    // The offset is tracked in LONG: a crafted chunk size near 2³¹
+    // would wrap an Int offset negative, slip past the `i + 8 <=
+    // length` guard, and crash the tag read — the walk must return
+    // NULL on malformed sizes, never throw.
+    var i = 12L
     var ok = false
     var dataOff = -1
     var dataLen = -1
     while (i + 8 <= b.length && (!ok || dataOff < 0)) {
-      val sz = le32(b, i + 4)
+      val ii = i.toInt
+      val sz = le32(b, ii + 4)
       if (sz < 0) return null
-      if (tag(b, i, "fmt ")) {
-        if (i + 8 + 16 > b.length) return null
-        ok = le16(b, i + 8) == 1 && le16(b, i + 10) == 1 &&
-          le16(b, i + 22) == 16
-      } else if (tag(b, i, "data")) {
-        dataOff = i + 8; dataLen = sz
+      if (tag(b, ii, "fmt ")) {
+        if (ii + 8 + 16 > b.length) return null
+        ok = le16(b, ii + 8) == 1 && le16(b, ii + 10) == 1 &&
+          le16(b, ii + 22) == 16
+      } else if (tag(b, ii, "data")) {
+        dataOff = ii + 8; dataLen = sz
       }
-      i += 8 + sz + (sz & 1) // chunks pad to even
+      i += 8L + sz + (sz & 1) // chunks pad to even
     }
     if (!ok || dataOff < 0 || dataLen < 0 ||
       dataOff.toLong + dataLen > b.length) return null

@@ -201,6 +201,16 @@ object DHash {
   private val GridW = 9
   private val GridH = 8
 
+  /** Dimension caps applied right after header parse. Crafted headers
+    * can declare w/h up to 2³¹−1, where `(stride+1)*h`, `w*h`, and the
+    * BMP `(w*3+3)&~3` stride all overflow Int (negative-size or
+    * absurd allocations) — violating the returns-NULL-never-crashes
+    * contract on arbitrary corpus bytes. 32768 per side / 2²⁶ total
+    * pixels (≈ 8K×8K) is far above any payload worth dHashing; with
+    * both caps every derived size below fits comfortably in Int. */
+  private val MaxDim = 32768
+  private val MaxPixels = 1L << 26
+
   /** Decoded grayscale image: row-major luma bytes as ints. */
   private final class Gray(val w: Int, val h: Int, val px: Array[Int])
 
@@ -269,7 +279,9 @@ object DHash {
     val idat = new java.io.ByteArrayOutputStream()
     while (i + 8 <= b.length) {
       val len = be32(b, i)
-      if (len < 0 || i + 12 + len > b.length) return null
+      // Long guard: a crafted len near 2³¹ wraps `i + 12 + len` negative
+      // in Int, sneaking past the bound and crashing the IDAT copy
+      if (len < 0 || i.toLong + 12L + len > b.length) return null
       val t = new String(b, i + 4, 4, "US-ASCII")
       t match {
         case "IHDR" =>
@@ -283,7 +295,8 @@ object DHash {
       }
       i += 12 + len
     }
-    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return null
+    if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+      w.toLong * h > MaxPixels || depth != 8 || interlace != 0) return null
     val bpp = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // RGB
@@ -375,8 +388,10 @@ object DHash {
     val hRaw = le32(b, 22)
     val bits = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
     val compression = le32(b, 30)
-    if (w <= 0 || hRaw == 0 || bits != 24 || compression != 0) return null
+    if (w <= 0 || hRaw == 0 || w > MaxDim || hRaw == Int.MinValue ||
+      bits != 24 || compression != 0) return null
     val h = math.abs(hRaw)
+    if (h > MaxDim || w.toLong * h > MaxPixels) return null
     val stride = (w * 3 + 3) & ~3 // rows pad to 4 bytes
     if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length)
       return null

@@ -83,6 +83,30 @@ class AudioSamplesSpec extends SparkSpec {
     assert(AudioFp.compute(full.take(2000)) === null)
   }
 
+  test("crafted chunk sizes near 2^31/2^32 return NULL, not a crash") {
+    def le32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    // RIFF/WAVE whose first chunk declares size 0x7fffff00: an Int
+    // walk offset wraps negative, passes the `i + 8 <= length` guard,
+    // and the tag read throws ArrayIndexOutOfBoundsException
+    val b = new Array[Byte](128)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    le32(b, 4, 120)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'J'; b(13) = 'U'; b(14) = 'N'; b(15) = 'K'
+    le32(b, 16, 0x7fffff00)
+    assert(AudioFp.compute(b) === null)
+    assert(AudioMeta.parse(b) === null)
+    // size 0xfffffff0: AudioMeta's unsigned-long size truncated to Int
+    // went negative and walked the offset BACKWARDS (loop, bad reads)
+    val b2 = b.clone()
+    le32(b2, 16, 0xfffffff0)
+    assert(AudioFp.compute(b2) === null)
+    assert(AudioMeta.parse(b2) === null)
+  }
+
   test("column forms and SQL registration work end-to-end") {
     org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
     val viaSql = spark.sql(

@@ -225,6 +225,43 @@ class ImagePixelsSpec extends SparkSpec {
     assert(DHash.compute(full.take(full.length / 2)) === null)
   }
 
+  test("crafted headers with overflowing dimensions return NULL, not a crash") {
+    def be32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+      b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+    }
+    // PNG declaring w = h = 2^30: (stride+1)*h and w*h overflow Int
+    // pre-cap (NegativeArraySizeException / multi-GB allocation)
+    val huge = PngImage.build(8, 8, 9L * 4294967296L + 1L)
+    be32(huge, 16, 1 << 30); be32(huge, 20, 1 << 30)
+    assert(DHash.compute(huge) === null)
+    // PNG whose first chunk declares len near 2^31: `i + 12 + len`
+    // wraps negative in Int and slips past the walk's bound check
+    val wrap = new Array[Byte](64)
+    System.arraycopy(PngImage.build(8, 8, 1L), 0, wrap, 0, 8)
+    be32(wrap, 8, 0x7ffffff5)
+    wrap(12) = 'I'; wrap(13) = 'D'; wrap(14) = 'A'; wrap(15) = 'T'
+    assert(DHash.compute(wrap) === null)
+    // BMP whose width makes (w*3+3)&~3 wrap to a tiny stride that
+    // passes the bounds check while w*h explodes the pixel allocation
+    def le32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    val bmp = new Array[Byte](200)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    le32(bmp, 10, 54)          // data offset
+    le32(bmp, 18, 1431655766)  // width: w*3 wraps to 2 in Int
+    le32(bmp, 22, 1)           // height
+    bmp(28) = 24               // bits
+    le32(bmp, 30, 0)           // compression
+    assert(DHash.compute(bmp) === null)
+    // INT_MIN height: math.abs is a no-op there
+    val bmp2 = bmp.clone()
+    le32(bmp2, 18, 16); le32(bmp2, 22, Int.MinValue)
+    assert(DHash.compute(bmp2) === null)
+  }
+
   test("column forms and SQL registration work end-to-end") {
     org.apache.spark.sql.GraftColumnBridge.registerFunctions(spark)
     val viaSql = spark.sql(
