@@ -4141,7 +4141,13 @@ object PipelineQueries {
     * frame ids keep the bander's single-column contract
     * ((vid+2)·16 + frame, non-negative for the planted ids); the
     * vote shuffles on the video pair, bounded by family size. No SQL
-    * oracle; planted identical pair must report with all 8 frames. */
+    * oracle; the planted identical pair must report with ALL 8 frames
+    * (gated: `planted_ok` requires n_frames = 8, not mere presence),
+    * and measured FAMILY recall — probe videos × corpus, exact
+    * same-index hamming ≤ 3 voted at ≥ 6/8, the perceptual case the
+    * planted identical pair alone doesn't exercise — must be 1.0
+    * (the bander is pigeonhole-lossless per frame, so every true
+    * frame match survives to the vote). */
   def q150VideoFrameDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.expressions.{DHash, PngImage}
     import graft.util.Blocks
@@ -4185,15 +4191,42 @@ object PipelineQueries {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("long").as("n_frames"))
       .where(col("n_frames") >= 6L)
-    // eager checkpoint BEFORE the upstream releases — a lazy wrapper
+    // family-recall truth: broadcast probe-video frames × same-index
+    // corpus frames at EXACT hamming ≤ 3, voted to video pairs at
+    // ≥ 6/8 — linear probe×corpus like every other truth pass. The
+    // encoded-id floor 32 excludes the planted videos (frame ids
+    // 0..31); dropDuplicates collapses the double emission when both
+    // endpoints are probes (one frame pair per (pair, f) by
+    // construction — one frame per index per video).
+    val probes = sigCp.df
+      .where(col("id") >= 32L && col("id") < lit((RecallProbeIds + 2L) * 16L))
+      .select(col("id").as("pid"), col("f").as("pf"), col("sig").as("psig"))
+    val truth = broadcast(probes)
+      .join(sigCp.df.select(col("id").as("cid"), col("f").as("cf"),
+          col("sig").as("csig")),
+        col("pf") === col("cf") && col("pid") =!= col("cid"))
+      .where(bit_count(col("psig").bitwiseXOR(col("csig"))) <= 3)
+      .select(
+        least(expr("pid div 16"), expr("cid div 16")).as("ea"),
+        greatest(expr("pid div 16"), expr("cid div 16")).as("eb"),
+        col("pf").as("f"))
+      .dropDuplicates("ea", "eb", "f")
+      .groupBy(col("ea"), col("eb"))
+      .agg(count(lit(1)).as("tn"))
+      .where(col("tn") >= 6L)
+      .select((col("ea") - 2L).as("id_a"), (col("eb") - 2L).as("id_b"))
+    // eager checkpoints BEFORE the upstream releases — a lazy wrapper
     // would try to recompute through the freed sig blocks
     val votesCp = Blocks.checkpoint(votes)
+    val truthCp = Blocks.checkpoint(truth)
     tracked.foreach(_.unpersist(blocking = false))
     sigCp.release()
-    val planted = votesCp.df.agg(
-      coalesce(max(when(plantedPairCond, true)), lit(false))
-        .as("planted_ok"))
-    votesCp.df.crossJoin(broadcast(planted))
+    // planted gate pins the DOCUMENTED claim: identical payloads hash
+    // identically per frame, so the pair must arrive with n_frames = 8
+    // — presence alone (≥ 6 via the vote filter) is a weaker assertion
+    plantedAndRecallFrom(votesCp.df,
+        plantedPairCond && col("n_frames") === 8L,
+        truthCp.df, Seq("id_a", "id_b"), floor = 1.0)
       .orderBy(col("id_a"), col("id_b"))
   }
 

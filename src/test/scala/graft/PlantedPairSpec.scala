@@ -33,4 +33,17 @@ class PlantedPairSpec extends SparkSpec {
       }
     }
   }
+
+  test("q150 planted identical videos report with ALL 8 frames") {
+    import org.apache.spark.sql.functions.col
+    // identical payloads hash identically per frame, so the planted
+    // pair must clear the vote with 8/8 — the documented claim, which
+    // the in-query planted_ok gate also pins (n_frames = 8, not ≥ 6)
+    val r = SparkEntry.queries("q150_video_frame_dedup")(spark, sfDir)
+      .where(col("id_a") === -2L && col("id_b") === -1L)
+      .collect()
+    assert(r.length === 1, "planted video pair missing or duplicated")
+    assert(r.head.getAs[Long]("n_frames") === 8L,
+      s"planted pair voted with ${r.head.getAs[Long]("n_frames")}/8 frames")
+  }
 }
