@@ -162,8 +162,11 @@ object PngImage {
   * exact frame hashing (q51) structurally miss.
   *
   * Decodes PNG (8-bit grayscale or RGB, non-interlaced; IDAT inflated
-  * with the JDK Inflater, all five scanline filters unfiltered) and
-  * uncompressed 24-bit bottom-up BMP. Grayscale is integer luma
+  * with the JDK Inflater, all five scanline filters unfiltered),
+  * uncompressed 24-bit bottom-up BMP, and GIF87a/89a (palette-indexed,
+  * non-interlaced; self-contained variable-width LZW with the full
+  * 9→12-bit growth / CLEAR-reset / KwKwK semantics). Grayscale is
+  * integer luma
   * (299·R + 587·G + 114·B)/1000; the 9×8 grid is exact integer area
   * averaging (cell boundaries ⌊i·W/9⌋, mean = pixel sum div count) —
   * every step integer-deterministic, engine-independent. Returns NULL
@@ -259,6 +262,8 @@ object DHash {
   private def decode(b: Array[Byte]): Gray = {
     if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') decodePng(b)
     else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+    else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') decodeGif(b)
     else null
   }
 
@@ -380,6 +385,167 @@ object DHash {
       y += 1
     }
     new Gray(w, h, px)
+  }
+
+  /** GIF87a/89a: global or local 256-max color table, extensions
+    * skipped, FIRST image block decoded, variable-width LZW per the
+    * GIF spec (9→12-bit growth, CLEAR reset, the KwKwK self-reference
+    * case), four-pass interlace de-scattered (ImageIO's own writer
+    * emits interlaced files, so crawl GIFs routinely are). Luma via
+    * the palette — same integer formula as the RGB paths. NULL on
+    * anything malformed, never a throw. */
+  private def decodeGif(b: Array[Byte]): Gray = {
+    val le16 = (i: Int) => (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    var i = 10
+    val packed = b(i) & 0xff
+    var palOff = -1
+    var palSize = 0
+    i = 13
+    if ((packed & 0x80) != 0) {
+      palOff = i
+      palSize = 1 << ((packed & 7) + 1)
+      i += 3 * palSize
+    }
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: label byte then sub-blocks to a 0
+          i += 2
+          while (i < b.length && b(i) != 0) i += 1 + (b(i) & 0xff)
+          if (i >= b.length) return null
+          i += 1
+        case 0x3b => return null // trailer before any image block
+        case 0x2c =>
+          if (i + 10 > b.length) return null
+          val w = le16(i + 5); val h = le16(i + 7)
+          val ip = b(i + 9) & 0xff
+          i += 10
+          val interlaced = (ip & 0x40) != 0
+          if ((ip & 0x80) != 0) { // local color table wins
+            palOff = i
+            palSize = 1 << ((ip & 7) + 1)
+            i += 3 * palSize
+          }
+          if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+            w.toLong * h > MaxPixels) return null
+          if (palOff < 0 || palOff + 3 * palSize > b.length) return null
+          if (i >= b.length) return null
+          val minCode = b(i) & 0xff
+          i += 1
+          if (minCode < 2 || minCode > 8) return null
+          // concatenate the image's data sub-blocks
+          val data = new java.io.ByteArrayOutputStream(w * h / 2 + 64)
+          while (i < b.length && b(i) != 0) {
+            val len = b(i) & 0xff
+            if (i + 1 + len > b.length) return null
+            data.write(b, i + 1, len)
+            i += 1 + len
+          }
+          if (i >= b.length) return null
+          val raw = lzwDecode(data.toByteArray, minCode, w * h)
+          if (raw == null) return null
+          // interlace: rows arrive in four passes (every 8th from 0,
+          // every 8th from 4, every 4th from 2, every 2nd from 1) —
+          // scatter stream rows back to their real positions
+          val px =
+            if (!interlaced) raw
+            else {
+              val o = new Array[Int](w * h)
+              var src = 0
+              var pass = 0
+              val starts = Array(0, 4, 2, 1)
+              val steps = Array(8, 8, 4, 2)
+              while (pass < 4) {
+                var row = starts(pass)
+                while (row < h) {
+                  System.arraycopy(raw, src * w, o, row * w, w)
+                  src += 1
+                  row += steps(pass)
+                }
+                pass += 1
+              }
+              o
+            }
+          // palette luma: integer (299R + 587G + 114B)/1000
+          var k = 0
+          while (k < px.length) {
+            val idx = px(k)
+            if (idx >= palSize) return null
+            val p = palOff + 3 * idx
+            px(k) = (299 * (b(p) & 0xff) + 587 * (b(p + 1) & 0xff) +
+              114 * (b(p + 2) & 0xff)) / 1000
+            k += 1
+          }
+          return new Gray(w, h, px)
+        case _ => return null
+      }
+    }
+    null
+  }
+
+  /** GIF-variant LZW over a concatenated sub-block payload: LSB-first
+    * codes, width minCode+1 growing to 12 as the table fills, CLEAR
+    * resets. Returns exactly `n` palette indices or null. */
+  private def lzwDecode(d: Array[Byte], minCode: Int, n: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var c = 0
+    while (c < clear) { prefix(c) = -1; suffix(c) = c.toByte; c += 1 }
+    val out = new Array[Int](n)
+    var got = 0
+    var width = minCode + 1
+    var next = eoi + 1
+    var prev = -1
+    var firstByte: Byte = 0 // first byte of the previously output string
+    var acc = 0L
+    var nBits = 0
+    var pos = 0
+    while (got < n) {
+      while (nBits < width) {
+        if (pos >= d.length) return null // truncated stream
+        acc |= (d(pos) & 0xffL) << nBits
+        pos += 1
+        nBits += 8
+      }
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width
+      nBits -= width
+      if (code == clear) {
+        width = minCode + 1
+        next = eoi + 1
+        prev = -1
+      } else if (code == eoi) {
+        return null // EOI before all pixels arrived
+      } else if (prev < 0) {
+        if (code >= clear) return null // first code must be a literal
+        out(got) = code & 0xff; got += 1
+        firstByte = code.toByte
+        prev = code
+      } else {
+        if (code > next) return null
+        var sp = 0
+        var cur = code
+        // KwKwK (code == next): output = string(prev) + its own first
+        // byte — the trailing byte is pushed at the stack BOTTOM (it
+        // emits last) before expanding prev's chain on top
+        if (code == next) { stack(0) = firstByte; sp = 1; cur = prev }
+        // chain lengths are ≤ 4096 by construction: sp fits the stack
+        while (cur >= 0) { stack(sp) = suffix(cur); sp += 1; cur = prefix(cur) }
+        firstByte = stack(sp - 1)
+        while (sp > 0 && got < n) { sp -= 1; out(got) = stack(sp) & 0xff; got += 1 }
+        if (sp > 0) return null // entry overruns the declared w*h
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = firstByte
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out
   }
 
   private def decodeBmp(b: Array[Byte]): Gray = {

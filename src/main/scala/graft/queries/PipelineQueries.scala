@@ -4395,6 +4395,53 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------------------------ q151
+  /** GIF + cross-CONTAINER perceptual near-dup — the crawl case q145's
+    * all-PNG corpus doesn't exercise: the same image re-encoded in a
+    * different container must still match. Even doc_ids build their
+    * payload as PNG, odd as GIF ([[graft.expressions.GifImage]] —
+    * complete GIF89a, self-contained variable-width LZW; the parity
+    * spec pins that same-seed GIF and PNG decode to identical pixels
+    * and identical dHashes), so every 4-doc family holds BOTH formats
+    * and near-dup pairs routinely span them. The planted identical
+    * pair is itself cross-format (−2 → PNG, −1 → GIF): container-
+    * invariance is gated, not asserted. Same bander and gate shape as
+    * q145 (pigeonhole-lossless at hamming ≤ 3, floor 1.0). */
+  def q151GifDhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DHash, GifImage, PngImage}
+    import graft.util.Blocks
+    import s.implicits._
+    val plantedSeeds = 666000666L * 4294967296L + 3L
+    val corpus = docsSpread(s, dir)
+      .select(col("doc_id"),
+        ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
+          + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
+      .unionByName(Seq((PlantA, plantedSeeds), (PlantB, plantedSeeds))
+        .toDF("doc_id", "seeds"))
+    // container by id parity: codegen's CaseWhen builds only the
+    // branch taken per row, so each row pays one encoder
+    val payload = when(pmod(col("doc_id"), lit(2)) === 0,
+        PngImage.pngImage(lit(72), lit(64), col("seeds")))
+      .otherwise(GifImage.gifImage(lit(72), lit(64), col("seeds")))
+    val sigCp = Blocks.checkpoint(corpus.select(col("doc_id").as("id"),
+      DHash.dhash(payload).as("sig")))
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(d: DataFrame): DataFrame = {
+      tracked += d
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val outCp = Blocks.checkpoint(
+      Dedup.simHashDedupFromSigs(sigCp.df, maxHamming = 3,
+        maybePersist = track))
+    val truthCp = Blocks.checkpoint(
+      simhashPairTruthFromSigs(sigCp.df, maxHamming = 3))
+    tracked.foreach(_.unpersist(blocking = false))
+    sigCp.release()
+    plantedAndRecallFrom(outCp.df, plantedPairCond, truthCp.df,
+      Seq("id_a", "id_b"), floor = 1.0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------ q147
   /** Image near-dup COLLAPSE — the action layer over q145's pair
     * report (the q26/q99-to-q23 relationship, for images): dHash
