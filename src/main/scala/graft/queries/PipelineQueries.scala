@@ -4191,20 +4191,31 @@ object PipelineQueries {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).cast("long").as("n_frames"))
       .where(col("n_frames") >= 6L)
-    // family-recall truth: broadcast probe-video frames × same-index
-    // corpus frames at EXACT hamming ≤ 3, voted to video pairs at
-    // ≥ 6/8 — linear probe×corpus like every other truth pass. The
-    // encoded-id floor 32 excludes the planted videos (frame ids
-    // 0..31); dropDuplicates collapses the double emission when both
-    // endpoints are probes (one frame pair per (pair, f) by
-    // construction — one frame per index per video).
+    // family-recall truth: probe-video frames × same-index corpus
+    // frames at EXACT hamming ≤ 3, voted to video pairs at ≥ 6/8.
+    // The probe join is quarter-banded — hamming ≤ 3 across 64 bits
+    // PIGEONHOLE-implies one of the four 16-bit quarters matches
+    // exactly, so requiring quarter equality in the join key is
+    // LOSSLESS while turning the 60-probes-per-frame-index hash-join
+    // fan (≈ 240M emitted rows at 100×, measured +22 s) into a
+    // stream of actual quarter collisions; bit_count then verifies
+    // exactly. The encoded-id floor 32 excludes the planted videos
+    // (frame ids 0..31); dropDuplicates collapses multi-quarter and
+    // both-endpoints-probe double emissions (one frame pair per
+    // (pair, f) by construction — one frame per index per video).
+    val quarters = (0 until 4).map { q =>
+      struct(lit(q).as("q"),
+        shiftright(col("sig"), q * 16).bitwiseAND(0xFFFFL).as("chunk"))
+    }
     val probes = sigCp.df
       .where(col("id") >= 32L && col("id") < lit((RecallProbeIds + 2L) * 16L))
-      .select(col("id").as("pid"), col("f").as("pf"), col("sig").as("psig"))
+      .select(col("id").as("pid"), col("f").as("pf"), col("sig").as("psig"),
+        explode(array(quarters: _*)).as("pq"))
     val truth = broadcast(probes)
       .join(sigCp.df.select(col("id").as("cid"), col("f").as("cf"),
-          col("sig").as("csig")),
-        col("pf") === col("cf") && col("pid") =!= col("cid"))
+          col("sig").as("csig"), explode(array(quarters: _*)).as("cq")),
+        col("pf") === col("cf") && col("pq") === col("cq") &&
+          col("pid") =!= col("cid"))
       .where(bit_count(col("psig").bitwiseXOR(col("csig"))) <= 3)
       .select(
         least(expr("pid div 16"), expr("cid div 16")).as("ea"),
