@@ -163,10 +163,11 @@ object PngImage {
   *
   * Decodes PNG (8-bit grayscale or RGB, non-interlaced; IDAT inflated
   * with the JDK Inflater, all five scanline filters unfiltered),
-  * uncompressed 24-bit bottom-up BMP, and GIF87a/89a (palette-indexed,
-  * non-interlaced; self-contained variable-width LZW with the full
-  * 9→12-bit growth / CLEAR-reset / KwKwK semantics). Grayscale is
-  * integer luma
+  * uncompressed 24-bit bottom-up BMP, GIF87a/89a (palette-indexed;
+  * self-contained variable-width LZW with the full 9→12-bit growth /
+  * CLEAR-reset / KwKwK semantics, four-pass interlace), and baseline
+  * JPEG ([[JpegLuma]] — Huffman + dequant + the libjpeg islow integer
+  * IDCT, luma component only). Grayscale is integer luma
   * (299·R + 587·G + 114·B)/1000; the 9×8 grid is exact integer area
   * averaging (cell boundaries ⌊i·W/9⌋, mean = pixel sum div count) —
   * every step integer-deterministic, engine-independent. Returns NULL
@@ -264,6 +265,10 @@ object DHash {
     else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8') decodeGif(b)
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      val l = JpegLuma.decode(b)
+      if (l == null) null else new Gray(l.w, l.h, l.px)
+    }
     else null
   }
 

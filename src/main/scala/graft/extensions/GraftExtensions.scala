@@ -73,6 +73,9 @@ object GraftExtensions {
     ("png_image", classOf[graft.expressions.PngImage],
       (children: Seq[Expression]) =>
         graft.expressions.PngImage(children(0), children(1), children(2))),
+    ("jpeg_image", classOf[graft.expressions.JpegImage],
+      (children: Seq[Expression]) =>
+        graft.expressions.JpegImage(children(0), children(1), children(2))),
     ("gif_image", classOf[graft.expressions.GifImage],
       (children: Seq[Expression]) =>
         graft.expressions.GifImage(children(0), children(1), children(2))),

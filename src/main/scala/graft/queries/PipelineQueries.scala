@@ -4453,6 +4453,61 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------------------------ q152
+  /** JPEG + three-container perceptual near-dup — the full crawl mix:
+    * each doc's payload container cycles PNG → GIF → JPEG by id
+    * ([[graft.expressions.JpegImage]] — the JDK's own ImageIO encoder
+    * at pinned quality; [[graft.expressions.JpegLuma]] — a hand-
+    * written baseline Huffman + dequant + libjpeg-islow-IDCT luma
+    * decoder, spec-certified PIXEL-exact against ImageIO on grayscale
+    * and within 3 dHash bits on color 4:2:0), so family near-dups
+    * routinely span a LOSSY/lossless container boundary (measured
+    * JPEG-vs-PNG drift of the pixel model: 0–2 dHash bits, pinned by
+    * the spec). The planted pair is two identical JPEG payloads —
+    * identical bytes hash identically, keeping the guarantee honest
+    * across the lossy codec (a cross-lossy planted pair would rest on
+    * measured drift, not construction). Same bander and gate shape as
+    * q145/q151 (pigeonhole-lossless at hamming ≤ 3, floor 1.0). */
+  def q152JpegDhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.{DHash, GifImage, JpegImage, PngImage}
+    import graft.util.Blocks
+    import s.implicits._
+    val plantedSeeds = 444000444L * 4294967296L + 3L
+    val corpus = docsSpread(s, dir)
+      .select(col("doc_id"),
+        ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
+          + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
+      .unionByName(Seq((PlantA, plantedSeeds), (PlantB, plantedSeeds))
+        .toDF("doc_id", "seeds"))
+    // container cycles by id; the planted ids (< 0) pin to JPEG so the
+    // guaranteed pair never crosses the lossy boundary. CaseWhen
+    // codegen builds only the branch taken per row.
+    val payload = when(col("doc_id") < 0L,
+        JpegImage.jpegImage(lit(72), lit(64), col("seeds")))
+      .when(pmod(col("doc_id"), lit(3)) === 0,
+        PngImage.pngImage(lit(72), lit(64), col("seeds")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        GifImage.gifImage(lit(72), lit(64), col("seeds")))
+      .otherwise(JpegImage.jpegImage(lit(72), lit(64), col("seeds")))
+    val sigCp = Blocks.checkpoint(corpus.select(col("doc_id").as("id"),
+      DHash.dhash(payload).as("sig")))
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(d: DataFrame): DataFrame = {
+      tracked += d
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val outCp = Blocks.checkpoint(
+      Dedup.simHashDedupFromSigs(sigCp.df, maxHamming = 3,
+        maybePersist = track))
+    val truthCp = Blocks.checkpoint(
+      simhashPairTruthFromSigs(sigCp.df, maxHamming = 3))
+    tracked.foreach(_.unpersist(blocking = false))
+    sigCp.release()
+    plantedAndRecallFrom(outCp.df, plantedPairCond, truthCp.df,
+      Seq("id_a", "id_b"), floor = 1.0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------------------------------ q147
   /** Image near-dup COLLAPSE — the action layer over q145's pair
     * report (the q26/q99-to-q23 relationship, for images): dHash

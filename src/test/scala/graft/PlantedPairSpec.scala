@@ -14,7 +14,8 @@ class PlantedPairSpec extends SparkSpec {
     "q85_semantic_dedup", "q96_ann_sq", "q107_compress_ratio",
     "q119_knn_graph", "q123_contrastive_triples", "q126_semantic_clusters",
     "q130_curation_pipeline", "q145_image_dhash", "q147_image_collapse",
-    "q149_audio_fingerprint", "q150_video_frame_dedup", "q151_gif_dhash")
+    "q149_audio_fingerprint", "q150_video_frame_dedup", "q151_gif_dhash",
+    "q152_jpeg_dhash")
 
   for (name <- approximate) {
     test(s"$name recovers the planted identical pair") {
