@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.streaming.{StreamingAnnIndex, StreamingImportance, StreamingLm, StreamingNearDedup}
+import graft.streaming.{StreamingAnnIndex, StreamingImportance, StreamingLm, StreamingNearDedup, StreamingSimhashDedup}
 
 /** Reproducible walls for the persistent-store incremental tiers —
   * the numbers behind BENCH_NOTES' "incremental-maintenance tiers"
@@ -54,6 +54,27 @@ object StoreBench {
     val flagged = spark.read.parquet(s"$ndStore/verdicts")
       .where(col("is_dup")).count()
 
+    // ---- StreamingSimhashDedup: the perceptual (64-bit dHash)
+    // signature store — same protocol: bulk history, then a steady-
+    // state increment that probes the full store. Signatures come
+    // from the REAL codec path (PNG build + decode + dHash per doc,
+    // the q145 pixel-model seeds), so bulk cost includes one honest
+    // encode/decode pass over the corpus.
+    val shSigs = docs.select(col("doc_id"),
+        ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
+          + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
+      .select(col("doc_id"),
+        graft.expressions.DHash.dhash(graft.expressions.PngImage.pngImage(
+          lit(72), lit(64), col("seeds"))).as("sig"))
+    val shStore = s"$base/simhash"
+    val (_, shBulk) = timed(StreamingSimhashDedup.appendBatch(
+      shSigs.where(col("doc_id") % 100 =!= 7L), 0L, "doc_id", "sig", shStore))
+    val (_, shInc) = timed(StreamingSimhashDedup.appendBatch(
+      shSigs.where(col("doc_id") % 100 === 7L).limit(holdDocs), 1L,
+      "doc_id", "sig", shStore))
+    val shFlagged = spark.read.parquet(s"$shStore/verdicts")
+      .where(col("is_dup")).count()
+
     // ---- StreamingAnnIndex: bulk + incremental + query pass
     val vecs = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
@@ -98,7 +119,7 @@ object StoreBench {
     }
 
     println(
-      s"""{"sf":"$sfDir","n_docs":$nDocs,"nd_bulk_sec":${graft.util.Fmt.f2(ndBulk)},"nd_inc_sec":${graft.util.Fmt.f2(ndInc)},"nd_flagged":$flagged,"ann_bulk_sec":${graft.util.Fmt.f2(annBulk)},"ann_inc_sec":${graft.util.Fmt.f2(annInc)},"ann_query_sec":${graft.util.Fmt.f2(annQuery)},"ann_query_rows":$qRows,"imp_bulk_sec":${graft.util.Fmt.f2(impBulk)},"imp_inc_sec":${graft.util.Fmt.f2(impInc)},"imp_serve_sec":${graft.util.Fmt.f2(impServe)},"imp_serve_rows":$impRows,"lm_bulk_sec":${graft.util.Fmt.f2(lmBulk)},"lm_inc_sec":${graft.util.Fmt.f2(lmInc)},"lm_serve_sec":${graft.util.Fmt.f2(lmServe)},"lm_serve_rows":$lmRows}""")
+      s"""{"sf":"$sfDir","n_docs":$nDocs,"nd_bulk_sec":${graft.util.Fmt.f2(ndBulk)},"nd_inc_sec":${graft.util.Fmt.f2(ndInc)},"nd_flagged":$flagged,"sh_bulk_sec":${graft.util.Fmt.f2(shBulk)},"sh_inc_sec":${graft.util.Fmt.f2(shInc)},"sh_flagged":$shFlagged,"ann_bulk_sec":${graft.util.Fmt.f2(annBulk)},"ann_inc_sec":${graft.util.Fmt.f2(annInc)},"ann_query_sec":${graft.util.Fmt.f2(annQuery)},"ann_query_rows":$qRows,"imp_bulk_sec":${graft.util.Fmt.f2(impBulk)},"imp_inc_sec":${graft.util.Fmt.f2(impInc)},"imp_serve_sec":${graft.util.Fmt.f2(impServe)},"imp_serve_rows":$impRows,"lm_bulk_sec":${graft.util.Fmt.f2(lmBulk)},"lm_inc_sec":${graft.util.Fmt.f2(lmInc)},"lm_serve_sec":${graft.util.Fmt.f2(lmServe)},"lm_serve_rows":$lmRows}""")
     spark.stop()
   }
 }
