@@ -1195,10 +1195,15 @@ object Dedup {
     *    68 % of all same-block pairs survived the prefix+positional
     *    filters, and the candidate dedup shuffle dominated the query).
     *
-    * `"auto"` (the default) probes the largest per-block vocabulary
-    * with one `approx_count_distinct` pass over the token table and
-    * picks bitmap iff it fits `bitmapVocabLimit` bits (default 2¹⁶ =
-    * 8 KB per document bitmap).
+    * `"auto"` (the default) measures the largest per-block vocabulary
+    * EXACTLY from one shared `(blk, token)` distinct pass and picks
+    * bitmap iff it fits `bitmapVocabLimit` bits (default 2¹⁶ = 8 KB
+    * per document bitmap). The same distinct pass IS the bitmap tier's
+    * dictionary, so the probe costs nothing extra when bitmap wins —
+    * and the dictionary reaches documents by broadcast
+    * ([[graft.expressions.BitmapOps.encodeSorted]]) while its total
+    * entry count stays under [[BroadcastVocabEntriesLimit]], falling
+    * back to the (blk, token)-keyed join encode beyond.
     *
     * Storage lifecycle (`persistIntermediate = true`, the default): the
     * result is materialized EAGERLY into a local checkpoint and every
@@ -1265,23 +1270,38 @@ object Dedup {
     // spill instead of OOM.
     val withN = maybePersist(docs.select(col("id"), col("blk"), col("sh"))
       .withColumn("n", size(col("sh"))))
-    val useBitmap = tier match {
-      case "bitmap" => true
-      case "prefix" => false
-      case "auto" =>
-        val vocabMax = withN
-          .select(col("blk"), explode(col("sh")).as("t"))
-          .groupBy(col("blk"))
-          .agg(approx_count_distinct(col("t")).as("v"))
-          .agg(coalesce(max(col("v")), lit(0L)))
-          .head().getLong(0)
-        vocabMax <= bitmapVocabLimit
-      case other => throw new IllegalArgumentException(
-        s"jaccardJoin: tier must be auto|prefix|bitmap, got $other")
-    }
-    if (useBitmap) jaccardJoinBitmapFrom(withN, threshold, maybePersist)
+    if (tier == "prefix") return jaccardJoinPrefixFrom(withN, threshold, maybePersist)
+    if (tier != "auto" && tier != "bitmap") throw new IllegalArgumentException(
+      s"jaccardJoin: tier must be auto|prefix|bitmap, got $tier")
+    // ONE distinct pass over the token stream serves BOTH the tier
+    // decision (exact per-block vocabulary, replacing the former
+    // approx_count_distinct probe — tie-breaks at the limit may differ
+    // from the approx probe, but both tiers are value-identical so the
+    // output cannot) AND, when bitmap wins, the dictionary itself —
+    // the probe pass is no longer thrown away.
+    val tokset = maybePersist(withN
+      .select(col("blk"), explode(col("sh")).as("t")).distinct())
+    val stats = tokset.groupBy(col("blk")).agg(count(lit(1)).as("v"))
+      .agg(coalesce(max(col("v")), lit(0L)),
+        coalesce(sum(col("v")), lit(0L)))
+      .head()
+    val (vocabMax, vocabTotal) = (stats.getLong(0), stats.getLong(1))
+    if (tier == "bitmap" || vocabMax <= bitmapVocabLimit)
+      jaccardJoinBitmapFrom(withN, tokset, threshold, maybePersist,
+        broadcastEncode = vocabTotal <= BroadcastVocabEntriesLimit)
     else jaccardJoinPrefixFrom(withN, threshold, maybePersist)
   }
+
+  /** Ceiling on TOTAL dictionary entries (Σ per-block vocab) for the
+    * broadcast-encode path of the bitmap tier. Under it, the sorted
+    * per-block vocabulary arrays are broadcast and each document is
+    * encoded in one pass over its own shingle array (no token explode,
+    * no (block, token) join shuffle, no collect_list re-group); above
+    * it the dictionary is attached by the join-encode fallback, whose
+    * shuffles stay keyed on (block, token). 2²¹ entries ≈ 25-50 MB
+    * broadcast at char-3-gram string sizes — ≥ 32 saturated 2¹⁶-vocab
+    * blocks before the fallback engages. */
+  val BroadcastVocabEntriesLimit: Long = 1L << 21
 
   /** The prefix-filtering tier of [[jaccardJoin]], forced (large-vocab
     * regime — word shingles). */
@@ -1401,26 +1421,58 @@ object Dedup {
     * chunk-stats self-join is metadata-scale. */
   private def jaccardJoinBitmapFrom(
       withN: DataFrame,
+      tokset: DataFrame,
       threshold: Double,
       maybePersist: DataFrame => DataFrame,
+      broadcastEncode: Boolean,
       saltCap: Int = 64): DataFrame = {
     import graft.expressions.BitmapOps
-    val toks = withN.select(col("id"), col("blk"), col("n"),
-      explode(col("sh")).as("t"))
-    // per-block dense dictionary; the window partition is bounded by
-    // the vocab limit, so one task per block is constant-sized work
-    val dict = toks.select(col("blk"), col("t")).distinct()
-      .withColumn("tid",
-        (row_number().over(Window.partitionBy(col("blk")).orderBy(col("t")))
-          - 1).cast("int"))
-    val nbits = dict.groupBy(col("blk"))
-      .agg((max(col("tid")) + 1).cast("int").as("nbits"))
-    val encoded = toks.join(dict, Seq("blk", "t"))
-      .groupBy(col("id"), col("blk"), col("n"))
-      .agg(collect_list(col("tid")).as("tids"))
-      .join(broadcast(nbits), Seq("blk"))
-      .select(col("id"), col("blk"), col("n"),
-        BitmapOps.bitmapFromIds(col("tids"), col("nbits")).as("bm"))
+    // Dictionary-to-document attachment, two shapes (value-identical
+    // bitmaps — both assign each token its rank in UTF8 binary order
+    // within the block, and Jaccard is invariant to the bit order
+    // anyway):
+    //  - broadcast encode (vocabTotal under the limit): the sorted
+    //    per-block vocab arrays ride ONE broadcast join on blk and each
+    //    document packs its own shingle array via binary search
+    //    ([[BitmapOps.encodeSorted]]) — no token explode, no
+    //    (blk, token) join shuffle, no collect_list re-group (measured
+    //    at sf0.1: the three removed token-stream passes were the
+    //    dominant cost of the encode stage);
+    //  - join encode (fallback): the dense row_number dictionary is
+    //    attached by a (blk, token) join and re-grouped per doc — every
+    //    shuffle keyed on (blk, token)/(id), nothing broadcast beyond
+    //    the nbits row-per-block table, for corpora whose TOTAL
+    //    dictionary outgrows a sane broadcast.
+    // Empty-shingle docs: the join-encode path drops them at the token
+    // explode; the broadcast path keeps them with an all-zero bitmap
+    // and n = 0, where the length bucket log(0) is NULL, so their cid
+    // never equals any chunk-pair key and they exit the pair space
+    // before any comparison — same output, no special-casing.
+    val encoded =
+      if (broadcastEncode) {
+        val vocabArr = tokset.groupBy(col("blk"))
+          .agg(sort_array(collect_list(col("t"))).as("vocab"))
+        withN.join(broadcast(vocabArr), Seq("blk"))
+          .select(col("id"), col("blk"), col("n"),
+            BitmapOps.bitmapEncodeSorted(col("sh"), col("vocab")).as("bm"))
+      } else {
+        val toks = withN.select(col("id"), col("blk"), col("n"),
+          explode(col("sh")).as("t"))
+        // per-block dense dictionary; the window partition is bounded by
+        // the vocab limit, so one task per block is constant-sized work
+        val dict = tokset
+          .withColumn("tid",
+            (row_number().over(Window.partitionBy(col("blk")).orderBy(col("t")))
+              - 1).cast("int"))
+        val nbits = dict.groupBy(col("blk"))
+          .agg((max(col("tid")) + 1).cast("int").as("nbits"))
+        toks.join(dict, Seq("blk", "t"))
+          .groupBy(col("id"), col("blk"), col("n"))
+          .agg(collect_list(col("tid")).as("tids"))
+          .join(broadcast(nbits), Seq("blk"))
+          .select(col("id"), col("blk"), col("n"),
+            BitmapOps.bitmapFromIds(col("tids"), col("nbits")).as("bm"))
+      }
     val maxDocs = withN.groupBy(col("blk")).agg(count(lit(1)).as("d"))
       .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
     val s = math.max(1L, math.min(saltCap.toLong,
@@ -1462,7 +1514,13 @@ object Dedup {
         greatest(col("n_l"), col("n_r")) * threshold)
       .withColumn("jaccard_sim",
         round(BitmapOps.bitmapJaccard(col("bm_l"), col("bm_r")), 6))
-      .where(col("jaccard_sim") >= threshold)
+      // NOT-NaN guard: Spark orders NaN ABOVE every number, so the 0/0
+      // jaccard of two EMPTY bitmaps (reachable only via the broadcast-
+      // encode path at threshold >= 1, where the length bucket keeps
+      // n = 0 docs) would otherwise pass the threshold as a false pair.
+      // A no-op for the join-encode path, which drops empty docs at the
+      // token explode.
+      .where(col("jaccard_sim") >= threshold && !isnan(col("jaccard_sim")))
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
         col("jaccard_sim"))

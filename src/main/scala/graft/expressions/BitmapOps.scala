@@ -47,6 +47,41 @@ object BitmapOps {
     out
   }
 
+  /** Pack a distinct-token array into a little-endian bitmap against a
+    * SORTED per-block vocabulary: each token's bit index is its binary-
+    * search position in `vocab` (identical mapping to the dense
+    * row_number dictionary the join-encode path assigns — both are the
+    * token's rank in UTF8 binary order). This is the broadcast-encode
+    * kernel: one pass over the document's own shingle array, no token
+    * explode, no (block, token) join shuffle, no collect_list re-group.
+    * NULL when a token is absent from `vocab` — that means the caller's
+    * vocabulary was not built from this corpus (contract break), and
+    * the filter-don't-throw convention reports it as a NULL set rather
+    * than silently dropping the token (the [[fromIds]] precedent). */
+  def encodeSorted(sh: ArrayData, vocab: ArrayData): Array[Byte] = {
+    val nbits = vocab.numElements()
+    val out = new Array[Byte]((nbits + 7) >> 3)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val t = sh.getUTF8String(i)
+      var lo = 0
+      var hi = nbits - 1
+      var found = -1
+      while (lo <= hi && found < 0) {
+        val mid = (lo + hi) >>> 1
+        val c = vocab.getUTF8String(mid).compareTo(t)
+        if (c == 0) found = mid
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (found < 0) return null
+      out(found >> 3) = (out(found >> 3) | (1 << (found & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Exact Jaccard of two packed bitmaps: one pass computing the
     * intersection and both cardinalities with `Long.bitCount` on
     * 8-byte strides. Bitmaps of unequal length are zero-extended (the
@@ -104,6 +139,41 @@ object BitmapOps {
   def bitmapJaccard(a: Column, b: Column): Column =
     GraftColumnBridge.column(BitmapJaccard(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def bitmapEncodeSorted(sh: Column, vocab: Column): Column =
+    GraftColumnBridge.column(BitmapEncodeSorted(
+      GraftColumnBridge.expression(sh), GraftColumnBridge.expression(vocab)))
+}
+
+/** `bitmap_encode_sorted(array<string>, array<string>)` → binary. */
+case class BitmapEncodeSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<string>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitmap_encode_sorted"
+
+  override protected def nullSafeEval(sh: Any, vocab: Any): Any =
+    BitmapOps.encodeSorted(
+      sh.asInstanceOf[ArrayData], vocab.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, vocab) => s"""
+      ${ev.value} = graft.expressions.BitmapOps.encodeSorted($sh, $vocab);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapEncodeSorted =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `bitmap_from_ids(array<int>, nbits)` → binary. */
