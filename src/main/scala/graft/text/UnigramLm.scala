@@ -38,10 +38,12 @@ import org.apache.spark.sql.functions._
   * (word, frequency) table (the only corpus-scale shuffle; output is
   * vocabulary-sized), and everything after — seeding, the
   * `maxWordLen`-step dp, backtracking, counting, re-scoring — runs
-  * over that vocab table alone. The dp is a fixed unroll of
-  * `maxWordLen` join+aggregate steps (checkpointed every 2 — the A/B-measured optimum: sparser cadences pay plan-depth analysis, denser ones stage scheduling — so the
-  * iterative plan never grows); backtracking is one aggregate()
-  * higher-order expression per word (see [[viterbiSegments]]). No
+  * over that vocab table alone. The dp runs as ONE candidate join plus
+  * one aggregate() higher-order walk per word (see [[viterbiSegments]]
+  * — this round-16 shape replaced the former maxWordLen-step
+  * join+aggregate loop, whose ~36 vocab-sized stages per EM round were
+  * almost pure scheduling cost); backtracking is one aggregate()
+  * higher-order expression per word. No
   * step's cost depends on corpus size, so the same plan trains on
   * 100 TB with only the word-frequency shuffle growing.
   *
@@ -130,17 +132,17 @@ object UnigramLm {
       .withColumn("len", length(col("w")))
 
   /** Viterbi segmentation of every word under a (p, nll) piece-cost
-    * table: fixed dp unroll over positions (state per word: dp(0..i)
-    * costs and bl(1..i) chosen piece lengths as array columns;
-    * element k+1 = position k, bl's position-0 element a dummy 0;
-    * ties to the LONGER piece), then ONE aggregate() higher-order
-    * backtrack per word. A chain of per-step backtrack projections
-    * would be semantically identical but CollapseProject inlines it
-    * into one projection whose pos/acc expressions duplicate
-    * 2^maxWordLen-fold (measured: a CPU blow-up that starved the
-    * executor heartbeat); the HOF keeps the expression tree
-    * fixed-size and runs maxWordLen interpreted iterations per word
-    * over a vocab-sized frame.
+    * table: one candidate join builds a per-word (position, length) →
+    * cost map, one aggregate() higher-order walk computes the dp
+    * (state per word: array of (cost, chosen piece length) structs,
+    * element k+1 = position k, position-0 a dummy (0, 0); ties to the
+    * LONGER piece), then ONE aggregate() higher-order backtrack per
+    * word. Both walks are HOFs rather than chained per-step
+    * projections because CollapseProject inlines a projection chain
+    * into one projection whose expressions duplicate 2^maxWordLen-fold
+    * (measured: a CPU blow-up that starved the executor heartbeat);
+    * the HOFs keep the expression tree fixed-size and run maxWordLen
+    * interpreted iterations per word over a vocab-sized frame.
     *
     * Requires every single character of `words` to be present in
     * `pieces` (the trainer maintains this invariant), so the dp is
@@ -151,37 +153,54 @@ object UnigramLm {
       pieces: DataFrame,
       maxPieceLen: Int,
       maxWordLen: Int): DataFrame = {
-    var state = words.select(col("w"), col("wc"), col("len"),
-      array(lit(0L)).as("dp"), array(lit(0)).as("bl"))
-    for (i <- 1 to maxWordLen) {
-      val best = state.where(col("len") >= i)
-        .select(col("w"), col("dp"),
-          explode(sequence(lit(1), lit(math.min(maxPieceLen, i))))
-            .as("l"))
-        .select(col("w"), col("l"),
-          col("w").substr(lit(i) - col("l") + 1, col("l")).as("p"),
-          element_at(col("dp"), lit(i) - col("l") + 1).as("_dprev"))
-        .join(pieces.select(col("p"), col("nll")), "p")
-        .select(col("w"), col("l"),
-          (col("_dprev") + col("nll")).as("cost"))
-        // ties to the LONGER piece: min on (cost, -l); l rides third
-        // for retrieval and never decides (one row per l per word)
-        .groupBy(col("w"))
-        .agg(min(struct(col("cost"), (-col("l")).as("negl"),
-          col("l").as("bl"))).as("b"))
-      state = state.join(best, Seq("w"), "left")
-        .select(col("w"), col("wc"), col("len"),
-          when(col("len") >= i,
-            concat(col("dp"), array(col("b.cost"))))
-            .otherwise(col("dp")).as("dp"),
-          when(col("len") >= i,
-            concat(col("bl"), array(col("b.bl"))))
-            .otherwise(col("bl")).as("bl"))
-      // bound the iterative plan; frames are vocab-sized, so the
-      // superseded blocks are left to the ContextCleaner
-      if (i % 2 == 0 || i == maxWordLen)
-        state = graft.util.Blocks.lazyCheckpoint(state)
-    }
+    require(maxPieceLen <= 15,
+      s"maxPieceLen must be <= 15 (candidate-key stride), got $maxPieceLen")
+    // Every candidate (end position x, piece length l) of every word is
+    // enumerated and joined against the cost table ONCE, collected into
+    // a per-word (x·16 + l) -> nll lookup map; the dp then runs as ONE
+    // aggregate() higher-order walk per word over that map. This
+    // replaces the former maxWordLen-step loop of join + min-aggregate
+    // + state-join stages (measured at sf0.1: ~36 vocab-sized stages
+    // per EM round of almost pure scheduling cost) with two shuffles —
+    // the candidate join and the per-word collect — while computing the
+    // IDENTICAL dp: min over l of dp[x−l] + nll(x,l), ties to the
+    // LONGER piece (ascending-l walk replaces on <=), positions beyond
+    // the word length untouched. Missing (x,l) candidates (pruned
+    // pieces) are skipped by the NULL map probe; l = 1 always resolves
+    // (single characters never prune — the trainer invariant), so the
+    // dp stays feasible. No per-step checkpoints needed: the plan is
+    // one fixed-size projection.
+    val cand = words
+      .select(col("w"), col("wc"), col("len"),
+        explode(sequence(lit(1), col("len"))).as("x"))
+      .select(col("w"), col("wc"), col("len"),
+        col("x"), explode(sequence(lit(1),
+          least(lit(maxPieceLen), col("x")))).as("l"))
+      .select(col("w"), col("wc"), col("len"),
+        (col("x") * 16 + col("l")).as("k"),
+        col("w").substr(col("x") - col("l") + 1, col("l")).as("p"))
+    val costed = cand.join(pieces.select(col("p"), col("nll")), "p")
+      .groupBy(col("w"), col("wc"), col("len"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("nll"))))
+        .as("m"))
+    val state = costed
+      .select(col("w"), col("wc"), col("len"),
+        expr(s"""aggregate(
+          sequence(1, $maxWordLen),
+          array(named_struct('c', cast(0 as bigint), 'l', 0)),
+          (st, x) -> if(x > len, st,
+            concat(st, array(aggregate(
+              sequence(1, least($maxPieceLen, x)),
+              named_struct('c', cast(null as bigint), 'l', 0),
+              (b, ll) -> if(element_at(m, x * 16 + ll) is null, b,
+                if(b.c is null or element_at(st, x - ll + 1).c
+                     + element_at(m, x * 16 + ll) <= b.c,
+                  named_struct('c', element_at(st, x - ll + 1).c
+                     + element_at(m, x * 16 + ll), 'l', ll),
+                  b)))))),
+          st -> st)""").as("_arr"))
+      .select(col("w"), col("wc"), col("len"),
+        expr("transform(_arr, e -> e.l)").as("bl"))
     state.select(col("w"), col("wc"),
       expr(s"""aggregate(
         sequence(1, $maxWordLen),
