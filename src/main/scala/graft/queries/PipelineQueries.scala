@@ -21,6 +21,16 @@ object PipelineQueries {
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     graft.etl.Spread.byKeyIfNarrow(Tables.documents(s, dir), col("doc_id"))
 
+  /** Strict spread for the perceptual CODEC queries: their corpus rows
+    * shrink to (doc_id, seeds) before the expensive per-row build +
+    * decode + hash stage, and AQE's byte-based coalescing re-fuses an
+    * advisory spread of such narrow rows onto one core (measured: the
+    * whole PNG stage single-threaded at sf0.1). [[graft.etl.Spread.byKeyStrict]]
+    * pins the partition count so the codec stage keeps the cluster's
+    * parallelism. */
+  private def docsSpreadCodec(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Spread.byKeyStrict(Tables.documents(s, dir), col("doc_id"))
+
   /** Same conditional-spread consideration for the embeddings table. */
   private def embSpread(s: SparkSession, dir: String): DataFrame =
     graft.etl.Spread.byKeyIfNarrow(Tables.embeddings(s, dir), col("vec_id"))
@@ -4153,7 +4163,7 @@ object PipelineQueries {
     import graft.util.Blocks
     import s.implicits._
     val F = 8
-    val base = docsSpread(s, dir)
+    val base = docsSpreadCodec(s, dir)
       .select(col("doc_id"),
         (expr("doc_id div 4") % 1000000000L).as("vseed"),
         (pmod(col("doc_id"), lit(4)) + 1L).as("nbase"))
@@ -4257,7 +4267,7 @@ object PipelineQueries {
     import graft.util.Blocks
     import s.implicits._
     val plantedSeeds = 555000555L * 4294967296L + 2L
-    val corpus = docsSpread(s, dir)
+    val corpus = docsSpreadCodec(s, dir)
       .select(col("doc_id"),
         ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
           + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
@@ -4380,7 +4390,7 @@ object PipelineQueries {
     import graft.util.Blocks
     import s.implicits._
     val plantedSeeds = 777000777L * 4294967296L + 3L
-    val corpus = docsSpread(s, dir)
+    val corpus = docsSpreadCodec(s, dir)
       .select(col("doc_id"),
         ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
           + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
@@ -4423,7 +4433,7 @@ object PipelineQueries {
     import graft.util.Blocks
     import s.implicits._
     val plantedSeeds = 666000666L * 4294967296L + 3L
-    val corpus = docsSpread(s, dir)
+    val corpus = docsSpreadCodec(s, dir)
       .select(col("doc_id"),
         ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
           + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
@@ -4473,7 +4483,7 @@ object PipelineQueries {
     import graft.util.Blocks
     import s.implicits._
     val plantedSeeds = 444000444L * 4294967296L + 3L
-    val corpus = docsSpread(s, dir)
+    val corpus = docsSpreadCodec(s, dir)
       .select(col("doc_id"),
         ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
           + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
@@ -4524,7 +4534,7 @@ object PipelineQueries {
     import graft.util.Blocks
     import s.implicits._
     val plantedSeeds = 777000777L * 4294967296L + 3L
-    val corpus = docsSpread(s, dir)
+    val corpus = docsSpreadCodec(s, dir)
       .select(col("doc_id"),
         ((expr("doc_id div 4") % 1000000000L) * lit(4294967296L)
           + pmod(col("doc_id"), lit(4)) + lit(1)).cast("long").as("seeds"))
