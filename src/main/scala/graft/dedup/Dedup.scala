@@ -321,9 +321,13 @@ object Dedup {
       .where(col("_nd") >= 2)
       .select(col("wh"))
     val wDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // no distinct: (id, pos) is unique in the window stream (posexplode
+    // emits each position once) and `shared` is one row per hash, so
+    // the join cannot duplicate — a distinct here was one full extra
+    // exchange of the matched stream for nothing
     val covered = wposCp.df
       .join(shared, "wh")
-      .select(col("id"), col("pos")).distinct()
+      .select(col("id"), col("pos"))
       .withColumn("_gap",
         when(col("pos") - lag(col("pos"), 1).over(wDoc) < k, 0)
           .otherwise(1))

@@ -69,9 +69,13 @@ object PageRank {
     val clamped = edges
       .join(skeletonKeys, edges("id_a") === col("_k"), "left_semi")
       .join(skeletonKeys, edges("id_b") === col("_k"), "left_semi")
-    val bi = clamped.select(col("id_a").as("_src"), col("id_b").as("_dst"))
-      .unionByName(
-        clamped.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+    // both directions from ONE scan of the clamped edge list (a
+    // self-union would evaluate the two semi-joins twice — the
+    // connectedComponents explode precedent)
+    val bi = clamped.select(explode(array(
+        struct(col("id_a").as("_src"), col("id_b").as("_dst")),
+        struct(col("id_b").as("_src"), col("id_a").as("_dst")))).as("_e"))
+      .select(col("_e._src").as("_src"), col("_e._dst").as("_dst"))
     val deg = bi.groupBy(col("_src")).agg(count(lit(1)).as("_deg"))
     // (src, dst, deg(src)) — materialized once, read every round
     val adj = graft.util.Blocks.lazyCheckpoint(bi.join(deg, Seq("_src")))
