@@ -316,6 +316,13 @@ object Classifier {
         .distinct())
     val n = lab.count()
     require(n > 0, "no evidence-bearing documents to train on")
+    // bias as pseudo-bucket −1 on every labeled doc: the gradient pass
+    // then yields ALL bucket gradients AND the bias gradient from ONE
+    // aggregation — the former separate `resid.agg(sum(r))` job
+    // re-evaluated the whole residual pipeline (score join + sigmoid
+    // pass over the corpus) a second time per round.
+    val featPlus = graft.util.Blocks.lazyCheckpoint(
+      feat.unionByName(lab.select(col("id"), lit(-1L).as("b"))))
     val w = Array.fill(buckets)(0L)
     var w0 = 0L
     for (_ <- 1 to rounds) {
@@ -329,10 +336,10 @@ object Classifier {
           round(lit(1e6) * (col("y") - lit(1.0) / (lit(1.0)
             + exp(-(lit(w0) + coalesce(col("sw"), lit(0L))).cast("double")
               / lit(1e6))))).cast("long").as("r"))
-      val g = resid.join(feat, "id")
+      val g = resid.join(featPlus, "id")
         .groupBy(col("b")).agg(sum(col("r")).as("g"))
         .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
-      val g0 = resid.agg(sum(col("r"))).head().getLong(0)
+      val g0 = g.getOrElse(-1L, 0L)
       // |g| reaches 1e6·n, so lrPpm·g overflows Long once n exceeds
       // ~1e7 docs at the default lrPpm. The update is B+1 driver-side
       // values per round — do it in BigInt (flooring like floorDiv /
