@@ -42,6 +42,20 @@ object OptProbe {
           println(f"    job ${e.jobId}%4d ${(e.time - t0) / 1000.0}%7.2fs  $d")
         }
     })
+    val taskCount = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskMax = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskSum = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = if (e.taskInfo != null) e.taskInfo.duration else 0L
+        taskCount.incrementAndGet(); taskSum.addAndGet(d)
+        var cur = taskMax.get()
+        while (d > cur && !taskMax.compareAndSet(cur, d)) cur = taskMax.get()
+      }
+    })
+    def taskStats(label: String): Unit = {
+      println(f"""  {"tasks":"$label","n":${taskCount.getAndSet(0)},"max_ms":${taskMax.getAndSet(0)},"sum_ms":${taskSum.getAndSet(0)}}""")
+    }
 
     def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache()
@@ -139,6 +153,65 @@ object OptProbe {
           pairs2.select(col("id_a"), col("id_b")), iters = 2, dampPpm = 850000L))
         println(f"""  {"probe":"pagerank_only_$rep%d","sec":${(System.nanoTime() - t1) / 1e9}%.3f}""")
         graft.util.Blocks.release(pairs2)
+        sweep()
+      }
+    }
+
+    if (want("png_micro")) {
+      println("== single-threaded PngImage.build / DHash micro ==")
+      for (rep <- 1 to 3) {
+        var i = 0; var bytes = 0L
+        val t0 = System.nanoTime()
+        while (i < 2000) {
+          val b = graft.expressions.PngImage.build(
+            72, 64, (1000000L + i) * 4294967296L + 3L)
+          bytes += b.length
+          i += 1
+        }
+        val bsec = (System.nanoTime() - t0) / 1e9
+        var j = 0; var acc = 0L
+        val imgs = (0 until 256).map(k => graft.expressions.PngImage.build(
+          72, 64, (1000000L + k) * 4294967296L + 3L)).toArray
+        val t1 = System.nanoTime()
+        while (j < 2000) {
+          acc ^= graft.expressions.DHash.compute(imgs(j & 255)).longValue()
+          j += 1
+        }
+        val hsec = (System.nanoTime() - t1) / 1e9
+        println(f"""  {"probe":"png_micro_$rep%d","build2000_sec":$bsec%.3f,"dhash2000_sec":$hsec%.3f,"avg_bytes":${bytes / 2000}%d,"acc":$acc%d}""")
+      }
+    }
+
+    if (want("q150_sig")) {
+      println("== q150 sig build isolated ==")
+      import graft.expressions.{DHash, PngImage}
+      import spark.implicits._
+      val F = 8
+      val base = docs
+        .select(col("doc_id"),
+          (expr("doc_id div 4") % 1000000000L).as("vseed"),
+          (pmod(col("doc_id"), lit(4)) + 1L).as("nbase"))
+      val frames = base
+        .withColumn("f", explode(sequence(lit(0L), lit(F - 1L))))
+        .select(
+          ((col("doc_id") + 2L) * 16L + col("f")).as("id"),
+          col("f"),
+          (((col("vseed") * 8L + col("f")) % 1000000000L) * lit(4294967296L)
+            + col("nbase") * 16L + col("f")).cast("long").as("seeds"))
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val cp = graft.util.Blocks.checkpoint(frames.select(col("id"), col("f"),
+          DHash.dhash(PngImage.pngImage(lit(72), lit(64), col("seeds"))).as("sig")))
+        println(f"""  {"probe":"q150_sig_$rep%d","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+        cp.release()
+        sweep()
+        val t1 = System.nanoTime()
+        taskCount.set(0); taskMax.set(0); taskSum.set(0)
+        val n = frames.select(col("id"),
+          PngImage.pngImage(lit(72), lit(64), col("seeds")).as("p"))
+          .select(sum(length(col("p")))).head().getLong(0)
+        println(f"""  {"probe":"q150_png_only_$rep%d","sec":${(System.nanoTime() - t1) / 1e9}%.3f,"bytes":$n%d}""")
+        taskStats(s"q150_png_only_$rep")
         sweep()
       }
     }
