@@ -157,6 +157,14 @@ object OptProbe {
       }
     }
 
+    if (want("lazy_plan")) {
+      // full lazy jaccard plan (persistIntermediate = false -> no
+      // checkpoint truncation) for the plans/r16 stage-level evidence
+      println("======== jaccard_lazy ========")
+      Dedup.jaccardJoin(shingled, 0.5, persistIntermediate = false)
+        .explain("formatted")
+    }
+
     if (want("png_micro")) {
       println("== single-threaded PngImage.build / DHash micro ==")
       for (rep <- 1 to 3) {

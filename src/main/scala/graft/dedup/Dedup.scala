@@ -1285,14 +1285,22 @@ object Dedup {
     // the probe pass is no longer thrown away.
     val tokset = maybePersist(withN
       .select(col("blk"), explode(col("sh")).as("t")).distinct())
-    val stats = tokset.groupBy(col("blk")).agg(count(lit(1)).as("v"))
+    // vocab stats AND the bitmap tier's docs-per-block maximum (its
+    // chunk-salt input) from ONE blocking action — a separate maxDocs
+    // head() was one more driver round-trip per query for nothing
+    val stats = withN.groupBy(col("blk")).agg(count(lit(1)).as("d"))
+      .join(tokset.groupBy(col("blk")).agg(count(lit(1)).as("v")),
+        Seq("blk"), "left")
       .agg(coalesce(max(col("v")), lit(0L)),
-        coalesce(sum(col("v")), lit(0L)))
+        coalesce(sum(col("v")), lit(0L)),
+        coalesce(max(col("d")), lit(0L)))
       .head()
-    val (vocabMax, vocabTotal) = (stats.getLong(0), stats.getLong(1))
+    val (vocabMax, vocabTotal, maxDocs) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
     if (tier == "bitmap" || vocabMax <= bitmapVocabLimit)
       jaccardJoinBitmapFrom(withN, tokset, threshold, maybePersist,
-        broadcastEncode = vocabTotal <= BroadcastVocabEntriesLimit)
+        broadcastEncode = vocabTotal <= BroadcastVocabEntriesLimit,
+        maxDocs = maxDocs)
     else jaccardJoinPrefixFrom(withN, threshold, maybePersist)
   }
 
@@ -1429,6 +1437,7 @@ object Dedup {
       threshold: Double,
       maybePersist: DataFrame => DataFrame,
       broadcastEncode: Boolean,
+      maxDocs: Long,
       saltCap: Int = 64): DataFrame = {
     import graft.expressions.BitmapOps
     // Dictionary-to-document attachment, two shapes (value-identical
@@ -1477,8 +1486,6 @@ object Dedup {
           .select(col("id"), col("blk"), col("n"),
             BitmapOps.bitmapFromIds(col("tids"), col("nbits")).as("bm"))
       }
-    val maxDocs = withN.groupBy(col("blk")).agg(count(lit(1)).as("d"))
-      .agg(coalesce(max(col("d")), lit(0L))).head().getLong(0)
     val s = math.max(1L, math.min(saltCap.toLong,
       math.ceil(math.sqrt(maxDocs / 64.0)).toLong))
     // length bucket: J >= t forces n-ratio >= t, so a qualifying pair
