@@ -2041,17 +2041,22 @@ object Dedup {
           blkKey): _*)
       }: _*)).as("bk"))
     val capped = maybePersist(capBuckets(blocked, maxBucketSize))
-    val pairs = capped.as("l")
+    // hamming is computed and thresholded BEFORE the pair-dedup
+    // shuffle: a band collision that fails the distance test never
+    // crosses the exchange, and the exchange carries (id_a, id_b,
+    // hamming) instead of two 64-bit signatures per candidate — on
+    // band-dense corpora the rejected collisions are the bulk of the
+    // candidate stream (§2.3: filter/aggregate before you shuffle).
+    // Value-identical: hamming is a pure function of the pair, so
+    // deduplicating after the filter keeps exactly the same rows.
+    capped.as("l")
       .join(capped.as("r"),
         col("l.bk") === col("r.bk") && col("l.id") < col("r.id"))
       .select(
         col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** EXACT blocked edit-distance near-dup join — the record-linkage
